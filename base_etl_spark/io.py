@@ -1,0 +1,84 @@
+"""Central loader: the ONLY supported way to read the fixture tables.
+
+Handles the ns-timestamp ingestion (FIXTURES.md gotcha 1) once, asserts
+schemas against the footer, and registers every table as a temp view so
+the SQL entry point (`spark.sql`) sees the same canonical tables as the
+DataFrame API.
+
+100 TB posture: this module is a thin veneer over `spark.read.parquet`
+(vectorized reader, predicate pushdown, column pruning all intact). The
+ns->us conversion is a single projected expression — it does not
+materialize anything and stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from base_etl_spark import schemas
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, asserted + canonicalized.
+
+    events.ts arrives as LongType nanoseconds (nanosAsLong); the generator
+    emits us-precision values, so integer division by 1000 is exact.
+    Integer `div` (not `/`) matters: float division of ~1.7e18 ns loses
+    precision beyond 2^53.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    schemas.assert_schema(name, df.schema)
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+@dataclass
+class Tables:
+    """All ten canonical tables for one scale-factor directory.
+
+    Attribute access (`t.lineitem`) returns the DataFrame; every table is
+    also registered as a temp view, so `t.spark.sql("... from lineitem")`
+    works identically.
+    """
+
+    spark: SparkSession
+    sf_dir: str
+    _dfs: dict[str, DataFrame] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        for name in schemas.TABLE_NAMES:
+            df = read_table(self.spark, self.sf_dir, name)
+            self._dfs[name] = df
+            df.createOrReplaceTempView(name)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        try:
+            return self._dfs[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self._dfs[name]
+
+
+_CACHE: dict[tuple[int, str], Tables] = {}
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> Tables:
+    """Load (memoized per session+dir) all tables and register views."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    key = (id(spark), os.path.abspath(sf_dir))
+    if key not in _CACHE:
+        _CACHE[key] = Tables(spark, os.path.abspath(sf_dir))
+    else:
+        # re-register views in case another sf_dir overwrote them
+        for name in schemas.TABLE_NAMES:
+            _CACHE[key]._dfs[name].createOrReplaceTempView(name)
+    return _CACHE[key]

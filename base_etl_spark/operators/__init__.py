@@ -1,0 +1,14 @@
+"""Operator families. Importing this package registers every query.
+
+Each module holds one SURVEY §2 family; the @query decorator binds the
+Spark implementation to its DuckDB oracle SQL at import time.
+"""
+
+from __future__ import annotations
+
+import importlib
+import pkgutil
+
+for _mod in pkgutil.iter_modules(__path__):
+    if not _mod.name.startswith("_"):
+        importlib.import_module(f"{__name__}.{_mod.name}")

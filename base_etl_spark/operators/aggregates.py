@@ -1,0 +1,234 @@
+"""Aggregation family (SURVEY §2.4).
+
+All shapes use Spark's built-in hash aggregation (partial map-side combine
++ final, automatic); nothing here breaks whole-stage codegen. Doubles are
+rounded to 2dp on both sides (FIXTURES.md gotcha 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
+
+
+@query(
+    "agg_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                  AS sum_qty,
+           round(sum(l_extendedprice), 2)                             AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)                                  AS avg_qty,
+           round(avg(l_extendedprice), 2)                             AS avg_price,
+           round(avg(l_discount), 4)                                  AS avg_disc,
+           count(*)                                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing(t: Tables) -> DataFrame:
+    """TPC-H Q1 shape: filter + 2-key group-by + 8 aggregates.
+
+    At 100 TB this is a pure scan + partial/final hash agg — no join, one
+    shuffle of ~6 groups; the parquet filter on l_shipdate is pushed down.
+    """
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_count_distinct(t: Tables) -> DataFrame:
+    """Exact distinct users per event type (expand-then-agg under the hood)."""
+    return t.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # R: HLL sketches differ across engines
+def agg_approx_distinct(t: Tables) -> DataFrame:
+    """HyperLogLog distinct users per event type (rows-only oracle).
+
+    Self-check (tests): within ±5% of the exact count. At 100 TB this is
+    THE distinct-count operator — constant memory per group vs the exact
+    expand-then-agg.
+    """
+    return t.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx")
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey,
+           count(*)                  AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING sum(o_totalprice) > 1500000.0
+    """,
+)
+def agg_having(t: Tables) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_total"),
+        )
+        .filter(F.col("_total") > 1500000.0)
+        .select("o_custkey", "n_orders", F.round("_total", 2).alias("total_spent"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(n_name, 'ALL')       AS nation,
+           coalesce(c_mktsegment, 'ALL') AS segment,
+           grouping(n_name) * 2 + grouping(c_mktsegment) AS gid,
+           count(*)                      AS n_customers,
+           round(sum(c_acctbal), 2)      AS sum_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def agg_rollup(t: Tables) -> DataFrame:
+    """Hierarchical subtotals; gid disambiguates subtotal levels.
+
+    coalesce to 'ALL' is safe because the fixtures contain no NULL names
+    (FIXTURES.md); gid pins which level each row belongs to.
+    """
+    j = t.customer.join(t.nation, t.customer.c_nationkey == t.nation.n_nationkey)
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "gid",
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+           count(*)                         AS n_orders,
+           round(sum(o_totalprice), 2)      AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(t: Tables) -> DataFrame:
+    """All 2^2 grouping combinations over (status, priority)."""
+    return (
+        t.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*)                      AS n_items,
+           round(sum(l_quantity), 2)     AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(t: Tables) -> DataFrame:
+    """Explicit grouping sets via the SQL entry point (SURVEY §3 E3)."""
+    return t.spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*)                      AS n_items,
+               round(sum(l_quantity), 2)     AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]  # measured domain
+
+
+@query(
+    "agg_pivot_casewhen",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+           round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+           round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot_casewhen(t: Tables) -> DataFrame:
+    """Pivot event_type into columns (explicit value list => single pass,
+    no extra job to discover pivot values — the 100 TB-safe form)."""
+    p = t.events.groupBy("user_id").pivot("event_type", _EVENT_TYPES).sum("value")
+    return p.select("user_id", *[F.round(F.col(c), 2).alias(c) for c in _EVENT_TYPES])
+
+
+@query(
+    "agg_distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def agg_distinct_rows(t: Tables) -> DataFrame:
+    """SELECT DISTINCT == group-by-all-columns (partial agg applies)."""
+    return t.lineitem.select("l_returnflag", "l_linestatus").distinct()

@@ -1,0 +1,298 @@
+"""Join family (SURVEY §2.3).
+
+Strategy notes (100 TB posture):
+- dims (region/nation/supplier/customer/part) get explicit broadcast()
+  hints where they appear against the fact table — no shuffle of the big
+  side, plan-asserted in tests.
+- fact-fact joins (orders x lineitem) are left to Catalyst: sort-merge
+  with AQE skew splitting. Both sides shuffle on the join key once; a
+  production deployment would bucket both tables by orderkey to eliminate
+  it entirely (see sinks.write_bucketed).
+- the as-of join is the standard union+last(ignorenulls) window
+  composition — Spark has no native as-of; this form is a single shuffle
+  by (user_id) + one ordered window pass, which scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
+
+
+@query(
+    "join_inner_bcast",
+    oracle="""
+    SELECT p_brand,
+           count(*)                     AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_inner_bcast(t: Tables) -> DataFrame:
+    """Fact->dim equi join with an explicit broadcast hint: the 20k-row
+    part table ships to every executor; lineitem never shuffles."""
+    return (
+        t.lineitem.join(F.broadcast(t.part), t.lineitem.l_partkey == t.part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_shuffle",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                    AS n_lines,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_shuffle(t: Tables) -> DataFrame:
+    """Large-large equi join, no hint: Catalyst picks sort-merge (or
+    shuffled-hash under AQE); skew handled by adaptive skew-join split."""
+    return (
+        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey)                       AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(t: Tables) -> DataFrame:
+    """Left outer keeps order-less customers; count(col) skips NULLs."""
+    return (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH f AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS f_total
+               FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+         o AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS o_total
+               FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+    SELECT coalesce(f.o_custkey, o.o_custkey) AS custkey, f_total, o_total
+    FROM f FULL JOIN o ON f.o_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(t: Tables) -> DataFrame:
+    """Full outer of two disjoint-filtered aggregates; NULL sides survive."""
+    f = (
+        t.orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("f_total"))
+    )
+    o = (
+        t.orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("o_total"))
+    )
+    return f.join(o, f.o_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce(f.o_custkey, o.o_custkey).alias("custkey"), "f_total", "o_total"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(t: Tables) -> DataFrame:
+    """Left-semi: customers with >=1 urgent order; never duplicates the
+    left side, and the right side is reduced before the join."""
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return t.customer.join(
+        urgent, t.customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(t: Tables) -> DataFrame:
+    """Left-anti: customers with no orders at all."""
+    return t.customer.join(
+        t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name, (n_regionkey = r_regionkey) AS is_home
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(t: Tables) -> DataFrame:
+    """Explicit cartesian (5 x 25). Only ever sane when one side is tiny —
+    Spark plans BroadcastNestedLoopJoin here."""
+    return t.region.crossJoin(t.nation).select(
+        "r_name", "n_name", (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home")
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                      AS n_lines,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def join_theta_range(t: Tables) -> DataFrame:
+    """Equi key + range predicate: Catalyst plans the equi part as the
+    join key and evaluates the range as a post-join filter — still one
+    shuffle, no cartesian blowup."""
+    li, o = t.lineitem, t.orders
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.expr("o_orderdate + INTERVAL 30 DAYS"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'click'    THEN event_id END AS click_id,
+               CASE WHEN event_type = 'purchase' THEN event_id END AS probe_id,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END    AS kind
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+        SELECT probe_id, user_id, ts,
+               last_value(click_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS matched_click
+        FROM ev
+    )
+    SELECT probe_id, user_id, ts AS probe_ts, matched_click
+    FROM w WHERE probe_id IS NOT NULL
+    """,
+)
+def join_asof(t: Tables) -> DataFrame:
+    """As-of join: for each purchase, the latest click at or before it
+    (per user). Spark has no native ASOF JOIN; the idiomatic composition
+    is union-then-carry-forward: one shuffle by user_id, one ordered
+    window pass — O(n log n) per partition, no range-join blowup, and the
+    same plan works under Structured Streaming with applyInPandasWithState.
+
+    Tie policy (pinned on both sides): clicks sort before purchases at
+    equal ts (kind 0<1), so a same-instant click matches; among clicks at
+    the same ts the highest event_id wins.
+    """
+    ev = t.events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("probe_id"),
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("matched_click", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("probe_id").isNotNull())
+        .select("probe_id", "user_id", F.col("ts").alias("probe_ts"), "matched_click")
+    )
+
+
+@query(
+    "join_star_q5",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def join_star_q5(t: Tables) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. All four dimension sides carry
+    broadcast hints, so lineitem (the 100 TB side) is joined with zero
+    additional shuffles beyond the orders co-shuffle; region/nation prune
+    suppliers before they reach the fact."""
+    dims_nation = F.broadcast(
+        t.nation.join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    supp = F.broadcast(
+        t.supplier.join(dims_nation, F.col("s_nationkey") == F.col("n_nationkey")).select(
+            "s_suppkey", "s_nationkey", "n_name"
+        )
+    )
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = F.broadcast(t.customer.select("c_custkey", "c_nationkey"))
+    return (
+        t.lineitem.join(orders, t.lineitem.l_orderkey == orders.o_orderkey)
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )

@@ -1,0 +1,64 @@
+"""SparkSession factory with the engine's non-negotiable configs.
+
+Every entry point (driver contract, tests, bench) must build its session
+here; in particular `spark.sql.legacy.parquet.nanosAsLong` is required to
+read the events table at all (FIXTURES.md gotcha 1), and the UTC session
+timezone pins timestamp semantics to the (naive-UTC) DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "base_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Defaults target local[$SPARK_GRAFT_CPUS]; on a real cluster pass
+    ``master=None`` with an external spark-submit master and raise
+    ``shuffle_partitions`` to ~2-3x total cores (or leave AQE to coalesce).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: ~1x cores; a 1000-executor cluster would use
+        # spark.sql.shuffle.partitions >= 2x total cores and rely on AQE
+        # coalescing — AQE is enabled below so the same code scales.
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # events.ts is parquet TIMESTAMP(NANOS): Spark hard-fails without this
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # oracle parity: DuckDB timestamps are naive; pin Spark to UTC
+        .config("spark.sql.session.timeZone", "UTC")
+        # read parquet timestamp(isAdjustedToUTC=false) as TimestampType
+        # (session-UTC) instead of TimestampNTZ — one timestamp type engine-wide
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # match DuckDB's permissive casts (SURVEY §7 step 0)
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime re-planning (skew joins, partition coalescing,
+        # shuffle->broadcast conversion) — the 100 TB safety net
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # dims (region/nation/customer/supplier/part) stay broadcastable
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,123 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over the
+same parquet, then compares row count, column-name set, and the
+order-insensitive multiset of normalized values. Strictest possible local
+check: exact equality (the driver's value-hash can only be looser).
+
+Usage: python tools/check.py [key ...] [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0  # collapse -0.0
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return dt.datetime(v.year, v.month, v.day).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def rows_to_multiset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(normalize(r[i]) for i in idx) for r in rows]
+    return sorted(out, key=repr)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--verbose", "-v", action="store_true")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from base_etl_spark import build_session, queries, oracle_sql
+
+    qs, osql = queries(), oracle_sql()
+    keys = args.keys or list(qs)
+    unknown = [k for k in keys if k not in qs]
+    if unknown:
+        print(f"unknown keys: {unknown}", file=sys.stderr)
+        return 2
+
+    spark = build_session("check")
+    con = duckdb.connect()
+    for name in ["region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{args.sf}/{name}.parquet'"
+        )
+
+    n_pass = n_fail = n_rowsonly = 0
+    for k in keys:
+        t0 = time.time()
+        try:
+            sdf = qs[k](spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {k}: spark error: {e}")
+            n_fail += 1
+            continue
+        if k not in osql:
+            print(f"rows  {k}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.sql(osql[k])
+            dcols = res.columns
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {k}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            sm, dm = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
+            if sm != dm:
+                diffs = [(a, b) for a, b in zip(sm, dm) if a != b]
+                problems.append(f"{len(diffs)} value diffs; first: {diffs[0] if diffs else '?'}")
+        if problems:
+            print(f"FAIL  {k}: " + " | ".join(problems))
+            if args.verbose:
+                print("  spark sample:", srows[:3])
+                print("  duck  sample:", drows[:3])
+            n_fail += 1
+        else:
+            print(f"PASS  {k}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail / {len(keys)} keys")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
