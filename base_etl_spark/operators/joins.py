@@ -102,19 +102,21 @@ def join_left_outer(t: Tables) -> DataFrame:
     """,
 )
 def join_full_outer(t: Tables) -> DataFrame:
-    """Full outer of two disjoint-filtered aggregates; NULL sides survive."""
+    """Full outer of two disjoint-filtered aggregates; NULL sides survive.
+    The two branches derive from the same scan (self-join): keys are
+    renamed per-branch to keep the join condition unambiguous."""
     f = (
         t.orders.filter(F.col("o_orderstatus") == "F")
-        .groupBy("o_custkey")
+        .groupBy(F.col("o_custkey").alias("f_custkey"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("f_total"))
     )
     o = (
         t.orders.filter(F.col("o_orderstatus") == "O")
-        .groupBy("o_custkey")
+        .groupBy(F.col("o_custkey").alias("oo_custkey"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("o_total"))
     )
-    return f.join(o, f.o_custkey == o.o_custkey, "full_outer").select(
-        F.coalesce(f.o_custkey, o.o_custkey).alias("custkey"), "f_total", "o_total"
+    return f.join(o, f.f_custkey == o.oo_custkey, "full_outer").select(
+        F.coalesce("f_custkey", "oo_custkey").alias("custkey"), "f_total", "o_total"
     )
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from base_etl_spark.functions import money, money_sql
 from base_etl_spark.io import Tables
 from base_etl_spark.registry import query
 
@@ -33,22 +34,27 @@ def scan_parquet(t: Tables) -> DataFrame:
 
 @query(
     "proj_revenue",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
            l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 2) AS revenue,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged
+           {money_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {money_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS charged
     FROM lineitem
     """,
 )
 def proj_revenue(t: Tables) -> DataFrame:
-    """Computed projection + rename/drop; stays in whole-stage codegen."""
+    """Computed projection + rename/drop; stays in whole-stage codegen.
+
+    Per-row money values use the bit-exact floor rounding (see
+    base_etl_spark.functions) — plain round() diverges from the oracle on
+    ~0.2% of rows at .xx5 boundaries.
+    """
     price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
     return t.lineitem.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(price * (1 - disc), 2).alias("revenue"),
-        F.round(price * (1 - disc) * (1 + tax), 2).alias("charged"),
+        money(price * (1 - disc)).alias("revenue"),
+        money(price * (1 - disc) * (1 + tax)).alias("charged"),
     )
 
 

@@ -1,0 +1,320 @@
+"""Scalar function surface (SURVEY §2.8): string / regexp / date / math /
+conditional / cast / array / map / json.
+
+Everything here is a built-in `pyspark.sql.functions` expression — JVM-side,
+inside whole-stage codegen, no Python in the row path. Each oracle pins the
+DuckDB dialect equivalent explicitly; known divergences and their pinning:
+
+- dayofweek: Spark 1=Sunday..7, DuckDB 0=Sunday..6 -> oracle adds 1.
+- ceil/floor: Spark returns LONG, DuckDB DOUBLE -> oracle casts to BIGINT.
+- cast(double as int): Spark truncates toward zero, DuckDB rounds ->
+  both sides round explicitly first.
+- sign(): Spark returns DOUBLE, DuckDB INT -> cast both to INT/LONG? Spark
+  signum double -> cast to int on both sides.
+- datediff: Spark datediff(end, start); DuckDB date_diff('day', start, end).
+- timestamp->string: via explicit format pattern on both sides, never raw cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, MapType, StringType
+
+from base_etl_spark.functions import money, money_sql
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
+
+
+@query(
+    "str_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                         AS up_name,
+           lower(c_mktsegment)                   AS lo_seg,
+           substr(c_name, 1, 8)                  AS name_prefix,
+           trim(concat('  ', c_name, ' '))       AS trimmed,
+           lpad(cast(c_custkey AS varchar), 12, '0') AS padded_key,
+           concat_ws('|', c_name, c_mktsegment)  AS joined,
+           replace(c_name, 'Customer', 'Cust')   AS replaced,
+           length(c_name)                        AS name_len
+    FROM customer
+    """,
+)
+def str_funcs(t: Tables) -> DataFrame:
+    """upper/lower/substr/trim/lpad/concat_ws/replace/length."""
+    return t.customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("lo_seg"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@query(
+    "str_regexp",
+    oracle="""
+    SELECT p_partkey,
+           cast(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS int) AS brand_no,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')               AS devoweled,
+           (p_name LIKE '%bolt%')                                    AS has_bolt,
+           regexp_matches(p_type, '^(ECONOMY|PROMO)')                AS is_cheap_type
+    FROM part
+    """,
+)
+def str_regexp(t: Tables) -> DataFrame:
+    """regexp_extract with group, global regexp_replace, LIKE, RLIKE.
+    DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all semantics; the character-class pattern avoids escape
+    dialect differences."""
+    return t.part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).cast("int").alias("brand_no"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").like("%bolt%").alias("has_bolt"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_cheap_type"),
+    )
+
+
+@query(
+    "str_split_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    """,
+)
+def str_split_explode(t: Tables) -> DataFrame:
+    """Tokenize: one row per (doc, token) — the 1->N generator shape.
+    explode() is a native generator operator (no UDTF needed)."""
+    return t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                               AS yr,
+           month(o_orderdate)                              AS mon,
+           quarter(o_orderdate)                            AS qtr,
+           dayofmonth(o_orderdate)                         AS dom,
+           dayofweek(o_orderdate) + 1                      AS dow,
+           date_trunc('month', o_orderdate)                AS month_start,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+           o_orderdate + INTERVAL 3 MONTH                  AS plus_3m,
+           o_orderdate + INTERVAL 30 DAY                   AS plus_30d,
+           strftime(o_orderdate, '%Y-%m-%d')               AS iso_day
+    FROM orders
+    """,
+)
+def date_funcs(t: Tables) -> DataFrame:
+    """Calendar functions. dow pinned to Spark's 1=Sunday convention;
+    month arithmetic end-of-month clamping agrees between engines."""
+    d = F.col("o_orderdate")
+    return t.orders.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mon"),
+        F.quarter(d).alias("qtr"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(F.lit("2000-01-01 00:00:00").cast("timestamp"), d).alias("days_to_y2k"),
+        F.add_months(d, 3).cast("timestamp").alias("plus_3m"),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("plus_30d"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {money_sql('l_extendedprice')}                      AS price_2dp,
+           abs(l_discount - 0.05)                              AS abs_diff,
+           cast(ceil(l_quantity) AS bigint)                    AS qty_ceil,
+           cast(floor(l_quantity) AS bigint)                   AS qty_floor,
+           round(sqrt(l_extendedprice), 6)                     AS price_sqrt,
+           round(pow(l_quantity, 2.0), 6)                      AS qty_sq,
+           round(ln(l_extendedprice), 6)                       AS price_ln,
+           round(log10(l_extendedprice), 6)                    AS price_log10,
+           round(exp(l_discount), 6)                           AS disc_exp,
+           cast(sign(l_discount - 0.05) AS int)                AS disc_sign,
+           l_linenumber % 3                                    AS line_mod
+    FROM lineitem
+    """,
+)
+def math_funcs(t: Tables) -> DataFrame:
+    """round/abs/ceil/floor/sqrt/pow/ln/log10/exp/sign/mod.
+    Transcendentals (sqrt is exact IEEE; ln/log10/exp are libm) are
+    rounded to 6dp to absorb last-ulp libm differences."""
+    q, price, disc = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        money(price).alias("price_2dp"),
+        F.abs(disc - 0.05).alias("abs_diff"),
+        F.ceil(q).alias("qty_ceil"),
+        F.floor(q).alias("qty_floor"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.pow(q, 2.0), 6).alias("qty_sq"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.round(F.log10(price), 6).alias("price_log10"),
+        F.round(F.exp(disc), 6).alias("disc_exp"),
+        F.signum(disc - 0.05).cast("int").alias("disc_sign"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+    )
+
+
+@query(
+    "cond_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END                        AS size_bucket,
+           coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_or_pending,
+           greatest(o_totalprice, 150000.0)             AS at_least,
+           least(o_totalprice, 150000.0)                AS at_most,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    """,
+)
+def cond_funcs(t: Tables) -> DataFrame:
+    """case-when / coalesce / nullif / greatest / least / if."""
+    price = F.col("o_totalprice")
+    return t.orders.select(
+        "o_orderkey",
+        F.when(price > 300000, "big").when(price > 100000, "mid").otherwise("small").alias("size_bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending")).alias(
+            "status_or_pending"
+        ),
+        F.greatest(price, F.lit(150000.0)).alias("at_least"),
+        F.least(price, F.lit(150000.0)).alias("at_most"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@query(
+    "cast_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           cast(o_orderkey AS varchar)                   AS key_str,
+           cast(cast(o_orderkey AS varchar) AS bigint)   AS key_roundtrip,
+           cast(round(o_totalprice, 0) AS bigint)        AS price_int,
+           cast(o_orderkey AS double)                    AS key_dbl,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')    AS date_str,
+           cast('1996-06-15 12:30:00' AS timestamp)      AS ts_lit,
+           cast('123.5' AS double)                       AS num_lit
+    FROM orders
+    """,
+)
+def cast_funcs(t: Tables) -> DataFrame:
+    """Casts across int/double/string/timestamp. double->int goes through
+    an explicit round() on both sides (Spark truncates, DuckDB rounds);
+    timestamp->string goes through an explicit format pattern."""
+    return t.orders.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.round("o_totalprice", 0).cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("date_str"),
+        F.lit("1996-06-15 12:30:00").cast("timestamp").alias("ts_lit"),
+        F.lit("123.5").cast("double").alias("num_lit"),
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    SELECT doc_id,
+           len(tokens)                                  AS n_tokens,
+           list_contains(tokens, 'spark')               AS has_spark,
+           len(list_slice(tokens, 2, 4))                AS slice_len,
+           list_sort(list_distinct(tokens))[1]          AS first_token_sorted,
+           len(list_distinct(tokens))                   AS n_distinct_tokens
+    FROM toks
+    """,
+)
+def array_funcs(t: Tables) -> DataFrame:
+    """size / array_contains / slice / sort_array / array_distinct
+    (array-typed intermediates, scalar outputs — scalars hash identically
+    across engines; raw array values would compare representation).
+    Spark slice(arr,2,3) == DuckDB list_slice(arr,2,4) (start+length vs
+    inclusive bounds)."""
+    toks = t.documents.select("doc_id", F.split("text", " ").alias("tokens"))
+    return toks.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.array_contains("tokens", "spark").alias("has_spark"),
+        F.size(F.slice("tokens", 2, 3)).alias("slice_len"),
+        F.element_at(F.sort_array(F.array_distinct("tokens")), 1).alias("first_token_sorted"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "array_agg",
+    oracle="""
+    SELECT n_name,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           count(DISTINCT c_mktsegment)                                 AS n_segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def array_agg(t: Tables) -> DataFrame:
+    """collect_set per group, sorted then joined for a deterministic,
+    engine-neutral scalar representation."""
+    j = t.customer.join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+    return j.groupBy("n_name").agg(
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@query(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',')   AS prop_keys,
+           cast(json_extract(props, '$.k') AS int)  AS k_val
+    FROM events
+    """,
+)
+def map_funcs(t: Tables) -> DataFrame:
+    """JSON string -> MapType via from_json; map_keys + element access.
+    (The map itself stays internal; outputs are engine-neutral scalars.)"""
+    m = F.from_json("props", MapType(StringType(), IntegerType()))
+    return t.events.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        m.getItem("k").alias("k_val"),
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_type,
+           round(sum(cast(json_extract(props, '$.k') AS int)), 2) AS sum_k,
+           round(avg(cast(json_extract(props, '$.k') AS int)), 6) AS avg_k,
+           count(*)                                                AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract(t: Tables) -> DataFrame:
+    """get_json_object path extraction feeding an aggregate."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return t.events.groupBy("event_type").agg(
+        F.round(F.sum(k), 2).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

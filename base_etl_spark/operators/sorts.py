@@ -1,0 +1,157 @@
+"""Sorts / limits / top-k (SURVEY §2.6) and set operations (§2.7).
+
+topk uses orderBy+limit, which Spark plans as TakeOrderedAndProject:
+each partition keeps a k-element heap and only k rows ever move — the
+correct global top-k at any scale (plan-asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(t: Tables) -> DataFrame:
+    """TPC-H Q3 shape: join + agg + global top-10 by computed revenue.
+    Tie-break by o_orderkey pins membership across engines."""
+    cust = F.broadcast(t.customer.filter(F.col("c_mktsegment") == "BUILDING"))
+    orders = t.orders.filter(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
+    return (
+        t.lineitem.join(orders, t.lineitem.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "sort_multikey",
+    oracle="""
+    SELECT c_custkey, c_acctbal, c_mktsegment,
+           row_number() OVER (ORDER BY c_mktsegment DESC,
+                              nullif(c_mktsegment, 'BUILDING') ASC NULLS FIRST,
+                              c_acctbal ASC, c_custkey) AS rn
+    FROM customer
+    """,
+)
+def sort_multikey(t: Tables) -> DataFrame:
+    """Multi-key sort with explicit nulls ordering; the rn column encodes
+    the sort so the order-insensitive hash still verifies it."""
+    order = [
+        F.col("c_mktsegment").desc(),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).asc_nulls_first(),
+        F.col("c_acctbal").asc(),
+        F.col("c_custkey").asc(),
+    ]
+    return (
+        t.customer.orderBy(*order)
+        .withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+        .select("c_custkey", "c_acctbal", "c_mktsegment", "rn")
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_orderkey
+    LIMIT 20 OFFSET 100
+    """,
+)
+def limit_offset(t: Tables) -> DataFrame:
+    """Pagination over a deterministic (unique-key) sort."""
+    return (
+        t.orders.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").offset(100).limit(20)
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT o_custkey, round(o_totalprice, 2) AS price FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_custkey, round(o_totalprice, 2) AS price FROM orders
+    WHERE o_totalprice > 300000.0
+    """,
+)
+def set_union_all(t: Tables) -> DataFrame:
+    """Bag union of two overlapping subsets (duplicates preserved)."""
+    a = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = t.orders.filter(F.col("o_totalprice") > 300000.0)
+    proj = lambda df: df.select("o_custkey", F.round("o_totalprice", 2).alias("price"))
+    return proj(a).unionByName(proj(b))
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT o_custkey, round(o_totalprice, 2) AS price FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_custkey, round(o_totalprice, 2) AS price FROM orders
+    WHERE o_totalprice > 300000.0
+    """,
+)
+def set_union_distinct(t: Tables) -> DataFrame:
+    """Deduplicating union (UNION = UNION ALL + DISTINCT)."""
+    a = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = t.orders.filter(F.col("o_totalprice") > 300000.0)
+    proj = lambda df: df.select("o_custkey", F.round("o_totalprice", 2).alias("price"))
+    return proj(a).unionByName(proj(b)).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(t: Tables) -> DataFrame:
+    """Customers appearing in both status-F and status-O order sets."""
+    f = t.orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = t.orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT user_id AS o_custkey FROM events WHERE event_type = 'error'
+    """,
+)
+def set_except(t: Tables) -> DataFrame:
+    """Buyers minus error-event users (EXCEPT = distinct set semantics,
+    so Spark's subtract(), not exceptAll())."""
+    buyers = t.orders.select("o_custkey")
+    err = t.events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("o_custkey")
+    )
+    return buyers.subtract(err)

@@ -1,0 +1,178 @@
+"""Streaming-style operators over the events table (SURVEY §2.9).
+
+Batch-first: every shape below is expressed so the SAME expression
+compiles under Structured Streaming (`F.window`, `session_window`,
+`dropDuplicates` are mode-agnostic). The thin readStream/writeStream
+wrappers + watermarking live in base_etl_spark/streaming/; tests verify
+micro-batch == batch equivalence.
+
+Alignment note: Spark window() and session_window() align to the Unix
+epoch, as do the oracle's date_trunc / integer-microsecond constructions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
+
+_US_15MIN = 15 * 60 * 1_000_000
+_US_30MIN = 30 * 60 * 1_000_000
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts)  AS window_start,
+           count(*)                AS n_events,
+           round(sum(value), 2)    AS sum_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def stream_tumbling(t: Tables) -> DataFrame:
+    """1-hour tumbling window per event type. Epoch-aligned hourly windows
+    coincide with date_trunc('hour') — that equivalence is the oracle."""
+    return (
+        t.events.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("event_type", F.col("window.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+    WITH slid AS (
+        SELECT event_type, value,
+               make_timestamp((epoch_us(ts) // {_US_15MIN}) * {_US_15MIN}
+                              - k * {_US_15MIN}) AS window_start
+        FROM events, unnest([0, 1, 2, 3]) AS u(k)
+    )
+    SELECT event_type, window_start,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM slid
+    GROUP BY event_type, window_start
+    """,
+)
+def stream_sliding(t: Tables) -> DataFrame:
+    """1-hour window sliding every 15 min: each event lands in exactly 4
+    windows. The oracle materializes the same 4 epoch-aligned starts per
+    event explicitly."""
+    return (
+        t.events.groupBy("event_type", F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("event_type", F.col("window.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) >= {_US_30MIN}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM e
+    )
+    SELECT user_id,
+           min(ts)              AS session_start,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def stream_session(t: Tables) -> DataFrame:
+    """Session windows, 30-min gap, per user. Spark's session extends to
+    last_ts + gap with an EXCLUSIVE end, so an event exactly gap after its
+    predecessor starts a NEW session — hence the >= in the oracle's
+    gaps-and-islands flag (SURVEY §7 step 4 boundary note)."""
+    return (
+        t.events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def stream_dedup(t: Tables) -> DataFrame:
+    """Keep the first event (by ts, then event_id) per (user, type).
+
+    Batch uses an explicit row_number so 'first' is total-ordered and
+    engine-checkable; dropDuplicates() in batch keeps an ARBITRARY row,
+    which is unverifiable. The streaming twin (withWatermark +
+    dropDuplicates) keeps first-by-arrival — see streaming/jobs.py."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        t.events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query("stream_late_data", oracle=None)  # R: watermark is a runtime concept
+def stream_late_data(t: Tables) -> DataFrame:
+    """Watermark semantics, batch-emulated: drop events older than
+    (global max ts - 1 hour), then 15-min tumbling counts. The streaming
+    self-check (tests) asserts micro-batch output ⊆ this batch output."""
+    max_ts = t.events.agg(F.max("ts").alias("max_ts"))
+    kept = t.events.crossJoin(F.broadcast(max_ts)).filter(
+        F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        kept.groupBy(F.window("ts", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id, ts,
+               cast(floor(value * 100.0 + 0.5) AS bigint) AS cents
+        FROM events
+    )
+    SELECT user_id, event_id, ts,
+           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_value
+    FROM c
+    """,
+)
+def stream_stateful(t: Tables) -> DataFrame:
+    """Running per-user cumulative value — the canonical stateful shape.
+    Batch: one ordered window pass (exact integer cents, see windows.py
+    rationale). Streaming: applyInPandasWithState in streaming/jobs.py."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")
+    return t.events.select(
+        "user_id", "event_id", "ts", (F.sum(cents).over(w) / 100.0).alias("cum_value")
+    )

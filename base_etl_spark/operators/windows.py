@@ -1,0 +1,204 @@
+"""Window-function family (SURVEY §2.5).
+
+Frames are ALWAYS explicit: Spark's implicit frame under ORDER BY is
+RANGE UNBOUNDED PRECEDING..CURRENT ROW, which silently diverges from
+other engines on ties — every window below pins its frame and a total
+tie-break order (SURVEY §7 step 3).
+
+Scale note: each window is one shuffle on its partition key + a sort
+within partitions. Keys here (customer, user) are high-cardinality, so
+partitions stay small; a low-cardinality partition key at 100 TB would
+need pre-bucketing or a two-level (salted) rollup instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(t: Tables) -> DataFrame:
+    """Top-3 orders per customer; ties broken by orderkey (total order)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t.orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           rank()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnk,
+           dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drnk
+    FROM lineitem
+    """,
+)
+def win_rank_dense(t: Tables) -> DataFrame:
+    """rank vs dense_rank over heavy ties (50 distinct quantities)."""
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts))  OVER w AS gap_us,
+           lead(epoch_us(ts)) OVER w - epoch_us(ts) AS next_gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(t: Tables) -> DataFrame:
+    """Per-user inter-event gaps in microseconds (lag + lead)."""
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t.events.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        (F.lead(us).over(w) - us).alias("next_gap_us"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               cast(floor(o_totalprice * 100.0 + 0.5) AS bigint) AS cents
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           sum(cents)  OVER w / (100.0 * count(*) OVER w) AS avg_7
+    FROM c
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg(t: Tables) -> DataFrame:
+    """7-row moving average of order totals per customer.
+
+    Computed over exact integer cents: windowed double avg() differs
+    between engines in summation order (DuckDB's segment tree vs Spark's
+    sliding accumulator), which flips ~0.7% of 2dp-rounded values. Integer
+    window sums are exact, and the final double division has identical
+    operands on both sides — bit-exact without any rounding."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w) / (100.0 * F.count(F.lit(1)).over(w))).alias("avg_7"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS day_rev
+        FROM orders GROUP BY o_orderdate
+    )
+    SELECT day, day_rev,
+           round(sum(day_rev) OVER (
+               ORDER BY day
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+    FROM daily
+    """,
+)
+def win_range_frame(t: Tables) -> DataFrame:
+    """Running revenue by date with an explicit RANGE frame over the
+    pre-aggregated daily series (group first => the window input is one
+    row per day, so the cumulative sum is order-deterministic)."""
+    daily = t.orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("day_rev")
+    )
+    w = Window.orderBy("day").rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "day_rev", F.round(F.sum("day_rev").over(w), 2).alias("running_rev")
+    )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_distribution(t: Tables) -> DataFrame:
+    """ntile/percent_rank/cume_dist; ntile is order-sensitive on ties, so
+    the order is made total with the primary key."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return t.customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           date_trunc('day', ts) AS day,
+           first_value(value) OVER w AS first_val,
+           last_value(value)  OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(t: Tables) -> DataFrame:
+    """First/last/second event value per user-day; the unbounded frame is
+    what makes last_value mean 'last of the whole partition'."""
+    day = F.date_trunc("day", F.col("ts"))
+    w = (
+        Window.partitionBy("user_id", day)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t.events.select(
+        "user_id",
+        day.alias("day"),
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    ).distinct()
