@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship star-join query at sf0.001 (smoke).
+queries()     -> every implemented SURVEY §2 operator, one callable each.
+oracle_sql()  -> matching DuckDB SQL per declared key (rows-only keys —
+                 hash-seeded sketches, UDF surface demos — are omitted and
+                 get the driver's weaker rows-only check).
+
+Implementation lives in base_etl_spark/; the registry guarantees a key
+can never exist on one side only (base_etl_spark/registry.py).
 """
 
 from __future__ import annotations
@@ -13,26 +16,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import base_etl_spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q5-shaped star join) on /root/testdata/sf0.001."""
+    # the driver passes its own session; engine configs that matter for
+    # reading the fixtures (nanosAsLong is set by the driver's harness or
+    # build_session in ours) — events isn't touched by the flagship query.
+    qs = base_etl_spark.queries()
+    return qs["join_star_q5"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return base_etl_spark.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return base_etl_spark.oracle_sql()

@@ -23,6 +23,20 @@ from base_etl_spark import schemas
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: runtime-settable SQL confs the loader depends on; applied defensively
+#: so a session built elsewhere (e.g. the driver's harness) works too.
+REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",  # events.ts hard-fails otherwise
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",  # one timestamp type
+    "spark.sql.session.timeZone": "UTC",  # oracle parity
+}
+
+
+def ensure_confs(spark: SparkSession) -> None:
+    for k, v in REQUIRED_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, asserted + canonicalized.
@@ -53,6 +67,7 @@ class Tables:
     _dfs: dict[str, DataFrame] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
+        ensure_confs(self.spark)
         for name in schemas.TABLE_NAMES:
             df = read_table(self.spark, self.sf_dir, name)
             self._dfs[name] = df

@@ -12,3 +12,7 @@ import pkgutil
 for _mod in pkgutil.iter_modules(__path__):
     if not _mod.name.startswith("_"):
         importlib.import_module(f"{__name__}.{_mod.name}")
+
+# engine modules outside operators/ that also declare queries
+importlib.import_module("base_etl_spark.ann")
+importlib.import_module("base_etl_spark.multimodal")

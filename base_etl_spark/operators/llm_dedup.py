@@ -1,0 +1,248 @@
+"""Deduplication operators for LLM training data (SURVEY §2.10).
+
+Four tiers, all pure DataFrame algebra:
+
+- exact:   sha256(text) group-by. One shuffle on the 32-byte digest —
+           THE 100 TB exact-dedup plan (hash first, never shuffle text).
+- jaccard: exact token-set Jaccard >= theta via token inverted index.
+           O(sum_token df^2) — correct but quadratic in collision
+           classes; the small-SF oracle for the approximate tiers.
+- minhash: MinHash signatures + LSH banding -> candidate pairs ->
+           exact-Jaccard verification. The 100 TB near-dup plan: cost is
+           linear in corpus + candidates, never all-pairs. Verified
+           candidates that pass theta are EXACTLY the jaccard tier's
+           pairs whenever banding recall holds (asserted in tests).
+- simhash: 64-bit sign-hash fingerprints + 16-bit band join + hamming
+           distance filter. Hash-function-specific => rows-only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
+
+THETA = 0.6  # Jaccard threshold shared by the exact and MinHash tiers
+_N_HASHES = 32  # MinHash signature length
+_N_BANDS = 8  # 8 bands x 4 rows; P(candidate) = 1-(1-j^4)^8 ~ .97 at j=.6
+_SHINGLE = 3  # words per shingle
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text)  AS content_hash,
+           min(doc_id)   AS keeper_doc_id,
+           count(*)      AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(t: Tables) -> DataFrame:
+    """Exact dedup by content hash, keep the lowest doc_id.
+
+    Spark's sha2(x, 256) and DuckDB's sha256 emit identical lowercase hex.
+    (Non-trivial only at sf0.1+: sf0.01 has zero exact duplicates —
+    FIXTURES.md measured.)"""
+    return (
+        t.documents.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= {THETA}
+"""
+
+
+def _token_jaccard_pairs(t: Tables) -> DataFrame:
+    """Exact token-set Jaccard pairs >= THETA via inverted index."""
+    tok = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("common") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= THETA)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_near_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_near_jaccard(t: Tables) -> DataFrame:
+    """Near-duplicate pairs by exact token-set Jaccard >= 0.6.
+
+    Inverted-index join (never a cross join), but worst case is still
+    quadratic in documents sharing a token — exact Jaccard is the
+    small-scale oracle; dedup_near_minhash is the 100 TB path."""
+    return _token_jaccard_pairs(t)
+
+
+def _shingles(col: str = "text", k: int = _SHINGLE) -> Column:
+    """Contiguous k-word shingles as an array<string> (expression-only)."""
+    toks = F.split(col, " ")
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
+    """(doc_id, sig: array<int>) — sig[i] = min over shingles of a seeded
+    32-bit murmur. One explode + one grouped agg; linear in corpus size."""
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    mins = [
+        F.min(F.hash(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
+    """Band the signature and self-join on (band, band_hash): docs agreeing
+    on any full band become candidates. The join key is a 1-in-2^32 hash —
+    collision classes stay tiny, so the shuffle is by bucket, never all-pairs."""
+    rows_per_band = _N_HASHES // n_bands
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("dedup_near_minhash", oracle=None)  # R: hash-seeded banding
+def dedup_near_minhash(t: Tables) -> DataFrame:
+    """MinHash+LSH near-dup: signatures -> banded candidates -> exact
+    token-Jaccard verification of candidates only.
+
+    100 TB plan: linear scans + shuffles on (shingle-hash) and (band
+    hash); the exact verification touches only candidate pairs. Self-check
+    (tests): result set == dedup_near_jaccard's whenever recall holds."""
+    cands = lsh_candidate_pairs(minhash_signatures(t.documents))
+    exact = _token_jaccard_pairs(t)  # verification is the exact filter
+    return cands.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+@query("dedup_simhash", oracle=None)  # R: murmur-specific fingerprints
+def dedup_simhash(t: Tables) -> DataFrame:
+    """SimHash near-dup: 64-bit sign-aggregated token fingerprints,
+    16-bit band join, hamming distance <= 3.
+
+    Output: (doc_a, doc_b, hamming). Fingerprints depend on Spark's
+    xxhash64 => rows-only; tests pin the fingerprint algebra instead."""
+    fp = simhash_fingerprints(t.documents)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= 3)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), ham.alias("hamming"))
+        .distinct()
+    )
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash int64): per token a 64-bit hash votes +1/-1 on
+    each bit position; the sign of each bit-sum becomes the bit."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = F.xxhash64("w")
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{bit}")
+        for bit in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    simhash = reduce(
+        lambda acc, bit: acc.bitwiseOR(
+            F.when(F.col(f"b{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+                F.lit(0).cast("long")
+            )
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", simhash.alias("simhash"))

@@ -1,0 +1,252 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §2.10).
+
+All pure DataFrame algebra: tokenize with split/explode, join for document
+frequencies, closed-form scores. No Python in the row path — at 100 TB
+these run as scan -> explode -> partial/final hash agg chains whose only
+shuffles are on (token) or (doc_id).
+
+Determinism: scores are built from integer counts and exact ratios; only
+ln() (libm) needs a 6dp round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
+
+# tiny English stopword list used by langid / quality scoring; keep in
+# sync with the SQL literal below
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@query(
+    "text_wordcount",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+        SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token
+    )
+    SELECT lang, token, n, rn FROM (
+        SELECT lang, token, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
+        FROM counts
+    ) WHERE rn <= 10
+    """,
+)
+def text_wordcount(t: Tables) -> DataFrame:
+    """Top-10 terms per language (tokenize -> count -> windowed top-k)."""
+    counts = (
+        t.documents.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n  AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def text_tfidf(t: Tables) -> DataFrame:
+    """TF-IDF per (doc, term); smoothed idf = ln((N+1)/(df+1)) + 1
+    (the sklearn smoothing formula, public knowledge). The df side and
+    the N scalar are broadcast — the big side streams through one shuffle
+    on (doc_id, term)."""
+    tok = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*)                                          AS n_docs,
+           round(avg(n_chars), 2)                            AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 2)       AS avg_tokens,
+           min(n_chars)                                      AS min_chars,
+           max(n_chars)                                      AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(t: Tables) -> DataFrame:
+    """Per (lang, source) document profile."""
+    return t.documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 2).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL})) AS n_stop,
+               len(string_split(text, ' '))                                     AS n_tok
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           round(n_stop * 1.0 / n_tok, 6)                     AS stop_ratio,
+           CASE WHEN n_stop * 1.0 / n_tok >= 0.05 THEN 'en'
+                ELSE 'other' END                              AS pred_lang
+    FROM s
+    """,
+)
+def text_langid(t: Tables) -> DataFrame:
+    """Stopword-ratio language heuristic (n-gram-free lang-ID baseline).
+    A production detector swaps the predicate for a char-n-gram profile
+    score; the Spark shape (filter over token array, pure expression)
+    stays identical."""
+    toks = F.split("text", " ")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    n_tok = F.size(toks)
+    ratio = n_stop * F.lit(1.0) / n_tok
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' '))  AS n_tok,
+               n_chars,
+               len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL})) AS n_stop,
+               len(list_filter(string_split(text, ' '), w -> len(w) >= 8))      AS n_long,
+               len(regexp_extract_all(text, '[0-9]'))                           AS n_digit
+        FROM documents
+    )
+    SELECT doc_id, n_tok,
+           round((n_chars - n_tok + 1.0) / n_tok, 6)   AS avg_word_len,
+           round(n_stop * 1.0 / n_tok, 6)              AS stop_ratio,
+           round(n_digit * 1.0 / n_chars, 6)           AS digit_ratio,
+           round(least(n_tok / 50.0, 1.0) * 0.4
+                 + least(n_stop * 1.0 / n_tok / 0.1, 1.0) * 0.3
+                 + (1.0 - n_digit * 1.0 / n_chars) * 0.2
+                 + least(n_long * 1.0 / n_tok / 0.2, 1.0) * 0.1, 6) AS quality
+    FROM s
+    """,
+)
+def text_quality(t: Tables) -> DataFrame:
+    """Heuristic document-quality score: length, stopword ratio, digit
+    ratio, long-word ratio, combined with fixed weights (the C4/Gopher
+    rule-based filtering family, public knowledge). All ratios are exact
+    integer divisions -> cross-engine deterministic."""
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    n_long = F.size(F.filter(toks, lambda w: F.length(w) >= 8))
+    n_digit = F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
+    n_chars = F.col("n_chars")
+    avg_word_len = (n_chars - n_tok + 1.0) / n_tok  # spaces = n_tok - 1
+    stop_ratio = n_stop * F.lit(1.0) / n_tok
+    digit_ratio = n_digit * F.lit(1.0) / n_chars
+    long_ratio = n_long * F.lit(1.0) / n_tok
+    quality = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio / 0.1, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - digit_ratio) * 0.2
+        + F.least(long_ratio / 0.2, F.lit(1.0)) * 0.1
+    )
+    return t.documents.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@query(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                              AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+           n_chars                                                   AS chars
+    FROM documents
+    """,
+)
+def text_tokens(t: Tables) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex (letter
+    runs | digit runs | single other). The regex count approximates a
+    subword tokenizer's pre-tokenization pass."""
+    return t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "re_tokens"
+        ),
+        F.col("n_chars").alias("chars"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    terms AS (
+        SELECT doc_id,
+               generate_subscripts(toks, 1) AS i,
+               unnest(toks)                 AS w
+        FROM tok
+    )
+    SELECT doc_id,
+           sum(i * (length(w) * 131 + ascii(w))) % 1000000007 AS fingerprint
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_fingerprint(t: Tables) -> DataFrame:
+    """Position-weighted polynomial document fingerprint (rolling-hash
+    style, engine-neutral integer arithmetic — unlike murmur/xxhash the
+    same value is computable in ANSI SQL). Bounded: pos<1k, term<3k =>
+    sum < 2^42, no overflow before the final mod."""
+    toks = t.documents.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    term = (F.col("pos") + 1) * (F.length("w") * 131 + F.ascii("w"))
+    return toks.groupBy("doc_id").agg(
+        (F.sum(term) % F.lit(1000000007)).alias("fingerprint")
+    )

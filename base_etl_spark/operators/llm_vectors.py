@@ -1,0 +1,229 @@
+"""Vector / embedding operators (SURVEY §2.10): similarity search,
+cluster statistics, multimodal joins, embedding-space near-dup.
+
+Expression strategy: dot products and norms are built-in higher-order
+functions (zip_with + aggregate) evaluated JVM-side in codegen — floats
+are widened to double elementwise, so the arithmetic is IEEE-identical
+to the DuckDB oracle's list_* functions up to summation order (absorbed
+by a 6dp round).
+
+Scale paths:
+- sim_topk is brute-force (probe x corpus). Fine when probes are small;
+  the 100 TB path is sim_topk_blocked (Arrow-batched matmul kernel over
+  mapInPandas, base_etl_spark/ann.py) and sim_topk_ivf (cluster-pruned).
+- dedup_embedding is all-pairs at small SF; at scale the same predicate
+  runs over LSH buckets exactly like dedup_near_minhash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
+from base_etl_spark.schemas import EMBEDDING_DIM
+
+TOP_K = 5
+N_PROBES = 10  # probe set: vec_id < 10 (deterministic, self-derived)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-accumulated dot product of two float arrays (codegen expr)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@query(
+    "sim_topk",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
+        WHERE vec_id < {N_PROBES}
+    ),
+    scored AS (
+        SELECT probe_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(p_emb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM probes CROSS JOIN embeddings e
+        WHERE e.vec_id <> probe_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk(t: Tables) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the 10-vector probe set.
+    The probe side broadcasts; the corpus streams once. Ties pinned by
+    neighbor_id; similarity rounded to 6dp BEFORE ranking so the rank
+    itself is cross-engine deterministic."""
+    probes = F.broadcast(
+        t.embeddings.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+        )
+    )
+    scored = (
+        probes.crossJoin(t.embeddings.select("vec_id", "embedding"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("p_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+
+
+def _centroid_cols() -> list[Column]:
+    return [F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}") for i in range(EMBEDDING_DIM)]
+
+
+_CENTROID_NORM_SQL = " + ".join(
+    f"avg(embedding[{i + 1}]) * avg(embedding[{i + 1}])" for i in range(EMBEDDING_DIM)
+)
+
+
+@query(
+    "sim_cluster_stats",
+    oracle=f"""
+    SELECT label,
+           count(*)                                        AS n_vectors,
+           round(sqrt({_CENTROID_NORM_SQL}), 6)            AS centroid_norm,
+           round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6)
+                                                           AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def sim_cluster_stats(t: Tables) -> DataFrame:
+    """Per-label centroid norm + mean vector norm. The centroid is 64
+    independent avg() aggregates (fixed dim) — one hash-agg pass, no
+    explode, no UDF."""
+    agg = t.embeddings.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(norm(F.col("embedding"))), 6).alias("avg_norm"),
+        *_centroid_cols(),
+    )
+    sq = sum((F.col(f"c{i}") * F.col(f"c{i}") for i in range(1, EMBEDDING_DIM)),
+             F.col("c0") * F.col("c0"))
+    return agg.select(
+        "label", "n_vectors", F.round(F.sqrt(sq), 6).alias("centroid_norm"), "avg_norm"
+    )
+
+
+@query(
+    "multimodal_join",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars,
+           len(embedding)                                        AS dim,
+           round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+                                                                 AS vec_norm,
+           label
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    """,
+)
+def multimodal_join(t: Tables) -> DataFrame:
+    """Text metadata + vector stats in one row (doc_id = vec_id)."""
+    return (
+        t.documents.join(t.embeddings, t.documents.doc_id == t.embeddings.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.size("embedding").alias("dim"),
+            F.round(norm(F.col("embedding")), 6).alias("vec_norm"),
+            "label",
+        )
+    )
+
+
+@query(
+    "dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    """,
+)
+def dedup_embedding(t: Tables) -> DataFrame:
+    """Embedding-space near-duplicates: cosine >= 0.35 pairs (the fixture
+    embeddings are near-orthogonal — max pairwise cosine 0.51 measured —
+    so 0.35 marks the 'suspiciously similar' tail; a real dedup corpus
+    would use ~0.95+).
+
+    Vectors are L2-normalized ONCE per row, so each pair costs a single
+    dot product. All-pairs is the small-SF oracle; at 100 TB the
+    identical predicate runs inside LSH buckets (random-hyperplane signs
+    reuse the simhash banding machinery) so candidates, not the corpus,
+    get compared."""
+    n = t.embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nn")
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("nn")).alias("nemb"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.nemb"), F.col("b.nemb"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+@query("sim_topk_ivf", oracle=None)  # R: pruned search ~ recall-bound
+def sim_topk_ivf(t: Tables) -> DataFrame:
+    """IVF-style ANN: coarse quantize to per-label centroids, search only
+    the nprobe=3 closest clusters per probe.
+
+    100 TB path: the centroid table is tiny and broadcast; the corpus is
+    scanned once with a cluster-membership filter — cost scales with
+    corpus/nlist * nprobe instead of corpus. Self-check (tests): recall
+    vs brute-force sim_topk."""
+    cents = (
+        t.embeddings.groupBy("label")
+        .agg(*_centroid_cols())
+        .select("label", F.array(*[F.col(f"c{i}") for i in range(EMBEDDING_DIM)]).alias("centroid"))
+    )
+    probes = t.embeddings.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    # rank clusters per probe, keep nprobe closest
+    pc = probes.crossJoin(F.broadcast(cents)).select(
+        "probe_id", "p_emb", "label", cosine(F.col("p_emb"), F.col("centroid")).alias("c_sim")
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    shortlist = pc.withColumn("crn", F.row_number().over(wc)).filter(F.col("crn") <= 3).select(
+        "probe_id", "p_emb", "label"
+    )
+    scored = (
+        shortlist.join(t.embeddings, "label")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("p_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)

@@ -49,7 +49,7 @@ def stream_tumbling(t: Tables) -> DataFrame:
     WITH slid AS (
         SELECT event_type, value,
                make_timestamp((epoch_us(ts) // {_US_15MIN}) * {_US_15MIN}
-                              - k * {_US_15MIN}) AS window_start
+                              - cast(k AS bigint) * {_US_15MIN}) AS window_start
         FROM events, unnest([0, 1, 2, 3]) AS u(k)
     )
     SELECT event_type, window_start,

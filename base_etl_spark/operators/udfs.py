@@ -1,0 +1,123 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2.11).
+
+The engine's position: UDFs are the slow path — every declared operator
+elsewhere is built-in expressions. This module demonstrates each
+extension point with the idiomatic tiering:
+
+- scalar Python UDF (row-at-a-time)      — exists, discouraged
+- pandas UDF (Arrow-vectorized)          — the acceptable Python path
+- applyInPandas grouped map (UDAF)       — custom per-group aggregation
+- built-in-expression twin of the UDAF   — the declared, oracle-checked
+  variant (udaf_entropy): when the semantics ARE expressible, prefer
+  expressions and keep the pandas version as a tested equivalent.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType, LongType
+
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
+
+
+@query(
+    "udaf_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, sum(n) AS total FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           round(-sum((n * 1.0 / total) * ln(n * 1.0 / total)), 6) AS entropy
+    FROM c JOIN tot ON c.user_id = tot.user_id
+    GROUP BY c.user_id
+    """,
+)
+def udaf_entropy(t: Tables) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — a custom
+    aggregate expressed as two built-in hash aggs (counts -> -sum(p ln p)).
+    udaf_entropy_pandas computes the same thing via applyInPandas; tests
+    assert they agree."""
+    c = t.events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") * F.lit(1.0) / F.col("total")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+
+
+_ENTROPY_SCHEMA = StructType(
+    [StructField("user_id", LongType()), StructField("entropy", DoubleType())]
+)
+
+
+def _entropy_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    counts = pdf.groupby("event_type").size()
+    p = counts / counts.sum()
+    h = float(-(p * p.map(math.log)).sum())
+    return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "entropy": [round(h, 6)]})
+
+
+@query("udaf_entropy_pandas", oracle=None)  # R: pandas twin, self-checked
+def udaf_entropy_pandas(t: Tables) -> DataFrame:
+    """The same entropy as a grouped-map UDAF (applyInPandas): each user's
+    rows arrive as one pandas DataFrame over Arrow. Declared rows-only;
+    tests assert equality with udaf_entropy."""
+    return (
+        t.events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandas(_entropy_pdf, schema=_ENTROPY_SCHEMA)
+    )
+
+
+@F.pandas_udf(DoubleType())
+def _norm01(v: pd.Series) -> pd.Series:
+    # deterministic per-batch-independent normalizer: value -> [0, 1]
+    # against the fixture domain (0.01 .. 490.02); pure elementwise.
+    return ((v - 0.01) / (490.02 - 0.01)).round(6)
+
+
+@query("udf_pandas", oracle=None)  # R: vectorized UDF surface
+def udf_pandas(t: Tables) -> DataFrame:
+    """Arrow-vectorized pandas UDF (series -> series). The same formula is
+    also computed as a built-in expression; tests assert bit-equality —
+    the demo is the ~10-100x cheaper Python boundary, not new semantics."""
+    return t.events.select(
+        "event_id",
+        _norm01(F.col("value")).alias("value_norm"),
+        F.round((F.col("value") - 0.01) / (490.02 - 0.01), 6).alias("value_norm_builtin"),
+    )
+
+
+@query("udf_scalar", oracle=None)  # R: row-at-a-time UDF surface
+def udf_scalar(t: Tables) -> DataFrame:
+    """Row-at-a-time Python UDF — the discouraged path, present for
+    surface completeness. Pickles every row across the Python boundary;
+    anything hot must use built-ins or pandas UDFs instead."""
+
+    @F.udf(DoubleType())
+    def clip100(v: float) -> float:
+        return float(min(v, 100.0))
+
+    return t.events.select("event_id", clip100(F.col("value")).alias("value_clipped"))
+
+
+@query("udtf_explode", oracle=None)  # R: table-function surface
+def udtf_explode(t: Tables) -> DataFrame:
+    """1-row -> N-rows table function via a generator expression
+    (posexplode of a computed array) — the built-in UDTF form. The
+    Python @udtf API adds nothing for expressible transforms and costs
+    the interpreter boundary."""
+    return t.documents.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")),
+    ).toDF("doc_id", "pos", "token")

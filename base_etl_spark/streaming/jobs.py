@@ -1,0 +1,128 @@
+"""Structured Streaming jobs over the events table.
+
+The batch operators in operators/streaming_ops.py are written with
+mode-agnostic expressions (window / session_window / dropDuplicates);
+this module provides the readStream source, watermarking, the stateful
+applyInPandasWithState cumsum, and a memory-sink test runner. Tests
+assert micro-batch == batch equivalence (SURVEY §5.6).
+
+At scale the source becomes Kafka/files-on-object-store with the same
+schema; watermark delay bounds state size — without it the windowed agg
+state grows unboundedly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from base_etl_spark.io import ensure_confs
+from base_etl_spark.schemas import EVENTS_RAW
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (explicit RAW schema, then
+    the same ns->us canonicalization as the batch loader)."""
+    ensure_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of stream_tumbling: watermarked 1h tumbling counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("event_type", F.col("window.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup by (user_id, event_type): keeps first-by-arrival
+    within the watermark horizon (state is GC'd past it)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["user_id", "event_type"])
+
+
+_CUMSUM_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("cum_value", DoubleType()),
+    ]
+)
+_CUMSUM_STATE = StructType([StructField("cents", LongType())])
+
+
+def _cumsum_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user sum in exact integer cents (matches the batch
+    stream_stateful operator bit-for-bit)."""
+    (cents,) = state.get if state.exists else (0,)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        add = (pdf["value"] * 100.0 + 0.5).apply(int)  # noqa: arrow keeps float64 exact here
+        run = add.cumsum() + cents
+        cents = int(run.iloc[-1]) if len(run) else cents
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ts": pdf["ts"],
+                "cum_value": run / 100.0,
+            }
+        )
+    state.update((cents,))
+
+
+def streaming_cumsum(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running value. State = one bigint per user; rows stream through in
+    Arrow batches."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cumsum_fn,
+            outputStructType=_CUMSUM_OUT,
+            stateStructType=_CUMSUM_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append", **_: Any
+) -> DataFrame:
+    """Drain a stream with availableNow into a memory sink; returns the
+    materialized result (test harness — production uses parquet/kafka
+    sinks with checkpointing)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,68 @@
+"""Headline benchmark: runs the representative queries from BASELINE.md
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query runs twice; the reported number is the warm run (matching
+BASELINE.md's 'PySpark warm' column, which is the bench gate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# bench key -> registry key (BASELINE.md shapes + LLM headliners)
+HEADLINE = {
+    "q1": "agg_pricing",
+    "q3": "topk_orders",
+    "q5": "join_star_q5",
+    "window_rank": "win_topk_per_group",
+    "events_hourly": "stream_tumbling",
+    "docs_tokens": "text_stats",
+    "dedup_exact": "dedup_exact",
+    "json_extract": "json_extract",
+    "sim_topk": "sim_topk",
+    "dedup_minhash": "dedup_near_minhash",
+}
+
+
+def main() -> None:
+    from base_etl_spark import build_session, queries
+
+    spark = build_session("bench")
+    qs = queries()
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    times: dict[str, float] = {}
+    for name, key in HEADLINE.items():
+        fn = qs[key]
+        best = float("inf")
+        for _ in range(2):  # cold + warm; report warm
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+        print(f"# {name} ({key}): {times[name]}s, {n} rows", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_warm_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
