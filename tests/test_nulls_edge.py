@@ -1,0 +1,111 @@
+"""Null-semantics and edge cases the fixtures cannot cover — the
+synthetic tables contain NO NULLs anywhere (FIXTURES.md, measured), so
+this layer carries the null-handling weight (SURVEY §5.4 / risk 5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType(), True),
+        StructField("grp", StringType(), True),
+        StructField("v", DoubleType(), True),
+    ]
+)
+
+ROWS = [
+    (1, "a", 1.0),
+    (2, "a", None),
+    (3, None, 3.0),
+    (4, "b", None),
+    (5, None, None),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_agg_null_semantics(spark):
+    df = _df(spark)
+    r = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_v"),  # count(col) skips NULLs
+        F.sum("v").alias("sum_v"),
+        F.avg("v").alias("avg_v"),  # avg over non-null only
+        F.countDistinct("grp").alias("n_grp"),  # NULL not a distinct value
+    ).collect()[0]
+    assert (r.n_rows, r.n_v, r.sum_v, r.avg_v, r.n_grp) == (5, 2, 4.0, 2.0, 2)
+
+
+def test_groupby_null_key_is_a_group(spark):
+    got = {r.grp: r.n for r in _df(spark).groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": 2, "b": 1, None: 2}
+
+
+def test_outer_join_null_fill_and_null_keys_dont_match(spark):
+    left = _df(spark).select("k", "grp")
+    right = _df(spark).select(F.col("grp").alias("grp2"), F.col("v").alias("rv"))
+    j = left.join(right, left.grp == right.grp2, "left")
+    # NULL keys never equi-match (not even each other)
+    null_rows = j.filter(F.col("k").isin(3, 5)).collect()
+    assert all(r.rv is None and r.grp2 is None for r in null_rows)
+
+
+def test_null_safe_equality(spark):
+    df = _df(spark)
+    n = df.alias("a").join(df.alias("b"), F.col("a.grp").eqNullSafe(F.col("b.grp"))).count()
+    # groups: a(2)+b(1)+null(2) -> 4 + 1 + 4 = 9 pairs with <=> semantics
+    assert n == 9
+
+
+def test_sort_nulls_first_last(spark):
+    df = _df(spark)
+    first = [r.grp for r in df.orderBy(F.col("grp").asc_nulls_first(), "k").collect()]
+    last = [r.grp for r in df.orderBy(F.col("grp").asc_nulls_last(), "k").collect()]
+    assert first[:2] == [None, None] and last[-2:] == [None, None]
+
+
+def test_window_over_single_row_partition(spark):
+    df = _df(spark)
+    w = Window.partitionBy("k").orderBy("v").rowsBetween(-6, 0)
+    out = df.select("k", F.avg("v").over(w).alias("m")).collect()
+    assert len(out) == 5  # no crash; NULL v -> NULL avg
+    got = {r.k: r.m for r in out}
+    assert got[1] == 1.0 and got[2] is None
+
+
+def test_topk_ties_are_pinned(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 10.0), (4, 5.0)], ["id", "score"]
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    top2 = [r.id for r in df.withColumn("rn", F.row_number().over(w)).filter("rn <= 2").collect()]
+    assert top2 == [1, 2]  # deterministic under ties
+
+
+def test_empty_group_filter_yields_empty_frame(spark, tables):
+    out = tables.lineitem.filter(F.col("l_quantity") > 1e9).groupBy("l_returnflag").count()
+    assert out.count() == 0
+
+
+def test_set_ops_null_rows(spark):
+    a = _df(spark).select("grp")
+    inter = a.intersect(a.filter(F.col("grp").isNull()))
+    # INTERSECT treats NULL = NULL (distinct set semantics)
+    assert [r.grp for r in inter.collect()] == [None]
+
+
+def test_explode_empty_array(spark):
+    df = spark.createDataFrame([(1, []), (2, ["x"])], ["id", "arr"])
+    assert df.select(F.explode("arr")).count() == 1  # empty arrays vanish
+    assert df.select(F.explode_outer("arr")).count() == 2  # _outer keeps them

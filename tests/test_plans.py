@@ -1,0 +1,71 @@
+"""Plan-shape assertions (SURVEY §4/§5.5): verify we don't silently
+defeat Catalyst. These read explain() output, not results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from base_etl_spark import queries
+from tests.conftest import SF_TEST
+
+_QS = queries()
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet(tables):
+    df = tables.lineitem.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)" in plan
+
+
+def test_column_pruning(tables):
+    df = tables.lineitem.select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # the scan must read exactly the projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(_QS["join_star_q5"](spark, SF_TEST))
+    # every dim side broadcasts; at sf0.001 even orders fits under the
+    # threshold so ALL joins may be broadcast — the requirement is that
+    # nothing degenerates to a cartesian/nested-loop product
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bcast_join_no_fact_shuffle(spark):
+    plan = _plan(_QS["join_inner_bcast"](spark, SF_TEST))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(_QS["topk_orders"](spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_partial_final_agg(spark):
+    plan = _plan(_QS["agg_pricing"](spark, SF_TEST))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_no_cartesian_in_theta_range(spark):
+    plan = _plan(_QS["join_theta_range"](spark, SF_TEST))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_hot_path(spark):
+    # AQE's formatted plan hides codegen spans pre-execution; ask the
+    # codegen explain mode directly
+    df = _QS["agg_pricing"](spark, SF_TEST)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in plan

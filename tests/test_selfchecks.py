@@ -1,0 +1,77 @@
+"""Self-checks for rows-only (R) keys (SURVEY §5.6): approximate vs
+exact, pandas kernels vs built-in expressions, LSH recall vs the exact
+tier."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from base_etl_spark import queries
+from tests.conftest import SF_TEST
+
+_QS = queries()
+
+
+def _rows(spark, key):
+    return {tuple(r) for r in _QS[key](spark, SF_TEST).collect()}
+
+
+def test_approx_distinct_within_5pct(spark):
+    exact = {
+        r.event_type: r.n_users for r in _QS["agg_count_distinct"](spark, SF_TEST).collect()
+    }
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in _QS["agg_approx_distinct"](spark, SF_TEST).collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, n, approx[et])
+
+
+def test_minhash_equals_exact_jaccard(spark):
+    """Banding (8x4 @ theta=.6 -> ~97% recall/pair) finds every exact pair
+    on this corpus; verification guarantees precision == 1."""
+    exact = _rows(spark, "dedup_near_jaccard")
+    mh = _rows(spark, "dedup_near_minhash")
+    assert mh <= exact  # verification: no false positives, ever
+    assert len(mh) >= 0.9 * len(exact), (len(mh), len(exact))
+
+
+def test_blocked_topk_equals_expression_topk(spark):
+    assert _rows(spark, "sim_topk_blocked") == _rows(spark, "sim_topk")
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    brute = {(r.probe_id, r.neighbor_id) for r in _QS["sim_topk"](spark, SF_TEST).collect()}
+    ivf = {(r.probe_id, r.neighbor_id) for r in _QS["sim_topk_ivf"](spark, SF_TEST).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, recall  # pruned search: bounded, not exact
+
+
+def test_pandas_udf_matches_builtin(spark):
+    bad = (
+        _QS["udf_pandas"](spark, SF_TEST)
+        .filter(F.col("value_norm") != F.col("value_norm_builtin"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_entropy_pandas_matches_expression(spark):
+    assert _rows(spark, "udaf_entropy_pandas") == _rows(spark, "udaf_entropy")
+
+
+def test_simhash_near_dup_is_symmetric_sane(spark):
+    df = _QS["dedup_simhash"](spark, SF_TEST)
+    rows = df.collect()
+    assert all(r.doc_a < r.doc_b and r.hamming <= 3 for r in rows)
+
+
+def test_late_data_subset_of_all_windows(spark):
+    late = {r.window_start for r in _QS["stream_late_data"](spark, SF_TEST).collect()}
+    # every surviving window is near the max ts (watermark horizon)
+    from base_etl_spark import load_tables
+
+    t = load_tables(spark, SF_TEST)
+    max_ts = t.events.agg(F.max("ts")).collect()[0][0]
+    assert late and all((max_ts - w).total_seconds() <= 3600 + 900 for w in late)

@@ -1,0 +1,58 @@
+"""Structured Streaming equivalence (SURVEY §2.9 R-rows): micro-batch
+results must match the batch-first operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from base_etl_spark import load_tables, queries
+from base_etl_spark import streaming as st
+from tests.conftest import SF_TEST
+
+_QS = queries()
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return st.read_events_stream(spark, SF_TEST)
+
+
+def test_streaming_tumbling_equals_batch(spark, events_stream):
+    got = st.run_to_memory(
+        st.streaming_tumbling(events_stream), "t_tumble", output_mode="complete"
+    )
+    batch = _QS["stream_tumbling"](spark, SF_TEST)
+    s = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+
+
+def test_streaming_dedup_keys_match_batch(spark, events_stream):
+    got = st.run_to_memory(st.streaming_dedup(events_stream), "t_dedup")
+    skeys = {(r.user_id, r.event_type) for r in got.collect()}
+    bkeys = {
+        (r.user_id, r.event_type) for r in _QS["stream_dedup"](spark, SF_TEST).collect()
+    }
+    assert skeys == bkeys  # same key set; kept row may differ (arrival order)
+
+
+def test_streaming_cumsum_final_totals_match_batch(spark, events_stream):
+    got = st.run_to_memory(st.streaming_cumsum(events_stream), "t_cumsum")
+    # per-user max cumulative == batch per-user total
+    s = {
+        r.user_id: r.m
+        for r in got.groupBy("user_id").agg(F.max("cum_value").alias("m")).collect()
+    }
+    batch = _QS["stream_stateful"](spark, SF_TEST)
+    b = {
+        r.user_id: r.m
+        for r in batch.groupBy("user_id").agg(F.max("cum_value").alias("m")).collect()
+    }
+    assert s == b
+
+
+def test_watermark_in_plan(events_stream):
+    df = st.streaming_tumbling(events_stream)
+    assert "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()

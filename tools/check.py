@@ -11,39 +11,13 @@ Usage: python tools/check.py [key ...] [--sf /root/testdata/sf0.01]
 from __future__ import annotations
 
 import argparse
-import datetime as dt
-import math
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def normalize(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == 0.0:
-            return 0.0  # collapse -0.0
-        return v
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, dt.date):
-        return dt.datetime(v.year, v.month, v.day).isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(normalize(x) for x in v)
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, bool):
-        return int(v)
-    return v
-
-
-def rows_to_multiset(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(normalize(r[i]) for i in idx) for r in rows]
-    return sorted(out, key=repr)
+from base_etl_spark.compare import compare_results  # noqa: E402
 
 
 def main() -> int:
@@ -95,16 +69,7 @@ def main() -> int:
             print(f"FAIL  {k}: duckdb error: {e}")
             n_fail += 1
             continue
-        problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if not problems:
-            sm, dm = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
-            if sm != dm:
-                diffs = [(a, b) for a, b in zip(sm, dm) if a != b]
-                problems.append(f"{len(diffs)} value diffs; first: {diffs[0] if diffs else '?'}")
+        problems = compare_results(scols, srows, dcols, drows)
         if problems:
             print(f"FAIL  {k}: " + " | ".join(problems))
             if args.verbose:
