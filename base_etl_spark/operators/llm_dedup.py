@@ -27,6 +27,20 @@ from base_etl_spark.io import Tables
 from base_etl_spark.registry import query
 
 THETA = 0.6  # Jaccard threshold shared by the exact and MinHash tiers
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Re-spread the corpus across the cluster before a heavy expansion.
+
+    The fixture corpus arrives as one small parquet file = ONE input
+    partition; exploding shingles/tokens and running 32-64 aggregate
+    expressions on a single task serializes the whole operator (measured:
+    the minhash signature stage ran 1-task). A shuffle of the tiny
+    pre-explosion rows is orders of magnitude cheaper than single-threading
+    the expansion. At 100 TB inputs are already many-partitioned and this
+    repartition coalesces nothing — it keys by doc_id, which also
+    co-locates each doc's shingles for the signature agg."""
+    return docs.repartition(F.col("doc_id"))
 _N_HASHES = 32  # MinHash signature length
 _N_BANDS = 8  # 8 bands x 4 rows; P(candidate) = 1-(1-j^4)^8 ~ .97 at j=.6
 _SHINGLE = 3  # words per shingle
@@ -75,7 +89,7 @@ _JACCARD_ORACLE = f"""
 
 def _token_jaccard_pairs(t: Tables) -> DataFrame:
     """Exact token-set Jaccard pairs >= THETA via inverted index."""
-    tok = t.documents.select(
+    tok = _spread(t.documents).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -120,9 +134,11 @@ def _shingles(col: str = "text", k: int = _SHINGLE) -> Column:
 def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     """(doc_id, sig: array<int>) — sig[i] = min over shingles of a seeded
     32-bit murmur. One explode + one grouped agg; linear in corpus size."""
-    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sh = _spread(docs).select("doc_id", F.explode(_shingles()).alias("shingle"))
+    # seeded hash family via multi-arg xxhash64(seed, shingle): no per-row
+    # string concatenation, one 64-bit mix per (row, seed)
     mins = [
-        F.min(F.hash(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
@@ -143,14 +159,8 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
                         ).alias("bh"),
                     )
                     for b in range(n_bands)
@@ -174,14 +184,41 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
 @query("dedup_near_minhash", oracle=None)  # R: hash-seeded banding
 def dedup_near_minhash(t: Tables) -> DataFrame:
     """MinHash+LSH near-dup: signatures -> banded candidates -> exact
-    token-Jaccard verification of candidates only.
+    token-Jaccard verification of CANDIDATES ONLY.
 
     100 TB plan: linear scans + shuffles on (shingle-hash) and (band
-    hash); the exact verification touches only candidate pairs. Self-check
-    (tests): result set == dedup_near_jaccard's whenever recall holds."""
-    cands = lsh_candidate_pairs(minhash_signatures(t.documents))
-    exact = _token_jaccard_pairs(t)  # verification is the exact filter
-    return cands.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    hash); verification cost is candidates x tokens, never the all-pairs
+    join (which is quadratic in token collision classes and already
+    dominates at sf0.1). Self-check (tests): result set ==
+    dedup_near_jaccard's whenever banding recall holds."""
+    # signatures feed both sides of the banding self-join and the band
+    # explode; candidates feed two verification joins. Persist both (5k /
+    # ~300 rows here; at scale the signature table is the natural
+    # checkpoint artifact) so the explode+32-agg lineage runs ONCE —
+    # without this, recomputation made the operator ~4x slower (measured).
+    sigs = minhash_signatures(t.documents).persist()
+    cands = lsh_candidate_pairs(sigs).persist()
+    tok = _spread(t.documents).select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "w")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "w")
+    common = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("common") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= THETA)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 @query("dedup_simhash", oracle=None)  # R: murmur-specific fingerprints
@@ -227,7 +264,7 @@ def dedup_simhash(t: Tables) -> DataFrame:
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash int64): per token a 64-bit hash votes +1/-1 on
     each bit position; the sign of each bit-sum becomes the bit."""
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tok = _spread(docs).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     h = F.xxhash64("w")
     votes = [
         F.sum(

@@ -55,6 +55,12 @@ def build_session(
         # dims (region/nation/customer/supplier/part) stay broadcastable
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # split even single-file inputs into >= one task per core: the
+        # fixture tables are one small file each, and a 1-task scan
+        # serializes every downstream pipeline until the first shuffle.
+        # (On a real cluster the 128 MB maxPartitionBytes default governs;
+        # minPartitionNum only matters when files < cores.)
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
