@@ -232,3 +232,41 @@ def agg_pivot_casewhen(t: Tables) -> DataFrame:
 def agg_distinct_rows(t: Tables) -> DataFrame:
     """SELECT DISTINCT == group-by-all-columns (partial agg applies)."""
     return t.lineitem.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           round(min(o_totalprice), 2)                 AS lo,
+           round(max(o_totalprice), 2)                 AS hi
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(t: Tables) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont: both linearly interpolate at p*(n-1)). Exact
+    percentiles sort per group — fine for bounded groups; unbounded
+    cardinalities use agg_approx_quantile instead."""
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@query("agg_approx_quantile", oracle=None)  # R: sketch-based, engine-specific
+def agg_approx_quantile(t: Tables) -> DataFrame:
+    """approx_percentile via the KLL/GK sketch — constant memory per
+    group, THE quantile operator at 100 TB (exact percentile must sort).
+    Self-check (tests): within 2% relative error of the exact p50/p90."""
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
+    )

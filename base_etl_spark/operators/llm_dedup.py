@@ -4,9 +4,12 @@ Four tiers, all pure DataFrame algebra:
 
 - exact:   sha256(text) group-by. One shuffle on the 32-byte digest —
            THE 100 TB exact-dedup plan (hash first, never shuffle text).
-- jaccard: exact token-set Jaccard >= theta via token inverted index.
-           O(sum_token df^2) — correct but quadratic in collision
-           classes; the small-SF oracle for the approximate tiers.
+- jaccard: exact 3-word-shingle-set Jaccard >= theta via inverted index.
+           O(sum_shingle df^2) — shingle document frequency is ~1 except
+           among true near-dups, so this stays near-linear; the small-SF
+           oracle for the approximate tiers. (Raw TOKEN sets are useless
+           on a tiny-vocabulary corpus: nearly all pairs share most
+           tokens — measured 73k of 125k pairs >= 0.6.)
 - minhash: MinHash signatures + LSH banding -> candidate pairs ->
            exact-Jaccard verification. The 100 TB near-dup plan: cost is
            linear in corpus + candidates, never all-pairs. Verified
@@ -69,13 +72,21 @@ def dedup_exact(t: Tables) -> DataFrame:
 
 
 _JACCARD_ORACLE = f"""
-    WITH tok AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    WITH t AS (
+        SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w || ' ' || lead(w) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    sh2 AS (SELECT doc_id, s FROM sh WHERE s IS NOT NULL),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -87,19 +98,16 @@ _JACCARD_ORACLE = f"""
 """
 
 
-def _token_jaccard_pairs(t: Tables) -> DataFrame:
-    """Exact token-set Jaccard pairs >= THETA via inverted index."""
-    tok = _spread(t.documents).select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+def _shingle_sets(t: Tables) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs, re-spread for parallelism."""
+    return _spread(t.documents).select(
+        "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
     )
+
+
+def _jaccard_from_sets(tok: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Attach set sizes to common-counts and filter by THETA."""
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("common") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("common"))
@@ -111,24 +119,48 @@ def _token_jaccard_pairs(t: Tables) -> DataFrame:
     )
 
 
+def _shingle_jaccard_pairs(t: Tables) -> DataFrame:
+    """Exact 3-word-shingle-set Jaccard pairs >= THETA via inverted index.
+
+    Shingles (unlike raw tokens on this tiny-vocabulary corpus, where
+    almost every doc pair shares most tokens) are discriminative: a
+    shingle's document frequency is ~1 except for true near-dups, so the
+    inverted-index self-join stays near-linear."""
+    tok = _shingle_sets(t)
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return _jaccard_from_sets(tok, pairs)
+
+
 @query("dedup_near_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_near_jaccard(t: Tables) -> DataFrame:
-    """Near-duplicate pairs by exact token-set Jaccard >= 0.6.
+    """Near-duplicate pairs by exact 3-word-shingle Jaccard >= 0.6.
 
-    Inverted-index join (never a cross join), but worst case is still
-    quadratic in documents sharing a token — exact Jaccard is the
-    small-scale oracle; dedup_near_minhash is the 100 TB path."""
-    return _token_jaccard_pairs(t)
+    Exact all-pairs-with-overlap is the small-scale oracle;
+    dedup_near_minhash is the 100 TB path (banding bounds candidates
+    even when shingle collisions are common)."""
+    return _shingle_jaccard_pairs(t)
 
 
 def _shingles(col: str = "text", k: int = _SHINGLE) -> Column:
-    """Contiguous k-word shingles as an array<string> (expression-only)."""
+    """Contiguous k-word shingles as an array<string> (expression-only).
+
+    Docs with fewer than k tokens yield an EMPTY array (not partial
+    shingles) — pinned to match the oracle's lead()-window construction,
+    which drops incomplete windows."""
     toks = F.split(col, " ")
-    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
@@ -184,7 +216,7 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
 @query("dedup_near_minhash", oracle=None)  # R: hash-seeded banding
 def dedup_near_minhash(t: Tables) -> DataFrame:
     """MinHash+LSH near-dup: signatures -> banded candidates -> exact
-    token-Jaccard verification of CANDIDATES ONLY.
+    shingle-Jaccard verification of CANDIDATES ONLY.
 
     100 TB plan: linear scans + shuffles on (shingle-hash) and (band
     hash); verification cost is candidates x tokens, never the all-pairs
@@ -198,27 +230,16 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
     # without this, recomputation made the operator ~4x slower (measured).
     sigs = minhash_signatures(t.documents).persist()
     cands = lsh_candidate_pairs(sigs).persist()
-    tok = _spread(t.documents).select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "w")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "w")
+    tok = _shingle_sets(t)
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "s")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "s")
     common = (
         cands.join(ta, "doc_a")
-        .join(tb, ["doc_b", "w"])
+        .join(tb, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("common") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= THETA)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return _jaccard_from_sets(tok, common)
 
 
 @query("dedup_simhash", oracle=None)  # R: murmur-specific fingerprints

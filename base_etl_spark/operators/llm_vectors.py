@@ -194,12 +194,16 @@ def dedup_embedding(t: Tables) -> DataFrame:
 @query("sim_topk_ivf", oracle=None)  # R: pruned search ~ recall-bound
 def sim_topk_ivf(t: Tables) -> DataFrame:
     """IVF-style ANN: coarse quantize to per-label centroids, search only
-    the nprobe=3 closest clusters per probe.
+    the nprobe=5 closest clusters per probe.
 
     100 TB path: the centroid table is tiny and broadcast; the corpus is
     scanned once with a cluster-membership filter — cost scales with
     corpus/nlist * nprobe instead of corpus. Self-check (tests): recall
-    vs brute-force sim_topk."""
+    vs brute-force sim_topk. NOTE the fixture embeddings are
+    near-orthogonal random vectors (same-label mean cosine 0.0016,
+    measured), so recall here reflects the data's lack of cluster
+    structure, not the operator: with nprobe/nlist = 1/2 expect ~50%.
+    On genuinely clustered data recall approaches 1 at small nprobe."""
     cents = (
         t.embeddings.groupBy("label")
         .agg(*_centroid_cols())
@@ -213,7 +217,7 @@ def sim_topk_ivf(t: Tables) -> DataFrame:
         "probe_id", "p_emb", "label", cosine(F.col("p_emb"), F.col("centroid")).alias("c_sim")
     )
     wc = Window.partitionBy("probe_id").orderBy(F.desc("c_sim"), F.asc("label"))
-    shortlist = pc.withColumn("crn", F.row_number().over(wc)).filter(F.col("crn") <= 3).select(
+    shortlist = pc.withColumn("crn", F.row_number().over(wc)).filter(F.col("crn") <= 5).select(
         "probe_id", "p_emb", "label"
     )
     scored = (

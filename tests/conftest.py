@@ -18,10 +18,15 @@ TABLES = [
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from base_etl_spark import build_session
 
-    s = build_session("tests", shuffle_partitions=8)
+    # warehouse.dir is a STATIC conf — must be set at session build (the
+    # bucketed-table test writes managed tables)
+    wh = str(tmp_path_factory.mktemp("spark_warehouse"))
+    s = build_session(
+        "tests", shuffle_partitions=8, extra_conf={"spark.sql.warehouse.dir": wh}
+    )
     yield s
 
 

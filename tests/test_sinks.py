@@ -51,17 +51,23 @@ def test_jdbc_writer_builds_without_db(tables):
 
 
 def test_bucketed_table_joins_without_exchange(spark, tables, tmp_path):
-    spark.conf.set("spark.sql.warehouse.dir", str(tmp_path / "wh"))
+    # warehouse dir is set (session-scoped, static conf) in conftest
     sinks.write_bucketed(
         tables.orders.select("o_orderkey", "o_totalprice"), "orders_b", "o_orderkey", 4
     )
     sinks.write_bucketed(
         tables.lineitem.select("l_orderkey", "l_quantity"), "lineitem_b", "l_orderkey", 4
     )
-    j = spark.table("orders_b").join(
-        spark.table("lineitem_b"), F.col("o_orderkey") == F.col("l_orderkey")
-    )
-    plan = j._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # bucketing co-located the join
+    # force a non-broadcast join so the bucketed layout is what saves the
+    # shuffle (with broadcast there is nothing for bucketing to save)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_b").join(
+            spark.table("lineitem_b"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucketing co-located the join
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
