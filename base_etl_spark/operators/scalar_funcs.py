@@ -318,3 +318,42 @@ def json_extract(t: Tables) -> DataFrame:
         F.round(F.avg(k), 6).alias("avg_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "str_fuzzy",
+    oracle="""
+    SELECT p_partkey, p_name,
+           levenshtein(p_name, 'red widget') AS dist
+    FROM part
+    WHERE levenshtein(p_name, 'red widget') <= 5
+    """,
+)
+def str_fuzzy(t: Tables) -> DataFrame:
+    """Fuzzy matching by edit distance (ETL record-linkage staple).
+    Identical DP algorithm in both engines -> exact integer parity."""
+    d = F.levenshtein(F.col("p_name"), F.lit("red widget"))
+    return t.part.select("p_partkey", "p_name", d.alias("dist")).filter(d <= 5)
+
+
+@query(
+    "join_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > 1.10 * (SELECT avg(c2.c_acctbal) FROM customer c2
+                              WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def join_scalar_subquery(t: Tables) -> DataFrame:
+    """Correlated scalar subquery via the SQL entry point: Catalyst's
+    RewriteCorrelatedScalarSubquery decorrelates it into an aggregate +
+    join — the declarative form costs nothing vs hand-writing the join."""
+    return t.spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > 1.10 * (SELECT avg(c2.c_acctbal) FROM customer c2
+                                  WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )

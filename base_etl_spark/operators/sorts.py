@@ -155,3 +155,27 @@ def set_except(t: Tables) -> DataFrame:
         F.col("user_id").alias("o_custkey")
     )
     return buyers.subtract(err)
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def agg_unpivot(t: Tables) -> DataFrame:
+    """Unpivot (melt): wide measures -> long (measure, value) rows — the
+    inverse of agg_pivot_casewhen. Spark's native unpivot is a generator
+    (no shuffle); the oracle spells it as UNION ALL for dialect safety."""
+    return t.lineitem.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
