@@ -97,3 +97,22 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> Tables:
         for name in schemas.TABLE_NAMES:
             _CACHE[key]._dfs[name].createOrReplaceTempView(name)
     return _CACHE[key]
+
+
+def events_between(spark: SparkSession, sf_dir: str, start_us: int, end_us: int) -> DataFrame:
+    """Event-time range scan with parquet pushdown intact.
+
+    The canonical loader converts ts ns->us with an expression, which
+    hides ts from parquet predicate pushdown — filtering the converted
+    column scans every row group. This helper pushes the equivalent
+    RAW-nanosecond bounds below the conversion so the reader skips row
+    groups by min/max stats: the difference between scanning a day and
+    scanning a year at 100 TB.
+
+    Bounds are microseconds since epoch, [start_us, end_us).
+    """
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    pushed = raw.filter(
+        (F.col("ts") >= F.lit(start_us * 1000)) & (F.col("ts") < F.lit(end_us * 1000))
+    )
+    return pushed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -16,3 +16,4 @@ for _mod in pkgutil.iter_modules(__path__):
 # engine modules outside operators/ that also declare queries
 importlib.import_module("base_etl_spark.ann")
 importlib.import_module("base_etl_spark.multimodal")
+importlib.import_module("base_etl_spark.profiling")

@@ -1,0 +1,80 @@
+"""Table profiling — the daily-ETL data-quality staple: one pass over a
+table produces per-column stats (count, nulls, distincts, min/max).
+
+Implementation: a single wide aggregate (2 exprs per column ≈ one
+scan, one reduce) rather than per-column jobs; the per-column rows are
+unpivoted from the single aggregate row, so profiling a 100-column table
+at 100 TB still costs exactly one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_str, max_str) per column.
+
+    min/max are stringified so heterogeneous column types fit one result
+    schema (profiles are for humans/monitors, not joins). Exact distincts;
+    swap count_distinct for approx_count_distinct on very wide tables.
+    """
+    columns = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        row.select(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_nulls_{c}").alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_str"),
+            F.col(f"_max_{c}").alias("max_str"),
+        )
+        for c in columns
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "etl_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           min(cast(o_orderkey AS varchar)) AS min_str,
+           max(cast(o_orderkey AS varchar)) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderstatus),
+           min(cast(o_orderstatus AS varchar)), max(cast(o_orderstatus AS varchar))
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderpriority),
+           min(cast(o_orderpriority AS varchar)), max(cast(o_orderpriority AS varchar))
+    FROM orders
+    """,
+)
+def etl_profile(t: Tables) -> DataFrame:
+    """Single-pass profile of three orders columns (string-typed min/max;
+    doubles excluded from the declared slice to keep the oracle's
+    cast-to-string formatting engine-neutral)."""
+    return profile(t.orders, ["o_orderkey", "o_orderstatus", "o_orderpriority"])

@@ -6,6 +6,7 @@ from base_etl_spark.streaming.jobs import (
     run_to_memory,
     streaming_cumsum,
     streaming_dedup,
+    streaming_enrich,
     streaming_tumbling,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "run_to_memory",
     "streaming_cumsum",
     "streaming_dedup",
+    "streaming_enrich",
     "streaming_tumbling",
 ]

@@ -126,3 +126,13 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def streaming_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a batch dimension.
+    The static side is re-planned per micro-batch (picking up dim
+    updates); with a broadcastable dim this is shuffle-free per batch —
+    the standard streaming enrichment pattern at any scale."""
+    return events.join(F.broadcast(dim), events.user_id == dim.c_custkey, "left").select(
+        "event_id", "user_id", "event_type", "ts", "value", "c_mktsegment"
+    )

@@ -69,3 +69,21 @@ def test_whole_stage_codegen_hot_path(spark):
         df._jdf.queryExecution(), "codegen"
     )
     assert "WholeStageCodegen" in plan
+
+
+def test_events_range_scan_pushes_raw_ns_bounds(spark):
+    from base_etl_spark.io import events_between
+
+    df = events_between(spark, SF_TEST, 1704067200000000, 1704153600000000)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,1704067200000000000)" in plan
+
+
+def test_events_converted_ts_filter_not_pushed(tables):
+    # documents WHY events_between exists: filtering the converted column
+    # leaves the parquet reader unfiltered
+    from pyspark.sql import functions as F
+
+    df = tables.events.filter(F.col("ts") >= "2024-01-02")
+    plan = _plan(df)
+    assert "GreaterThanOrEqual(ts," not in plan

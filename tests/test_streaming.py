@@ -56,3 +56,13 @@ def test_streaming_cumsum_final_totals_match_batch(spark, events_stream):
 def test_watermark_in_plan(events_stream):
     df = st.streaming_tumbling(events_stream)
     assert "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_stream_static_enrich(spark, events_stream, tables):
+    got = st.run_to_memory(
+        st.streaming_enrich(events_stream, tables.customer), "t_enrich"
+    )
+    n = got.count()
+    assert n == tables.events.count()  # left join preserves the stream
+    # users that exist as customers got a segment
+    assert got.filter(F.col("c_mktsegment").isNotNull()).count() > 0
