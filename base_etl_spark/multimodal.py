@@ -128,3 +128,52 @@ def mm_binary_features(t: Tables) -> DataFrame:
         F.sha2("text", 256).alias("payload_sha"),
         F.substring("text", 1, 4).alias("head_chars"),
     )
+
+
+def resize_image_stub(payload: bytes, width: int = 32, height: int = 32) -> bytes:
+    """STUB resize — a real build calls PIL/libvips and returns re-encoded
+    bytes; the fake deterministically re-buckets the payload to
+    width*height bytes so downstream batch shapes are realistic."""
+    if payload is None:
+        raise NotImplementedError("real codec not available in this environment")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    idx = (np.arange(width * height) * max(len(arr), 1) // (width * height)) % max(len(arr), 1)
+    return arr[idx].tobytes()
+
+
+def sample_frames_stub(payload: bytes, n_frames: int = 4) -> list[bytes]:
+    """STUB video frame sampler — evenly spaced 'frames' (byte slices).
+    A real build hands payload to ffmpeg/pyav and returns encoded frames;
+    the per-frame downstream plumbing (explode to one row per frame) is
+    identical."""
+    if payload is None:
+        raise NotImplementedError("real codec not available in this environment")
+    n = max(len(payload) // n_frames, 1)
+    return [payload[i * n : (i + 1) * n] for i in range(n_frames)]
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """1 asset -> n_frames rows via mapInPandas (Arrow batches in, long
+    table out) — the video pre-processing shape: decode once per asset,
+    emit per-frame rows for downstream featurization."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_no": [], "frame": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for i, fr in enumerate(sample_frames_stub(payload, n_frames)):
+                    out["asset_id"].append(aid)
+                    out["frame_no"].append(i)
+                    out["frame"].append(fr)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=_FRAME_SCHEMA)

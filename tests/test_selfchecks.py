@@ -82,3 +82,24 @@ def test_late_data_subset_of_all_windows(spark):
     t = load_tables(spark, SF_TEST)
     max_ts = t.events.agg(F.max("ts")).collect()[0][0]
     assert late and all((max_ts - w).total_seconds() <= 3600 + 900 for w in late)
+
+
+def test_multimodal_pipeline_plumbing(spark):
+    """Binary payload -> (stub) decode/resize/frame-sample over Arrow
+    batches: shapes and determinism, independent of any real codec."""
+    from base_etl_spark import load_tables, multimodal as mm
+
+    t = load_tables(spark, SF_TEST)
+    assets = mm.with_binary_payload(t.documents)
+    feats = mm.extract_features(assets)
+    row = feats.orderBy("asset_id").first()
+    assert len(row.features) == 8 and row.n_bytes > 0
+    # deterministic: same asset -> same features on recompute
+    again = mm.extract_features(assets).orderBy("asset_id").first()
+    assert row.features == again.features
+    frames = mm.sample_frames(assets, n_frames=4)
+    per = frames.groupBy("asset_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per] == [4]
+    # stub resize produces fixed-size payloads
+    rb = mm.resize_image_stub(b"0123456789abcdef", 8, 8)
+    assert len(rb) == 64
