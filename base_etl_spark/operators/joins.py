@@ -298,3 +298,67 @@ def join_star_q5(t: Tables) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+
+
+_US_1H = 3600 * 1_000_000
+
+
+@query(
+    "join_range_bucketized",
+    oracle="""
+    SELECT p.event_id AS probe_id,
+           count(c.event_id)                       AS n_clicks,
+           round(coalesce(sum(c.value), 0.0), 2)   AS click_value
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def join_range_bucketized(t: Tables) -> DataFrame:
+    """Range join via time bucketing: clicks within 1 hour before each
+    purchase, per user.
+
+    A naive range join on (user, ts-range) degenerates to per-user
+    cartesian work; bucketing the time axis to the range width turns it
+    into an EQUI join on (user, hour-bucket) — each probe checks exactly
+    two buckets, so the shuffle is hash-partitioned and skew-safe, and
+    cost is O(matches), not O(pairs). The same rewrite is the standard
+    100 TB plan for any bounded-range temporal join (the as-of trick's
+    sibling; DuckDB's IEJoin oracle checks the semantics exactly)."""
+    ev = t.events
+    bucket = (F.unix_micros(F.col("ts")) / F.lit(_US_1H)).cast("long")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("probe_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.explode(F.array(bucket - 1, bucket)).alias("bucket"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.col("event_id").alias("c_id"),
+        bucket.alias("c_bucket"),
+    )
+    matched = (
+        p.join(c, (F.col("p_user") == F.col("c_user")) & (F.col("bucket") == F.col("c_bucket")))
+        .filter(
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+        )
+        .groupBy("probe_id")
+        .agg(F.count("c_id").alias("n_clicks"), F.sum("c_value").alias("_sum"))
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("probe_id")
+    )
+    return probes.join(matched, "probe_id", "left").select(
+        "probe_id",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.round(F.coalesce("_sum", F.lit(0.0)), 2).alias("click_value"),
+    )
