@@ -236,7 +236,8 @@ def text_tokens(t: Tables) -> DataFrame:
         FROM tok
     )
     SELECT doc_id,
-           sum(i * (length(w) * 131 + ascii(w))) % 1000000007 AS fingerprint
+           CAST(sum(i * (length(w) * 131 + ascii(w))) % 1000000007 AS BIGINT)
+               AS fingerprint
     FROM terms GROUP BY doc_id
     """,
 )

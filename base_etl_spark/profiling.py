@@ -54,20 +54,21 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     "etl_profile",
     oracle="""
     SELECT 'o_orderkey' AS column, count(*) AS n_rows,
-           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
            count(DISTINCT o_orderkey) AS n_distinct,
            min(cast(o_orderkey AS varchar)) AS min_str,
            max(cast(o_orderkey AS varchar)) AS max_str
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', count(*),
-           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_orderstatus),
            min(cast(o_orderstatus AS varchar)), max(cast(o_orderstatus AS varchar))
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority', count(*),
-           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_orderpriority),
            min(cast(o_orderpriority AS varchar)), max(cast(o_orderpriority AS varchar))
     FROM orders
