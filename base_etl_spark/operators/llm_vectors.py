@@ -17,6 +17,8 @@ Scale paths:
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -152,6 +154,135 @@ def multimodal_join(t: Tables) -> DataFrame:
     )
 
 
+def _normalized(emb: DataFrame) -> DataFrame:
+    """(vec_id, nemb): L2-normalized double vectors, re-spread across the
+    cluster first (the fixture arrives as ONE parquet file = one input
+    partition; the 48-hyperplane projection below would otherwise run on
+    a single task — same lesson as llm_dedup._spread)."""
+    return (
+        emb.repartition(F.col("vec_id"))
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nn"))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") / F.col("nn")).alias("nemb"),
+        )
+    )
+
+
+def _hyperplanes(n_bits: int, dim: int, seed: int = 20260813) -> list[list[float]]:
+    """Deterministic Rademacher (+-1) hyperplanes for signed random
+    projection. Python's seeded Mersenne Twister is platform-stable, so
+    signatures are reproducible across runs and engines."""
+    rng = random.Random(seed)
+    return [[float(rng.choice((-1.0, 1.0))) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def srp_banded(
+    vecs: DataFrame, n_bands: int, rows_per_band: int, seed: int = 20260813
+) -> DataFrame:
+    """(vec_id, band, bh): signed-random-projection LSH bucket keys.
+
+    bit_j = sign(<nemb, h_j>) for Rademacher hyperplane h_j; rows_per_band
+    consecutive bits pack into one band key. Two vectors at angle theta
+    agree on a bit with p = 1 - theta/pi, so P(shared band) =
+    1-(1-p^r)^b — the same banding amplification as MinHash LSH
+    (llm_dedup.lsh_candidate_pairs), applied to cosine space. All
+    expression-only: n_bits aggregates over the 64-dim array per row, one
+    projection, no shuffle."""
+    n_bits = n_bands * rows_per_band
+    planes = _hyperplanes(n_bits, EMBEDDING_DIM, seed)
+    bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("nemb"),
+                    F.array(*[F.lit(v) for v in planes[j]]),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0
+        ).cast("int")
+        for j in range(n_bits)
+    ]
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(
+                (bits[b * rows_per_band + r] * (1 << r) for r in range(1, rows_per_band)),
+                bits[b * rows_per_band],
+            ).alias("bh"),
+        )
+        for b in range(n_bands)
+    ]
+    return vecs.select("vec_id", "nemb", F.explode(F.array(*bands)).alias("bb")).select(
+        "vec_id", "nemb", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
+def dedup_embedding_pairs(
+    emb: DataFrame,
+    theta: float,
+    n_bands: int,
+    rows_per_band: int,
+    seed: int = 20260813,
+) -> DataFrame:
+    """Cosine >= theta pairs via SRP-LSH buckets: band join -> distinct
+    candidates -> exact cosine verification of CANDIDATES ONLY.
+
+    The 100 TB shape: linear scans, shuffles keyed by (band, bucket) and
+    by vec_id — never an all-pairs nested-loop join. Parameterization is
+    the operator's recall dial: P(candidate) = 1-(1-p^r)^b with
+    p = 1 - arccos(cos_sim)/pi. Production near-dup thresholds
+    (theta ~ 0.95 => p ~ 0.9) want r=6..8, b=4..8; low thresholds need
+    wide-and-shallow banding (r=2, b=24 gives per-pair miss ~1e-5 at
+    theta=0.35). Skew note: at low theta the bucket classes are large
+    (2-bit keys => 4 buckets/band) — acceptable because the verify join
+    is keyed by vec_id, not bucket; at production theta the 6-8-bit keys
+    fragment buckets and candidates collapse to true near-dups."""
+    n = _normalized(emb)
+    banded = srp_banded(n.select("vec_id", "nemb"), n_bands, rows_per_band, seed)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    na = n.select(F.col("vec_id").alias("vec_a"), F.col("nemb").alias("na"))
+    nb = n.select(F.col("vec_id").alias("vec_b"), F.col("nemb").alias("nb"))
+    cos = dot(F.col("na"), F.col("nb"))
+    return (
+        cands.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .filter(cos >= theta)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+def dedup_embedding_allpairs(emb: DataFrame, theta: float) -> DataFrame:
+    """All-pairs triangle join — the small-SF oracle tier for
+    dedup_embedding_pairs (tests assert the bucketed path equals this).
+    O(n^2): never run at scale; BroadcastNestedLoopJoin by construction."""
+    n = _normalized(emb)
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.nemb"), F.col("b.nemb"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= theta)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
 @query(
     "dedup_embedding",
     oracle="""
@@ -167,28 +298,15 @@ def dedup_embedding(t: Tables) -> DataFrame:
     so 0.35 marks the 'suspiciously similar' tail; a real dedup corpus
     would use ~0.95+).
 
-    Vectors are L2-normalized ONCE per row, so each pair costs a single
-    dot product. All-pairs is the small-SF oracle; at 100 TB the
-    identical predicate runs inside LSH buckets (random-hyperplane signs
-    reuse the simhash banding machinery) so candidates, not the corpus,
-    get compared."""
-    n = t.embeddings.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nn")
-    ).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / F.col("nn")).alias("nemb"),
-    )
-    a, b = n.alias("a"), n.alias("b")
-    cos = dot(F.col("a.nemb"), F.col("b.nemb"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos >= 0.35)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cos_sim"),
-        )
-    )
+    Implementation is the SRP-LSH bucketed path (dedup_embedding_pairs):
+    candidates from 24 bands x 2 bits, exact cosine verify of candidates
+    only — no nested-loop join anywhere in the plan (plan-asserted in
+    tests). The oracle stays the all-pairs SQL: at theta=0.35 the r=2/b=24
+    banding has per-pair miss probability ~1.2e-5 and measured recall 1.0
+    on the fixtures (deterministic seed), so the bucketed result is
+    exactly the all-pairs result; tests also assert equality vs
+    dedup_embedding_allpairs including on planted high-cosine data."""
+    return dedup_embedding_pairs(t.embeddings, theta=0.35, n_bands=24, rows_per_band=2)
 
 
 @query("sim_topk_ivf", oracle=None)  # R: pruned search ~ recall-bound

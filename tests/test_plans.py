@@ -87,3 +87,11 @@ def test_events_converted_ts_filter_not_pushed(tables):
     df = tables.events.filter(F.col("ts") >= "2024-01-02")
     plan = _plan(df)
     assert "GreaterThanOrEqual(ts," not in plan
+
+
+def test_dedup_embedding_no_nested_loop(spark):
+    """The scale-path guarantee: SRP-LSH candidates join on (band, bh),
+    so the plan must not contain an all-pairs nested-loop or cartesian."""
+    plan = _plan(_QS["dedup_embedding"](spark, SF_TEST))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -103,3 +103,48 @@ def test_multimodal_pipeline_plumbing(spark):
     # stub resize produces fixed-size payloads
     rb = mm.resize_image_stub(b"0123456789abcdef", 8, 8)
     assert len(rb) == 64
+
+
+def test_dedup_embedding_lsh_equals_allpairs_fixture(spark):
+    """The declared dedup_embedding key runs the SRP-LSH bucketed path;
+    its driver oracle is the all-pairs SQL — so bucketed MUST equal
+    all-pairs exactly on the fixture (r=2/b=24 banding: per-pair miss
+    ~1.2e-5 at theta=.35; deterministic seed => stable)."""
+    from base_etl_spark import load_tables
+    from base_etl_spark.operators.llm_vectors import dedup_embedding_allpairs
+
+    t = load_tables(spark, SF_TEST)
+    lsh = _rows(spark, "dedup_embedding")
+    ap = {tuple(r) for r in dedup_embedding_allpairs(t.embeddings, 0.35).collect()}
+    assert lsh == ap
+    assert len(lsh) > 0
+
+
+def test_dedup_embedding_lsh_planted_high_cosine(spark):
+    """Production-shaped check: planted near-duplicate vectors at
+    theta=0.95 with the narrow-band parameterization (r=6, b=8) — the
+    regime LSH is actually for. Bucketed == all-pairs, non-empty."""
+    import random
+
+    from base_etl_spark.operators.llm_vectors import (
+        dedup_embedding_allpairs,
+        dedup_embedding_pairs,
+    )
+
+    rng = random.Random(7)
+    dim = 64
+    rows = []
+    base_vecs = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        base_vecs.append(v)
+        rows.append((i, [float(x) for x in v]))
+    # plant a near-dup of every 4th base vector: tiny perturbation
+    for j, i in enumerate(range(0, 40, 4)):
+        v = [x + rng.gauss(0, 0.02) for x in base_vecs[i]]
+        rows.append((100 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    lsh = {tuple(r) for r in dedup_embedding_pairs(emb, 0.95, n_bands=8, rows_per_band=6).collect()}
+    ap = {tuple(r) for r in dedup_embedding_allpairs(emb, 0.95).collect()}
+    assert lsh == ap
+    assert len(ap) >= 8  # the planted pairs are found
