@@ -56,17 +56,42 @@ def topk_orders(t: Tables) -> DataFrame:
 )
 def sort_multikey(t: Tables) -> DataFrame:
     """Multi-key sort with explicit nulls ordering; the rn column encodes
-    the sort so the order-insensitive hash still verifies it."""
-    order = [
+    the sort so the order-insensitive hash still verifies it.
+
+    Two-phase global rank (the 100 TB plan — a naive
+    Window.orderBy(*order) with no partitionBy funnels the whole table
+    through ONE task): sort keys 2-4 are functions of the leading key
+    c_mktsegment or reside below it, so (1) rank locally within each
+    segment (hash-distributed window), (2) broadcast the per-segment
+    cumulative counts ordered by the segment-level keys, (3) global rn =
+    segment offset + local rn. The only single-partition work is the
+    5-row offsets table."""
+    seg_order = [
         F.col("c_mktsegment").desc(),
+        # constant within a segment — exercises nulls-first ordering only
         F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).asc_nulls_first(),
-        F.col("c_acctbal").asc(),
-        F.col("c_custkey").asc(),
     ]
+    local_w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    counts = t.customer.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_seg"))
+    off_w = (
+        Window.orderBy(*seg_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "c_mktsegment", F.coalesce(F.sum("n_seg").over(off_w), F.lit(0)).alias("seg_off")
+    )
     return (
-        t.customer.orderBy(*order)
-        .withColumn("rn", F.row_number().over(Window.orderBy(*order)))
-        .select("c_custkey", "c_acctbal", "c_mktsegment", "rn")
+        t.customer.withColumn("local_rn", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            "c_mktsegment",
+            (F.col("seg_off") + F.col("local_rn")).cast("int").alias("rn"),
+        )
+        .orderBy("rn")
     )
 
 

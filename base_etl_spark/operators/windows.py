@@ -161,14 +161,47 @@ def win_range_frame(t: Tables) -> DataFrame:
 )
 def win_distribution(t: Tables) -> DataFrame:
     """ntile/percent_rank/cume_dist; ntile is order-sensitive on ties, so
-    the order is made total with the primary key."""
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return t.customer.select(
-        "c_custkey",
-        "c_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    the order is made total with the primary key.
+
+    Two-phase global rank (the 100 TB plan — a bare Window.orderBy moves
+    the ENTIRE table through one task): (1) bucket rows by static acctbal
+    ranges (width_bucket over the known TPC-H domain — no sampling pass),
+    (2) row_number within each bucket (hash-distributed window), (3) add
+    broadcast cumulative bucket-count offsets -> global rn. Because the
+    order is total (c_custkey breaks all ties), every distribution
+    function is a closed form of (rn, n): percent_rank = (rn-1)/(n-1),
+    cume_dist = rn/n, and ntile(4) follows the SQL-standard first-(n%4)-
+    tiles-get-one-extra rule. Only the tiny bucket-offsets table is ever
+    single-partition."""
+    bucket = F.width_bucket(F.col("c_acctbal"), F.lit(-1000.0), F.lit(10000.0), F.lit(32))
+    local_w = Window.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
+    base = t.customer.withColumn("bucket", bucket)
+    counts = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    off_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n_b").over(off_w), F.lit(0)).alias("b_off")
+    )
+    total = t.customer.agg(F.count(F.lit(1)).alias("n_total"))
+    rn = F.col("b_off") + F.col("local_rn")
+    n = F.col("n_total")
+    # SQL-standard ntile: q = n//4, r = n%4; first r tiles hold q+1 rows
+    q, r = F.floor(n / 4), n % 4
+    quartile = (
+        F.when(rn <= r * (q + 1), F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - r * (q + 1) - 1) / q) + 1)
+        .cast("int")
+    )
+    return (
+        base.withColumn("local_rn", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            quartile.alias("quartile"),
+            F.round((rn - 1) / (n - 1), 6).alias("pct_rank"),
+            F.round(rn / n, 6).alias("cdist"),
+        )
     )
 
 

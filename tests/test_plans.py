@@ -95,3 +95,15 @@ def test_dedup_embedding_no_nested_loop(spark):
     plan = _plan(_QS["dedup_embedding"](spark, SF_TEST))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_two_phase_rank_is_distributed(spark):
+    """sort_multikey / win_distribution: the rank window over the base
+    table must run under a hash-partitioned exchange (round-1 versions
+    funneled the whole table through Exchange SinglePartition; after the
+    two-phase rewrite the only single-partition work is the few-row
+    bucket-offsets branch)."""
+    plan = _plan(_QS["sort_multikey"](spark, SF_TEST))
+    assert "hashpartitioning(c_mktsegment" in plan
+    plan = _plan(_QS["win_distribution"](spark, SF_TEST))
+    assert "hashpartitioning(bucket" in plan
