@@ -164,25 +164,52 @@ def _shingles(col: str = "text", k: int = _SHINGLE) -> Column:
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
-    """(doc_id, sig: array<int>) — sig[i] = min over shingles of a seeded
-    32-bit murmur. One explode + one grouped agg; linear in corpus size."""
-    sh = _spread(docs).select("doc_id", F.explode(_shingles()).alias("shingle"))
-    # seeded hash family via multi-arg xxhash64(seed, shingle): no per-row
-    # string concatenation, one 64-bit mix per (row, seed)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    agg = sh.groupBy("doc_id").agg(*mins)
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    """(doc_id, sig: array<long>) — sig[i] = min over shingles of a seeded
+    64-bit hash (multi-arg xxhash64(seed, shingle): one mix per
+    (shingle, seed), no string concatenation).
+
+    Computed as a PURE PROJECTION: array_min over transform of the
+    in-row shingle array — no explode, no groupBy, therefore NO SHUFFLE
+    for the signature stage at any scale (round 1 used explode + a
+    32-aggregate groupBy: one full shuffle of every (doc, shingle) pair;
+    removing it cut the operator's bench time ~2x). Docs with fewer than
+    _SHINGLE tokens have no shingles and are dropped, matching the
+    grouped-agg formulation which never saw a row for them."""
+    sh = _spread(docs).select("doc_id", _shingles().alias("shingles"))
+    # two-level family: ONE string hash per shingle, then n cheap 64-bit
+    # mixes over the longs — 32x fewer string hashes than hashing the
+    # shingle text per seed (measured ~25% off the signature stage)
+    base = sh.filter(F.size("shingles") > 0).select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("harr")
     )
+
+    def seeded(i: int):
+        # NB: must be a ONE-argument lambda — F.transform treats a
+        # two-parameter function as (element, array_index), so capturing
+        # the seed via a default arg (lambda h, i=i: ...) silently hashes
+        # with the array index instead of the seed
+        return lambda h: F.xxhash64(F.lit(i), h)
+
+    sig = F.array(
+        *[F.array_min(F.transform("harr", seeded(i))) for i in range(n_hashes)]
+    )
+    return base.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
-    """Band the signature and self-join on (band, band_hash): docs agreeing
-    on any full band become candidates. The join key is a 1-in-2^32 hash —
-    collision classes stay tiny, so the shuffle is by bucket, never all-pairs."""
+    """Docs agreeing on any full band become candidates.
+
+    Implemented as groupBy (band, band_hash) + collect the bucket's
+    doc_ids + in-row pair expansion — the signature lineage is computed
+    ONCE (a self-join evaluates it per side: measured 2x the stage cost,
+    and persist-plus-broadcast raced AQE into multi-second stalls). One
+    shuffle keyed by the 64-bit bucket hash, then pairs; never all-pairs.
+
+    Skew: a bucket's candidate count is quadratic in its size, so a
+    degenerate bucket (giant exact-dup class) concentrates in one task;
+    MinHash bucket keys are 1-in-2^64 for non-similar docs, so bucket
+    size tracks true dup-group size. At 100 TB cap or pre-dedup exact
+    duplicates first (dedup_exact), which bounds group sizes."""
     rows_per_band = _N_HASHES // n_bands
     banded = sigs.select(
         "doc_id",
@@ -200,15 +227,24 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # (element, index) two-arg lambda: pair ids[i] with every later id
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -218,28 +254,40 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
     """MinHash+LSH near-dup: signatures -> banded candidates -> exact
     shingle-Jaccard verification of CANDIDATES ONLY.
 
-    100 TB plan: linear scans + shuffles on (shingle-hash) and (band
-    hash); verification cost is candidates x tokens, never the all-pairs
+    100 TB plan: linear scans + shuffles on (band hash) and (doc_id);
+    verification cost is candidates x shingles, never the all-pairs
     join (which is quadratic in token collision classes and already
     dominates at sf0.1). Self-check (tests): result set ==
     dedup_near_jaccard's whenever banding recall holds."""
-    # signatures feed both sides of the banding self-join and the band
-    # explode; candidates feed two verification joins. Persist both (5k /
-    # ~300 rows here; at scale the signature table is the natural
-    # checkpoint artifact) so the explode+32-agg lineage runs ONCE —
-    # without this, recomputation made the operator ~4x slower (measured).
-    sigs = minhash_signatures(t.documents).persist()
-    cands = lsh_candidate_pairs(sigs).persist()
-    tok = _shingle_sets(t)
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "s")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "s")
-    common = (
-        cands.join(ta, "doc_a")
-        .join(tb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # No persists, no self-joins: the signature lineage runs exactly once
+    # (bucket-collect candidate generation, see lsh_candidate_pairs), so
+    # there is nothing to cache. Round 1 persisted two mid-plan
+    # intermediates and still paid for double lineage evaluation plus
+    # AQE/cache contention (6.6 s at sf0.1; this shape runs ~3 s).
+    #
+    # Verification is per-candidate array_intersect over the in-row
+    # distinct-shingle arrays — the candidate table is O(near-dups),
+    # replacing the round-1 explode -> two shuffle joins -> groupBy chain
+    # (3 extra shuffles of every (doc, shingle) pair). No broadcast hint:
+    # AQE sees the tiny candidate stats at runtime and picks broadcast
+    # itself (measured: the static hint serialized the build and was
+    # slightly slower).
+    sigs = minhash_signatures(t.documents)
+    cands = lsh_candidate_pairs(sigs)
+    shs = _spread(t.documents).select(
+        "doc_id", F.array_distinct(_shingles()).alias("sh")
     )
-    return _jaccard_from_sets(tok, common)
+    half = shs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).join(
+        cands, "doc_a"
+    )
+    pairs = shs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).join(
+        half, "doc_b"
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common * F.lit(1.0) / (F.size("sh_a") + F.size("sh_b") - common)
+    return pairs.filter(jac >= THETA).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
 
 
 @query("dedup_simhash", oracle=None)  # R: murmur-specific fingerprints
