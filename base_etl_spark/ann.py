@@ -69,7 +69,10 @@ def blocked_topk(
                 idx = np.argpartition(-col, kk - 1)[:kk]
                 out_p.extend([pid] * len(idx))
                 out_n.extend(ids[idx])
-                out_s.extend(np.round(col[idx], 6))
+                # HALF_UP to match Spark's F.round in sim_topk exactly
+                # (np.round is half-to-even and can flip rank at a
+                # 0.5e-6 boundary)
+                out_s.extend(np.floor(col[idx] * 1e6 + 0.5) / 1e6)
             yield pd.DataFrame(
                 {"probe_id": out_p, "neighbor_id": out_n, "cos_sim": out_s}
             )

@@ -12,8 +12,9 @@ idempotency comes from overwrite-by-partition and upsert_parquet.
 from __future__ import annotations
 
 import datetime as dt
+import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from base_etl_spark.io import load_tables
@@ -49,19 +50,87 @@ def run_daily_job(
     day: dt.date,
     out_path: str,
     jdbc_url: str | None = None,
+    jdbc_table: str = "daily_order_summary",
+    jdbc_properties: dict[str, str] | None = None,
 ) -> int:
     """Extract -> transform -> load for one logical date. Parquet is
     partitioned by order date (idempotent overwrite of that partition via
-    dynamic partition overwrite); JDBC is plan-assembled when a URL is
-    given. Returns the row count written."""
+    dynamic partition overwrite); when a JDBC URL is given the same rows
+    are LOADED into the database (executed, not just planned — tested
+    against embedded Derby). Returns the row count written."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = daily_order_summary(spark, sf_dir, day).withColumn(
         "ds", F.date_format("o_orderdate", "yyyy-MM-dd")
     )
     out.write.mode("overwrite").partitionBy("ds").parquet(out_path)
     if jdbc_url:
-        sinks.build_jdbc_writer(out, jdbc_url, "analytics.daily_order_summary")
+        sinks.build_jdbc_writer(
+            out, jdbc_url, jdbc_table, properties=jdbc_properties
+        ).save()
     return out.count()
+
+
+def run_range(
+    spark: SparkSession,
+    sf_dir: str,
+    dates: list[dt.date],
+    out_path: str,
+    run_log_path: str | None = None,
+    jdbc_url: str | None = None,
+    jdbc_properties: dict[str, str] | None = None,
+) -> list[dict]:
+    """Backfill driver: run the daily job for each logical date, recording
+    every run in an append-only parquet run log.
+
+    Idempotency: re-running any date overwrites exactly that date's
+    parquet partition (dynamic partition overwrite in run_daily_job), so a
+    backfill can be replayed safely; the run log is append-only history —
+    a scheduler queries `latest status per (job, ds)` from it (see
+    read_run_log) exactly like an Airflow task-instance table. Failures
+    are logged with status='failed' and do not abort the remaining dates
+    (standard backfill semantics: collect stragglers, re-run them)."""
+    results = []
+    for day in dates:
+        ds = day.isoformat()
+        started = dt.datetime.now(dt.timezone.utc)
+        t0 = time.monotonic()
+        try:
+            rows = run_daily_job(
+                spark, sf_dir, day, out_path,
+                jdbc_url=jdbc_url, jdbc_properties=jdbc_properties,
+            )
+            status, err = "success", None
+        except Exception as e:  # noqa: BLE001 — backfills record, not raise
+            rows, status, err = -1, "failed", str(e)[:500]
+        rec = {
+            "job": "daily_order_summary",
+            "ds": ds,
+            "status": status,
+            "rows": rows,
+            "duration_sec": round(time.monotonic() - t0, 3),
+            "started_at": started.isoformat(),
+            "error": err,
+        }
+        results.append(rec)
+        if run_log_path:
+            spark.createDataFrame([rec], schema=_RUN_LOG_SCHEMA).write.mode(
+                "append"
+            ).parquet(run_log_path)
+    return results
+
+
+_RUN_LOG_SCHEMA = (
+    "job string, ds string, status string, rows long, "
+    "duration_sec double, started_at string, error string"
+)
+
+
+def read_run_log(spark: SparkSession, run_log_path: str) -> DataFrame:
+    """Latest status per (job, ds) from the append-only run log — the
+    scheduler's 'which dates are done / need re-run' view."""
+    log = spark.read.parquet(run_log_path)
+    w = Window.partitionBy("job", "ds").orderBy(F.desc("started_at"))
+    return log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
 
 def upsert_parquet(

@@ -14,6 +14,7 @@ materialize anything and stays inside whole-stage codegen.
 from __future__ import annotations
 
 import os
+import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,20 +84,32 @@ class Tables:
         return self._dfs[name]
 
 
-_CACHE: dict[tuple[int, str], Tables] = {}
+# Weak keys: a garbage-collected session's entries vanish with it, so a
+# new session that happens to reuse the old object's id can never receive
+# stale Tables (DataFrames bound to a stopped session).
+_CACHE: weakref.WeakKeyDictionary[SparkSession, dict[str, Tables]] = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> Tables:
-    """Load (memoized per session+dir) all tables and register views."""
-    sf_dir = sf_dir or DEFAULT_SF_DIR
-    key = (id(spark), os.path.abspath(sf_dir))
-    if key not in _CACHE:
-        _CACHE[key] = Tables(spark, os.path.abspath(sf_dir))
+    """Load (memoized per session+dir) all tables and register views.
+
+    Temp views are session-global and last-writer-wins: loading a second
+    sf_dir repoints the views, which is why every call re-registers its
+    own directory's views before returning. Hold the returned Tables and
+    use attribute access for multi-dir work; `spark.sql` always sees the
+    most recently loaded directory.
+    """
+    sf_dir = os.path.abspath(sf_dir or DEFAULT_SF_DIR)
+    per_session = _CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        per_session[sf_dir] = Tables(spark, sf_dir)
     else:
         # re-register views in case another sf_dir overwrote them
         for name in schemas.TABLE_NAMES:
-            _CACHE[key]._dfs[name].createOrReplaceTempView(name)
-    return _CACHE[key]
+            per_session[sf_dir]._dfs[name].createOrReplaceTempView(name)
+    return per_session[sf_dir]
 
 
 def events_between(spark: SparkSession, sf_dir: str, start_us: int, end_us: int) -> DataFrame:

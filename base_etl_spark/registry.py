@@ -46,6 +46,9 @@ def query(key: str, oracle: str | None = None) -> Callable:
 
         runner.__name__ = fn.__name__
         runner.__doc__ = fn.__doc__
+        # raw (Tables -> DataFrame) body, so tests can drive the same
+        # code path over hand-built edge-case frames (SURVEY §5.4)
+        runner.tables_fn = fn
         REGISTRY[key] = QuerySpec(key, runner, oracle, fn.__doc__ or "")
         return runner
 
@@ -108,8 +111,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_fingerprint",  # oracle HUGEINT->BIGINT cast
     "dedup_embedding",  # LSH-bucketed plan
     "dedup_near_minhash",  # signature-stage rewrite
-    "sort_multikey_scalable",  # new: two-phase global rank
-    "win_distribution_scalable",  # new: two-phase distribution ranks
+    # (sort_multikey / win_distribution were rewritten two-phase in place;
+    # both already sit in the unverified block above)
 ]
 
 

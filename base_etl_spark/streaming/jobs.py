@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,7 +81,9 @@ def _cumsum_fn(
     (cents,) = state.get if state.exists else (0,)
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
-        add = (pdf["value"] * 100.0 + 0.5).apply(int)  # noqa: arrow keeps float64 exact here
+        # np.floor, NOT int(): the batch twin uses floor(value*100 + 0.5),
+        # and int() truncates toward zero so negative values would diverge
+        add = np.floor(pdf["value"] * 100.0 + 0.5).astype("int64")
         run = add.cumsum() + cents
         cents = int(run.iloc[-1]) if len(run) else cents
         yield pd.DataFrame(

@@ -101,3 +101,30 @@ def test_approx_quantile_selfcheck(spark):
     for k, (p50, p90) in exact.items():
         a50, a90 = approx[k]
         assert abs(a50 - p50) / p50 < 0.02 and abs(a90 - p90) / p90 < 0.02
+
+
+def test_backfill_run_range_idempotent(spark, tmp_path):
+    """3-day backfill, re-run: parquet partitions are overwritten in
+    place (identical contents), the run log keeps append-only history,
+    and read_run_log surfaces exactly one latest row per date."""
+    import datetime as dt
+
+    from base_etl_spark import etl
+    from tests.conftest import SF_TEST
+
+    out = str(tmp_path / "daily")
+    log = str(tmp_path / "runlog")
+    days = [dt.date(1995, 6, 18), dt.date(1995, 6, 19), dt.date(1995, 6, 20)]
+    r1 = etl.run_range(spark, SF_TEST, days, out, run_log_path=log)
+    assert all(r["status"] == "success" for r in r1)
+    first = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    # replay the whole range: partition overwrite => identical data
+    r2 = etl.run_range(spark, SF_TEST, days, out, run_log_path=log)
+    again = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert again == first
+    # run log: append-only (6 rows), latest-per-ds view has 3
+    assert spark.read.parquet(log).count() == 6
+    latest = etl.read_run_log(spark, log)
+    assert latest.count() == 3
+    assert {r.ds for r in latest.collect()} == {d.isoformat() for d in days}
+    assert all(r["rows"] == s["rows"] for r, s in zip(r1, r2))

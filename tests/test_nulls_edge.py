@@ -12,6 +12,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 SCHEMA = StructType(
@@ -109,3 +110,82 @@ def test_explode_empty_array(spark):
     df = spark.createDataFrame([(1, []), (2, ["x"])], ["id", "arr"])
     assert df.select(F.explode("arr")).count() == 1  # empty arrays vanish
     assert df.select(F.explode_outer("arr")).count() == 2  # _outer keeps them
+
+
+# ---- as-of / bucketized range join under NULL keys (VERDICT r1 item 8).
+# The fixtures contain no NULLs, so these pin the operators' null
+# semantics on hand-built events frames driven through the SAME code path
+# (runner.tables_fn).
+
+_EV_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+
+def _events_with_nulls(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # normal user: click then purchase
+        (1, 10, "click", t0, 1.0),
+        (2, 10, "purchase", t0 + 5 * m, 2.0),
+        # NULL-user click and purchase
+        (3, None, "click", t0 + m, 3.0),
+        (4, None, "purchase", t0 + 2 * m, 4.0),
+        # NULL-ts click for user 20, then a real purchase
+        (5, 20, "click", None, 5.0),
+        (6, 20, "purchase", t0 + 10 * m, 6.0),
+        # purchase with NULL ts
+        (7, 30, "purchase", None, 7.0),
+        (8, 30, "click", t0, 8.0),
+    ]
+    return spark.createDataFrame(rows, _EV_SCHEMA)
+
+
+class _T:
+    def __init__(self, events):
+        self.events = events
+
+
+def test_join_asof_null_keys(spark):
+    from base_etl_spark import queries
+
+    ev = _events_with_nulls(spark)
+    out = {r.probe_id: r.matched_click for r in
+           queries()["join_asof"].tables_fn(_T(ev)).collect()}
+    # normal path still matches
+    assert out[2] == 1
+    # NULL users form ONE window partition (window semantics, identical
+    # in the DuckDB oracle formulation): the NULL-user purchase sees the
+    # NULL-user click
+    assert out[4] == 3
+    # NULL ts sorts FIRST (Spark asc default), so the NULL-ts click is
+    # 'before' every real timestamp and matches
+    assert out[6] == 5
+    # a NULL-ts purchase sorts before its user's real-ts clicks -> no match
+    assert out[7] is None
+    assert len(out) == 4
+
+
+def test_join_range_bucketized_null_keys(spark):
+    from base_etl_spark import queries
+
+    ev = _events_with_nulls(spark)
+    out = {r.probe_id: (r.n_clicks, r.click_value) for r in
+           queries()["join_range_bucketized"].tables_fn(_T(ev)).collect()}
+    # every purchase appears exactly once (left join back to probes)
+    assert set(out) == {2, 4, 6, 7}
+    assert out[2] == (1, 1.0)
+    # equi-join semantics: NULL user/ts never equi-match -> zero clicks,
+    # but the probe row survives with coalesced zeros
+    assert out[4] == (0, 0.0)
+    assert out[6] == (0, 0.0)  # its only click has NULL ts
+    assert out[7] == (0, 0.0)  # NULL-ts probe has no bucket

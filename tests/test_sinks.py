@@ -18,9 +18,12 @@ def test_parquet_partitioned_roundtrip(spark, tables, tmp_path):
     assert any(d.startswith("o_orderstatus=") for d in os.listdir(path))
     back = spark.read.parquet(path)
     assert back.count() == df.count()
-    # partition pruning: reading one status scans only that directory
+    # partition pruning: the filter becomes a PartitionFilter (directory
+    # skip), never a data filter over all rows
     one = back.filter(F.col("o_orderstatus") == "F")
-    assert "o_orderstatus=F" not in "", one.count() > 0
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert one.count() > 0
 
 
 def test_csv_roundtrip_preserves_nulls(spark, tmp_path):
@@ -71,3 +74,54 @@ def test_bucketed_table_joins_without_exchange(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+_DERBY = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def test_jdbc_roundtrip_derby(spark, tables):
+    """Real executed JDBC load: write nation to embedded Derby (bundled
+    in Spark's jars), read it back through the JDBC source."""
+    url = "jdbc:derby:memory:etltest;create=true"
+    w = sinks.build_jdbc_writer(
+        tables.nation, url, "nation_jdbc", mode="overwrite", properties=_DERBY
+    )
+    w.save()
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("driver", _DERBY["driver"])
+        .load()
+    )
+    assert back.count() == 25
+    assert {c.lower() for c in back.columns} == {c.lower() for c in tables.nation.columns}
+    # append mode adds rows (the default daily-ETL load semantics)
+    sinks.build_jdbc_writer(
+        tables.nation.limit(5), url, "nation_jdbc", mode="append", properties=_DERBY
+    ).save()
+    assert (
+        spark.read.format("jdbc").option("url", url).option("dbtable", "nation_jdbc")
+        .option("driver", _DERBY["driver"]).load().count() == 30
+    )
+
+
+def test_run_daily_job_executes_jdbc_leg(spark, tmp_path):
+    """run_daily_job with a JDBC URL must actually LOAD the rows (ADVICE
+    r1: the writer was built and discarded)."""
+    import datetime as dt
+
+    from base_etl_spark import etl
+    from tests.conftest import SF_TEST
+
+    url = "jdbc:derby:memory:etljob;create=true"
+    n = etl.run_daily_job(
+        spark, SF_TEST, dt.date(1995, 6, 19), str(tmp_path / "daily"),
+        jdbc_url=url, jdbc_properties=_DERBY,
+    )
+    back = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "daily_order_summary")
+        .option("driver", _DERBY["driver"]).load()
+    )
+    assert back.count() == n > 0
