@@ -17,7 +17,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from base_etl_spark.io import load_tables
+from base_etl_spark.io import Tables, load_tables
+from base_etl_spark.registry import query
 from base_etl_spark import sinks
 
 
@@ -131,6 +132,105 @@ def read_run_log(spark: SparkSession, run_log_path: str) -> DataFrame:
     log = spark.read.parquet(run_log_path)
     w = Window.partitionBy("job", "ds").orderBy(F.desc("started_at"))
     return log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective_date: str,
+    tracked: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close the current version of each
+    updated key and open a new one.
+
+    dim: current snapshot (one row per key). updates: new attribute values
+    (one row per changed key, same columns). Output adds valid_from /
+    valid_to / is_current. The daily-ETL dim-load staple: at scale this is
+    two hash joins keyed on the dimension key (changed keys are typically
+    a tiny fraction -> AQE broadcasts the update side) plus a union — no
+    windows, no shuffles beyond the join key.
+    """
+    hi = F.lit("9999-12-31").cast("timestamp")
+    lo = F.lit("1900-01-01").cast("timestamp")
+    eff = F.lit(effective_date).cast("timestamp")
+    cols = [key, *tracked]
+    changed_keys = updates.select(key)
+    unchanged = dim.join(changed_keys, key, "left_anti").select(
+        *cols,
+        lo.alias("valid_from"),
+        hi.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = dim.join(changed_keys, key, "left_semi").select(
+        *cols,
+        lo.alias("valid_from"),
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = updates.select(
+        *cols,
+        eff.alias("valid_from"),
+        hi.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(closed).unionByName(opened)
+
+
+@query(
+    "etl_scd2",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal,
+               c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    )
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, c_mktsegment,
+           TIMESTAMP '1900-01-01 00:00:00' AS valid_from,
+           TIMESTAMP '9999-12-31 00:00:00' AS valid_to,
+           TRUE AS is_current
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = customer.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, round(c_acctbal, 2), c_mktsegment,
+           TIMESTAMP '1900-01-01 00:00:00',
+           TIMESTAMP '1998-01-01 00:00:00',
+           FALSE
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = customer.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+           TIMESTAMP '1998-01-01 00:00:00',
+           TIMESTAMP '9999-12-31 00:00:00',
+           TRUE
+    FROM updates
+    """,
+)
+def etl_scd2(t: Tables) -> DataFrame:
+    """SCD2 dim load over customer: customers with >=1 urgent order get a
+    simulated acctbal change effective 1998-01-01; their current version
+    closes and a new one opens, everyone else stays current. acctbal is
+    rounded on both sides (global double rule)."""
+    dim = t.customer.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    updates = (
+        t.customer.join(urgent, t.customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    return scd2_apply(
+        dim, updates, "c_custkey", "1998-01-01",
+        ["c_name", "c_acctbal", "c_mktsegment"],
+    )
 
 
 def upsert_parquet(

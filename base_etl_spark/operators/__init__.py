@@ -17,3 +17,4 @@ for _mod in pkgutil.iter_modules(__path__):
 importlib.import_module("base_etl_spark.ann")
 importlib.import_module("base_etl_spark.multimodal")
 importlib.import_module("base_etl_spark.profiling")
+importlib.import_module("base_etl_spark.etl")

@@ -352,3 +352,72 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         F.lit(0).cast("long"),
     )
     return agg.select("doc_id", simhash.alias("simhash"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS canonical_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(t: Tables) -> DataFrame:
+    """Connected components over the exact near-dup pair graph: every doc
+    in a near-dup cluster maps to the cluster's minimum doc_id (the
+    keeper). This is the step that turns pairwise dedup output into an
+    actionable keep/drop list.
+
+    Iterative min-label propagation: each round, every node adopts the
+    minimum label among itself and its neighbors; converges in
+    O(cluster diameter) rounds (near-dup clusters are shallow — dup
+    groups, not long chains). Each round is one join + one groupBy keyed
+    on doc_id; the driver loop only reads a scalar convergence count per
+    round — the standard Spark shape for bounded-diameter graph
+    algorithms without GraphFrames. The DuckDB oracle is a recursive-CTE
+    transitive closure of the same edge set."""
+    pairs = _shingle_jaccard_pairs(t).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    edges = edges.persist()
+    labels = labels.persist()
+    for _ in range(20):  # >> any real near-dup cluster diameter
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select("node", F.least("lab", F.coalesce("nlab", "lab")).alias("lab"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("canonical_id")
+    )

@@ -113,6 +113,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_near_minhash",  # signature-stage rewrite
     # (sort_multikey / win_distribution were rewritten two-phase in place;
     # both already sit in the unverified block above)
+    # -- new keys this round
+    "etl_scd2",  # SCD2 dim merge
+    "dedup_clusters",  # connected components over near-dup pairs
 ]
 
 

@@ -128,3 +128,46 @@ def test_backfill_run_range_idempotent(spark, tmp_path):
     assert latest.count() == 3
     assert {r.ds for r in latest.collect()} == {d.isoformat() for d in days}
     assert all(r["rows"] == s["rows"] for r, s in zip(r1, r2))
+
+
+def test_scd2_apply_versions(spark):
+    """scd2_apply closes updated keys and leaves others current."""
+    from base_etl_spark.etl import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    upd = spark.createDataFrame([(2, "b", 25.0)], "k long, name string, v double")
+    out = scd2_apply(dim, upd, "k", "2024-01-01", ["name", "v"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    assert len(by_key[1]) == 1 and by_key[1][0].is_current
+    vers = sorted(by_key[2], key=lambda r: r.valid_from)
+    assert len(vers) == 2
+    assert not vers[0].is_current and vers[0].v == 20.0
+    assert vers[0].valid_to == vers[1].valid_from  # contiguous validity
+    assert vers[1].is_current and vers[1].v == 25.0
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Every near-dup pair lands in one cluster; canonical is the min
+    member; labels are fixpoint-stable (cluster = connected component)."""
+    from base_etl_spark import queries
+
+    qs = queries()
+    from tests.conftest import SF_TEST
+
+    pairs = [(r.doc_a, r.doc_b) for r in qs["dedup_near_jaccard"](spark, SF_TEST).collect()]
+    lab = {r.doc_id: r.canonical_id for r in qs["dedup_clusters"](spark, SF_TEST).collect()}
+    assert pairs and lab
+    for a, b in pairs:
+        assert lab[a] == lab[b], (a, b)
+    # canonical id is the minimum of its cluster and itself a member
+    from collections import defaultdict
+
+    members = defaultdict(set)
+    for n, c in lab.items():
+        members[c].add(n)
+    for c, ms in members.items():
+        assert c == min(ms) and c in lab
