@@ -42,8 +42,18 @@ def _spread(docs: DataFrame) -> DataFrame:
     pre-explosion rows is orders of magnitude cheaper than single-threading
     the expansion. At 100 TB inputs are already many-partitioned and this
     repartition coalesces nothing — it keys by doc_id, which also
-    co-locates each doc's shingles for the signature agg."""
-    return docs.repartition(F.col("doc_id"))
+    co-locates each doc's shingles for the signature agg.
+
+    The partition count is EXPLICIT: AQE coalesces a bare
+    repartition(col) of a few MB back down to ONE post-shuffle partition
+    (advisoryPartitionSizeInBytes is 64 MB), silently re-serializing the
+    downstream per-row compute — measured: the minhash pipeline ran its
+    signature and verify projections 1-task. Spark skips AQE coalescing
+    when the user names a partition count, which is exactly the contract
+    here: spread the EXPENSIVE-PER-ROW stage across every core even
+    though the bytes are tiny."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, F.col("doc_id"))
 _N_HASHES = 32  # MinHash signature length
 _N_BANDS = 8  # 8 bands x 4 rows; P(candidate) = 1-(1-j^4)^8 ~ .97 at j=.6
 _SHINGLE = 3  # words per shingle
