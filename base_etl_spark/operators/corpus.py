@@ -1,0 +1,120 @@
+"""End-to-end training-corpus cleaning pipeline (SURVEY §2.10 composite).
+
+Chains the four standard cleaning stages over `documents` in one
+auditable pass — language ID, quality scoring, exact dedup, near-dup
+drop — and emits a verdict per document instead of silently dropping
+rows, which is how production corpus pipelines stay debuggable (every
+removal is attributable to a stage).
+
+Stage rules reuse the SAME expressions as the standalone operators
+(text_langid, text_quality, dedup_exact, dedup_near_jaccard), so the
+composite is consistent with its parts by construction.
+
+100 TB shape: the scoring stages are pure projections (no shuffle); the
+exact-dup stage shuffles once on the 32-byte content hash; the near-dup
+stage reuses the inverted-index pair join (minhash LSH is the scale tier
+for that stage — see llm_dedup). Verdict assembly is a broadcast-size
+left join on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
+from base_etl_spark.operators.llm_dedup import _JACCARD_ORACLE, _shingle_jaccard_pairs
+from base_etl_spark.operators.llm_text import _STOPWORDS, _STOP_SQL
+
+_Q_MIN = 0.7  # quality floor (fails ~12% of lang-passing fixture docs)
+_STOP_MIN = 0.05  # langid stopword-ratio floor (same rule as text_langid)
+
+
+@query(
+    "etl_corpus_clean",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    near_drops AS (SELECT DISTINCT doc_b FROM pairs),
+    s AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' '))  AS n_tok,
+               len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL})) AS n_stop,
+               len(list_filter(string_split(text, ' '), w -> len(w) >= 8))      AS n_long,
+               len(regexp_extract_all(text, '[0-9]'))                           AS n_digit,
+               row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id)    AS rn
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, n_tok, rn,
+               n_stop * 1.0 / n_tok AS stop_ratio,
+               round(least(n_tok / 50.0, 1.0) * 0.4
+                     + least(n_stop * 1.0 / n_tok / 0.1, 1.0) * 0.3
+                     + (1.0 - n_digit * 1.0 / n_chars) * 0.2
+                     + least(n_long * 1.0 / n_tok / 0.2, 1.0) * 0.1, 6) AS quality
+        FROM s
+    )
+    SELECT doc_id, n_tok, quality,
+           CASE WHEN stop_ratio < {_STOP_MIN} THEN 'lang'
+                WHEN quality < {_Q_MIN}       THEN 'quality'
+                WHEN rn > 1                   THEN 'exact_dup'
+                WHEN doc_id IN (SELECT doc_b FROM near_drops) THEN 'near_dup'
+                ELSE 'keep' END AS verdict
+    FROM q
+    """,
+)
+def etl_corpus_clean(t: Tables) -> DataFrame:
+    """Per-document cleaning verdict: first failing stage wins.
+
+    lang      — stopword ratio < 0.05 (text_langid's 'other' rule)
+    quality   — combined score < 0.7 (text_quality's formula, rounded to
+                6dp BEFORE the comparison on both engines so the
+                threshold can't flip on representation)
+    exact_dup — not the lowest doc_id of its sha256(text) class
+    near_dup  — has a lower-doc_id near-dup partner at Jaccard >= 0.6
+                (greedy pairwise rule: cheap key-joins; dedup_clusters is
+                the cluster-exact variant when transitive grouping is
+                required)
+    keep      — everything else.
+    """
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    n_long = F.size(F.filter(toks, lambda w: F.length(w) >= 8))
+    n_digit = F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
+    n_chars = F.col("n_chars")
+    stop_ratio = n_stop * F.lit(1.0) / n_tok
+    quality = F.round(
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio / 0.1, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - n_digit * F.lit(1.0) / n_chars) * 0.2
+        + F.least(n_long * F.lit(1.0) / n_tok / 0.2, F.lit(1.0)) * 0.1,
+        6,
+    )
+    scored = t.documents.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+        F.row_number()
+        .over(Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id"))
+        .alias("rn"),
+    )
+    near_drops = (
+        _shingle_jaccard_pairs(t).select(F.col("doc_b").alias("doc_id")).distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    return (
+        scored.join(near_drops, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            "quality",
+            F.when(F.col("stop_ratio") < _STOP_MIN, "lang")
+            .when(F.col("quality") < _Q_MIN, "quality")
+            .when(F.col("rn") > 1, "exact_dup")
+            .when(F.col("is_near_dup"), "near_dup")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )

@@ -158,9 +158,11 @@ def _normalized(emb: DataFrame) -> DataFrame:
     """(vec_id, nemb): L2-normalized double vectors, re-spread across the
     cluster first (the fixture arrives as ONE parquet file = one input
     partition; the 48-hyperplane projection below would otherwise run on
-    a single task — same lesson as llm_dedup._spread)."""
+    a single task — same lesson as llm_dedup._spread). The partition
+    count is explicit because AQE coalesces a bare repartition(col) of
+    small data back to one partition, re-serializing the projection."""
     return (
-        emb.repartition(F.col("vec_id"))
+        emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, F.col("vec_id"))
         .select("vec_id", "embedding", norm(F.col("embedding")).alias("nn"))
         .select(
             "vec_id",

@@ -116,6 +116,7 @@ DRIVER_PRIORITY: list[str] = [
     # -- new keys this round
     "etl_scd2",  # SCD2 dim merge
     "dedup_clusters",  # connected components over near-dup pairs
+    "etl_corpus_clean",  # lang/quality/dedup verdict pipeline
 ]
 
 

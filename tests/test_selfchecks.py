@@ -148,3 +148,28 @@ def test_dedup_embedding_lsh_planted_high_cosine(spark):
     ap = {tuple(r) for r in dedup_embedding_allpairs(emb, 0.95).collect()}
     assert lsh == ap
     assert len(ap) >= 8  # the planted pairs are found
+
+
+def test_corpus_clean_consistent_with_stage_operators(spark):
+    """etl_corpus_clean's verdicts agree with the standalone stage
+    operators it composes (first-failing-stage priority)."""
+    verdict = {r.doc_id: r.verdict for r in _QS["etl_corpus_clean"](spark, SF_TEST).collect()}
+    langid = {r.doc_id: r.pred_lang for r in _QS["text_langid"](spark, SF_TEST).collect()}
+    quality = {r.doc_id: r.quality for r in _QS["text_quality"](spark, SF_TEST).collect()}
+    near_b = {r.doc_b for r in _QS["dedup_near_jaccard"](spark, SF_TEST).collect()}
+
+    assert set(verdict) == set(langid)  # one verdict per document
+    assert {"lang", "keep"} <= set(verdict.values())  # non-degenerate split
+    for d, v in verdict.items():
+        if v == "lang":
+            assert langid[d] == "other"
+        else:
+            assert langid[d] == "en"
+            if v == "quality":
+                assert quality[d] < 0.7
+            else:
+                assert quality[d] >= 0.7
+                if v == "near_dup":
+                    assert d in near_b
+                elif v == "keep":
+                    assert d not in near_b
