@@ -118,3 +118,46 @@ def etl_corpus_clean(t: Tables) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# per-language keep percentage for the deterministic sampler: upsample
+# nothing, keep all English, halve the mid-resource langs, quarter zh —
+# the language-rebalancing step of a training-data mix
+_SAMPLE_PCT = {"en": 100, "de": 50, "fr": 50, "es": 50, "zh": 25}
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 * phi)
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           (doc_id * {_KNUTH}) % 100 AS bucket
+    FROM documents
+    WHERE (doc_id * {_KNUTH}) % 100 <
+          CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_PCT.items())}
+               ELSE 100 END
+    """,
+)
+def sample_stratified(t: Tables) -> DataFrame:
+    """Deterministic stratified sampling by language: keep a doc iff its
+    hash bucket falls under the stratum's percentage.
+
+    The bucket is a multiplicative hash of doc_id — engine-neutral integer
+    arithmetic (unlike rand()/sampleBy, which are seed- and
+    partitioning-dependent), so the sample is REPRODUCIBLE: re-running on
+    the same corpus keeps exactly the same rows, which is what a
+    training-data pipeline needs for auditable mixes. Pure projection +
+    filter in one scan — no shuffle (the predicate is arithmetic over
+    doc_id, so it evaluates post-scan, but column pruning still reaches
+    the reader); no overflow (doc_id * 2^32-ish stays far below 2^63 at
+    any realistic corpus id range)."""
+    bucket = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(100))
+    pct = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _SAMPLE_PCT.items()],
+        F.lit(100),
+    )
+    return (
+        t.documents.select("doc_id", "lang", "source", bucket.alias("bucket"), pct.alias("pct"))
+        .filter(F.col("bucket") < F.col("pct"))
+        .drop("pct")
+    )

@@ -176,3 +176,45 @@ def stream_stateful(t: Tables) -> DataFrame:
     return t.events.select(
         "user_id", "event_id", "ts", (F.sum(cents).over(w) / 100.0).alias("cum_value")
     )
+
+
+@query(
+    "rollup_multigrain",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+               count(*) AS n_events, sum(value) AS sum_raw
+        FROM events GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, event_type, bucket_ts, n_events,
+           round(sum_raw, 2) AS sum_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day', event_type, date_trunc('day', bucket_ts),
+           CAST(sum(n_events) AS BIGINT), round(sum(sum_raw), 2)
+    FROM hourly GROUP BY 2, 3
+    """,
+)
+def rollup_multigrain(t: Tables) -> DataFrame:
+    """Hour + day rollup in one result (hypertable continuous-aggregate
+    shape): the DAY grain re-aggregates the HOUR grain's partial sums
+    instead of rescanning events — count and sum are reaggregatable, so
+    the day leg touches 24x fewer rows than the fact table. At 100 TB the
+    hourly aggregate is what you'd materialize incrementally (see
+    streaming/jobs.py); every coarser grain derives from it the same way.
+    Rounding happens once at output so both grains round the SAME raw
+    partials (the oracle mirrors this)."""
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_raw"))
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", "bucket_ts").alias("bucket_ts")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_raw").alias("sum_raw"))
+    out_cols = [
+        "grain", "event_type", "bucket_ts", "n_events",
+        F.round("sum_raw", 2).alias("sum_value"),
+    ]
+    return (
+        hourly.withColumn("grain", F.lit("hour")).select(*out_cols)
+        .unionByName(daily.withColumn("grain", F.lit("day")).select(*out_cols))
+    )

@@ -117,6 +117,8 @@ DRIVER_PRIORITY: list[str] = [
     "etl_scd2",  # SCD2 dim merge
     "dedup_clusters",  # connected components over near-dup pairs
     "etl_corpus_clean",  # lang/quality/dedup verdict pipeline
+    "rollup_multigrain",  # hour+day continuous-aggregate rollup
+    "sample_stratified",  # deterministic language-rebalancing sampler
 ]
 
 
