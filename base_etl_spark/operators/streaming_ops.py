@@ -218,3 +218,70 @@ def rollup_multigrain(t: Tables) -> DataFrame:
         hourly.withColumn("grain", F.lit("hour")).select(*out_cols)
         .unionByName(daily.withColumn("grain", F.lit("day")).select(*out_cols))
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS funnel_stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel(t: Tables) -> DataFrame:
+    """Ordered conversion funnel per user: first view, first click AFTER
+    that view, first purchase AFTER that click; funnel_stage = how deep
+    the user got (1-3).
+
+    Sequence analytics without a session window: each stage is a scan
+    with the event_type filter PUSHED TO PARQUET (a stage touches only
+    its own event type's row groups) aggregated to one row per user, then
+    stages chain by (user_id) equi joins with the strictly-after
+    predicate. Every shuffle in the plan is keyed on user_id, so AQE can
+    reuse the exchange layout; nothing ever sorts the fact table."""
+    e = t.events
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+        + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("funnel_stage"))
+    )

@@ -119,6 +119,7 @@ DRIVER_PRIORITY: list[str] = [
     "etl_corpus_clean",  # lang/quality/dedup verdict pipeline
     "rollup_multigrain",  # hour+day continuous-aggregate rollup
     "sample_stratified",  # deterministic language-rebalancing sampler
+    "events_funnel",  # ordered view->click->purchase funnel
 ]
 
 
