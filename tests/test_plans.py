@@ -107,3 +107,22 @@ def test_two_phase_rank_is_distributed(spark):
     assert "hashpartitioning(c_mktsegment" in plan
     plan = _plan(_QS["win_distribution"](spark, SF_TEST))
     assert "hashpartitioning(bucket" in plan
+
+
+def test_funnel_pushes_event_type_filters(spark):
+    """Each funnel stage's event_type filter must reach the parquet scan
+    (a stage reads only its own event type), and nothing degenerates to a
+    nested-loop join."""
+    plan = _plan(_QS["events_funnel"](spark, SF_TEST))
+    for etype in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{etype})" in plan, etype
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_stratified_prunes_text_column(spark):
+    """The sampler never needs the text column; the scan must not read it
+    (documents is text-dominated, so this is the difference between
+    scanning ~100% and ~5% of the table's bytes)."""
+    plan = _plan(_QS["sample_stratified"](spark, SF_TEST))
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,source:string>" in plan
