@@ -120,6 +120,7 @@ DRIVER_PRIORITY: list[str] = [
     "rollup_multigrain",  # hour+day continuous-aggregate rollup
     "sample_stratified",  # deterministic language-rebalancing sampler
     "events_funnel",  # ordered view->click->purchase funnel
+    "text_langid_ngram",  # char-trigram profile language ID
 ]
 
 

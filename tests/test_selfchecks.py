@@ -173,3 +173,17 @@ def test_corpus_clean_consistent_with_stage_operators(spark):
                     assert d in near_b
                 elif v == "keep":
                     assert d not in near_b
+
+
+def test_langid_ngram_mechanics(spark, tables):
+    """One prediction per doc, deterministic across runs, score in [0,1].
+    (Fixture text is language-agnostic, so accuracy is not assertable —
+    see the operator docstring.)"""
+    rows = _QS["text_langid_ngram"](spark, SF_TEST).collect()
+    again = _QS["text_langid_ngram"](spark, SF_TEST).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    assert len(rows) == tables.documents.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for r in rows:
+        assert 0.0 <= r.score <= 1.0
+        assert r.pred_lang in {"en", "de", "fr", "es", "zh", "unknown"}
