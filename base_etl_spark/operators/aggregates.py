@@ -270,3 +270,35 @@ def agg_approx_quantile(t: Tables) -> DataFrame:
         F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT user_id,
+           max(ts)                  AS last_ts,
+           arg_max(event_type, ts)  AS last_event_type,
+           round(arg_max(value, ts), 2) AS last_value,
+           arg_min(event_type, ts)  AS first_event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_argmax(t: Tables) -> DataFrame:
+    """Latest/earliest record per key via max_by/min_by — the
+    last-known-state pattern (CDC compaction, sessionless 'current
+    value' lookups) as ONE hash aggregate instead of a sort or window.
+
+    At 100 TB this is the cheapest shape for 'latest per key': a single
+    partial+final agg on user_id, no row_number sort, no self-join.
+    Determinism: (user_id, ts) is unique in the fixture (verified at
+    sf0.01/sf0.1), so the arg extremes are well-defined; with duplicate
+    keys you'd switch the order key to a unique tuple encoding."""
+    return t.events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.max_by("event_type", "ts").alias("last_event_type"),
+        F.round(F.max_by("value", "ts"), 2).alias("last_value"),
+        F.min_by("event_type", "ts").alias("first_event_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

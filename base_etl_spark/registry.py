@@ -121,6 +121,7 @@ DRIVER_PRIORITY: list[str] = [
     "sample_stratified",  # deterministic language-rebalancing sampler
     "events_funnel",  # ordered view->click->purchase funnel
     "text_langid_ngram",  # char-trigram profile language ID
+    "agg_argmax",  # latest/earliest per key via max_by/min_by
 ]
 
 
