@@ -243,3 +243,127 @@ def upsert_parquet(
     existing = spark.read.parquet(existing_path)
     kept = existing.join(updates.select(key), key, "left_anti")
     return kept.unionByName(updates)
+
+
+@query(
+    "etl_dq_checks",
+    oracle="""
+    SELECT 'lineitem_rows' AS check_name,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_bad
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_null_key',
+           CAST((SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_dup_pk',
+           CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                 GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_null_name',
+           CAST((SELECT count(*) FROM customer WHERE c_name IS NULL) AS BIGINT)
+    """,
+)
+def etl_dq_checks(t: Tables) -> DataFrame:
+    """Data-quality gate for the daily load: referential integrity
+    (orphan foreign keys via anti joins), primary-key uniqueness,
+    null/range violations — one (check_name, n_bad) row per check, plus
+    a row-count control row proving the counting plumbing.
+
+    The shape a production ETL runs between transform and load: every
+    check is an independent aggregate (they scan different tables, so
+    there is nothing to fuse) and Spark schedules them as parallel
+    stages; each anti join broadcasts the smaller key side. A nonzero
+    n_bad (other than the control row) fails the run before the sink."""
+    def row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    checks = [
+        row("lineitem_rows", t.lineitem),
+        row(
+            "orders_orphan_custkey",
+            t.orders.join(
+                t.customer, t.orders.o_custkey == t.customer.c_custkey, "left_anti"
+            ),
+        ),
+        row(
+            "lineitem_orphan_orderkey",
+            t.lineitem.join(
+                t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey, "left_anti"
+            ),
+        ),
+        row("orders_null_key", t.orders.filter(F.col("o_orderkey").isNull())),
+        row(
+            "orders_dup_pk",
+            t.orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1),
+        ),
+        row(
+            "lineitem_qty_range",
+            t.lineitem.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ),
+        row("customer_null_name", t.customer.filter(F.col("c_name").isNull())),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@query(
+    "etl_cohort_retention",
+    oracle="""
+    WITH first_order AS (
+        SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+        SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m
+        FROM orders
+    )
+    SELECT f.cohort,
+           CAST(date_diff('month', f.cohort, a.m) AS BIGINT) AS month_offset,
+           CAST(count(*) AS BIGINT)                          AS n_customers
+    FROM activity a JOIN first_order f ON a.o_custkey = f.o_custkey
+    GROUP BY f.cohort, date_diff('month', f.cohort, a.m)
+    """,
+)
+def etl_cohort_retention(t: Tables) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted in each subsequent month they ordered again (offset 0 = the
+    cohort month itself). The standard growth-analytics rollup.
+
+    Two shuffles, both on o_custkey (first-order agg + distinct), then
+    one hash agg on the tiny (cohort, offset) key — at 100 TB the
+    customer-keyed aggregates dominate and co-partition, and the final
+    matrix is thousands of rows regardless of input size. months_between
+    on month-truncated dates is integral, so the offset is exact on both
+    engines."""
+    first_order = t.orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    activity = t.orders.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).distinct()
+    return (
+        activity.join(first_order, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between("m", "cohort").cast("long").alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )

@@ -122,6 +122,8 @@ DRIVER_PRIORITY: list[str] = [
     "events_funnel",  # ordered view->click->purchase funnel
     "text_langid_ngram",  # char-trigram profile language ID
     "agg_argmax",  # latest/earliest per key via max_by/min_by
+    "etl_dq_checks",  # data-quality gate (orphans/PK/null/range)
+    "etl_cohort_retention",  # first-order-month cohort matrix
 ]
 
 
