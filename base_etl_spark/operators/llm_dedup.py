@@ -229,9 +229,20 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    return bucket_pairs(banded, "doc_id", "doc_a", "doc_b")
+
+
+def bucket_pairs(banded: DataFrame, id_col: str, out_a: str, out_b: str) -> DataFrame:
+    """Distinct unordered id pairs sharing any (band, bh) bucket, via
+    groupBy + collect + in-row pair expansion.
+
+    Shared by MinHash LSH (llm_dedup) and SRP LSH (llm_vectors): the
+    alternative — a banded SELF-join — evaluates the signature lineage
+    once PER SIDE (measured 2x the stage cost on both operators). Here
+    the lineage runs once; one shuffle keyed by the bucket, then pairs."""
     buckets = (
         banded.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     # (element, index) two-arg lambda: pair ids[i] with every later id
@@ -240,13 +251,13 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
             "ids",
             lambda a, i: F.transform(
                 F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                lambda b: F.struct(a.alias("pa"), b.alias("pb")),
             ),
         )
     )
     return (
         buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .select(F.col("p.pa").alias(out_a), F.col("p.pb").alias(out_b))
         .distinct()
     )
 

@@ -188,26 +188,47 @@ def srp_banded(
     consecutive bits pack into one band key. Two vectors at angle theta
     agree on a bit with p = 1 - theta/pi, so P(shared band) =
     1-(1-p^r)^b — the same banding amplification as MinHash LSH
-    (llm_dedup.lsh_candidate_pairs), applied to cosine space. All
-    expression-only: n_bits aggregates over the 64-dim array per row, one
-    projection, no shuffle."""
+    (llm_dedup.lsh_candidate_pairs), applied to cosine space.
+
+    Shape: posexplode dims -> n_bits flat sum(x * element_at(plane_j, d))
+    aggregates per vec_id. Same lesson as minhash_signatures: the
+    previous n_bits F.aggregate(zip_with(...)) columns evaluated their
+    lambdas interpreted per element, while sum() aggregates over
+    codegen'd element_at lookups on constant arrays run in whole-stage
+    codegen (measured ~2x on dedup_embedding). The upstream _normalized
+    already hash-partitioned by vec_id at the same partition count, so
+    the groupBy elides its exchange — a vec's dimension rows never cross
+    the wire, and the per-group sum accumulates in dimension order
+    (matching the old left-to-right fold bit-for-bit)."""
     n_bits = n_bands * rows_per_band
     planes = _hyperplanes(n_bits, EMBEDDING_DIM, seed)
-    bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    F.col("nemb"),
-                    F.array(*[F.lit(v) for v in planes[j]]),
-                    lambda x, h: x * h,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            > 0
-        ).cast("int")
-        for j in range(n_bits)
-    ]
+    # Rademacher planes are ±1, so each plane packs into a 64-bit sign
+    # mask and the product x*h_jd becomes a two-instruction branch on
+    # bit d — no per-row array materialization (a literal F.array
+    # allocates per evaluation; measured slower than the lambda form it
+    # was meant to replace).
+    def _mask(j: int) -> int:
+        m = sum(1 << d for d, v in enumerate(planes[j]) if v > 0)
+        return m - (1 << 64) if m >= (1 << 63) else m  # two's complement
+
+    # only (vec_id, d, x) is exploded — carrying the 64-double nemb array
+    # per exploded row would 64x the stage's bytes; verification joins
+    # nemb back by vec_id instead (dedup_embedding_pairs)
+    ex = vecs.select("vec_id", F.posexplode("nemb").alias("d", "x"))
+    proj = ex.groupBy("vec_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    # expr form: the Python shiftrightunsigned() only
+                    # takes a literal shift amount, SQL takes a column
+                    F.expr(f"shiftrightunsigned({_mask(j)}L, d) & 1") == 1,
+                    F.col("x"),
+                ).otherwise(-F.col("x"))
+            ).alias(f"p{j}")
+            for j in range(n_bits)
+        ],
+    )
+    bits = [(F.col(f"p{j}") > 0).cast("int") for j in range(n_bits)]
     bands = [
         F.struct(
             F.lit(b).alias("band"),
@@ -218,8 +239,8 @@ def srp_banded(
         )
         for b in range(n_bands)
     ]
-    return vecs.select("vec_id", "nemb", F.explode(F.array(*bands)).alias("bb")).select(
-        "vec_id", "nemb", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    return proj.select("vec_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
 
 
@@ -245,6 +266,15 @@ def dedup_embedding_pairs(
     fragment buckets and candidates collapse to true near-dups."""
     n = _normalized(emb)
     banded = srp_banded(n.select("vec_id", "nemb"), n_bands, rows_per_band, seed)
+    # Self-join over a PERSISTED banded table — deliberately NOT the
+    # bucket-collect pair expansion minhash uses (llm_dedup.bucket_pairs):
+    # low-theta SRP banding has FEW, HUGE buckets (2-bit keys => 4
+    # buckets/band), so in-row expansion packs ~10^5-10^6 pairs into
+    # single rows and one task straggles (measured 8 s vs 3 s). The join
+    # distributes a bucket's pair work across tasks; the persist keeps
+    # the SRP lineage from evaluating once per join side. At production
+    # theta (~0.95, 6-8-bit keys) buckets fragment and either shape works.
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
