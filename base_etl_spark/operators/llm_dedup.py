@@ -242,7 +242,9 @@ def bucket_pairs(banded: DataFrame, id_col: str, out_a: str, out_b: str) -> Data
     the lineage runs once; one shuffle keyed by the bucket, then pairs."""
     buckets = (
         banded.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        # collect_set, not collect_list: a duplicate (id, band, bh) row
+        # would otherwise pair an id with itself (found by property test)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     # (element, index) two-arg lambda: pair ids[i] with every later id

@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the reusable operator kernels:
+random inputs vs straight-Python reference implementations. Bounded
+example counts — every example is a real Spark round-trip."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_key = st.integers(min_value=0, max_value=9)
+_val = st.floats(min_value=-100, max_value=100, allow_nan=False, width=32)
+
+
+@given(
+    dim=st.dictionaries(_key, _val, min_size=1, max_size=8),
+    upd_keys=st.sets(_key, max_size=8),
+)
+@settings(**_SETTINGS)
+def test_scd2_invariants(spark, dim, upd_keys):
+    """One current row per key; updated keys get a closed + an open
+    version with contiguous validity; others stay untouched."""
+    from base_etl_spark.etl import scd2_apply
+
+    upd = {k: v + 1.0 for k, v in dim.items() if k in upd_keys}
+    ddf = spark.createDataFrame([(k, v) for k, v in dim.items()], "k long, v double")
+    udf_ = spark.createDataFrame([(k, v) for k, v in upd.items()], "k long, v double")
+    out = scd2_apply(ddf, udf_, "k", "2024-06-01", ["v"]).collect()
+
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    assert set(by_key) == set(dim)
+    for k, rows in by_key.items():
+        current = [r for r in rows if r.is_current]
+        assert len(current) == 1
+        if k in upd:
+            assert len(rows) == 2
+            closed = next(r for r in rows if not r.is_current)
+            assert closed.valid_to == current[0].valid_from
+            assert closed.v == dim[k] and current[0].v == upd[k]
+        else:
+            assert len(rows) == 1 and rows[0].v == dim[k]
+
+
+@given(words=st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), max_size=12))
+@settings(**_SETTINGS)
+def test_shingles_match_python_reference(spark, words):
+    """_shingles == the naive sliding-window reference, incl. the
+    under-k => empty-array rule."""
+    from base_etl_spark.operators.llm_dedup import _shingles, _SHINGLE
+
+    text = " ".join(words)
+    got = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(_shingles().alias("sh"))
+        .collect()[0]
+        .sh
+    )
+    toks = text.split(" ")  # NB: "".split(" ") == [""] — matches F.split
+    want = (
+        [" ".join(toks[i : i + _SHINGLE]) for i in range(len(toks) - _SHINGLE + 1)]
+        if len(toks) >= _SHINGLE
+        else []
+    )
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # id
+            st.integers(min_value=0, max_value=2),  # band
+            st.integers(min_value=0, max_value=3),  # bucket hash
+        ),
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_bucket_pairs_match_reference(spark, rows):
+    """bucket_pairs == naive per-bucket all-pairs, deduplicated, a < b.
+    (Shared kernel of dedup_near_minhash and dedup_embedding.)"""
+    from base_etl_spark.operators.llm_dedup import bucket_pairs
+
+    df = spark.createDataFrame(rows, "id long, band int, bh long")
+    got = {
+        (r.a, r.b)
+        for r in bucket_pairs(df, "id", "a", "b").collect()
+    }
+    buckets: dict[tuple, set] = {}
+    for i, band, bh in rows:
+        buckets.setdefault((band, bh), set()).add(i)
+    want = {
+        (a, b)
+        for ids in buckets.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    assert got == want
+
+
+@given(ids=st.sets(st.integers(min_value=0, max_value=10**9), max_size=30))
+@settings(**_SETTINGS)
+def test_sample_bucket_matches_python_arithmetic(spark, ids):
+    """Spark's pmod(doc_id * K, 100) == Python's % for non-negative ids —
+    the determinism contract of sample_stratified."""
+    from base_etl_spark.operators.corpus import _KNUTH
+
+    if not ids:
+        return
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.bucket
+        for r in df.select(
+            "doc_id", F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(100)).alias("bucket")
+        ).collect()
+    }
+    assert got == {i: (i * _KNUTH) % 100 for i in ids}
