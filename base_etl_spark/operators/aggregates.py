@@ -302,3 +302,47 @@ def agg_argmax(t: Tables) -> DataFrame:
         F.min_by("event_type", "ts").alias("first_event_type"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "agg_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)  AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted(t: Tables) -> DataFrame:
+    """Two-level salted aggregation (skew.salted_agg) producing EXACTLY
+    the plain groupBy result — the driver hash-verifies that the salt
+    never leaks into the answer.
+
+    The skew fallback for hot group keys AQE cannot split: level 1
+    spreads each key over 16 random salts, level 2 merges partials.
+    Only algebraic aggregates salt this way; sum-of-partial-sums on
+    doubles reassociates the addition, so money rounds once at the end
+    (the 2dp round absorbs the reassociation noise, same rule as the
+    oracle side)."""
+    from base_etl_spark.skew import salted_agg
+
+    out = salted_agg(
+        t.lineitem,
+        ["l_returnflag"],
+        aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("l_quantity").alias("ps"),
+            F.min("l_extendedprice").alias("pmin"),
+            F.max("l_extendedprice").alias("pmax"),
+        ],
+        reaggs=[
+            F.sum("pn").alias("n_rows"),
+            F.round(F.sum("ps"), 2).alias("sum_qty"),
+            F.round(F.min("pmin"), 2).alias("min_price"),
+            F.round(F.max("pmax"), 2).alias("max_price"),
+        ],
+    )
+    return out

@@ -124,6 +124,7 @@ DRIVER_PRIORITY: list[str] = [
     "agg_argmax",  # latest/earliest per key via max_by/min_by
     "etl_dq_checks",  # data-quality gate (orphans/PK/null/range)
     "etl_cohort_retention",  # first-order-month cohort matrix
+    "agg_salted",  # two-level salted agg == plain groupBy
 ]
 
 
