@@ -189,3 +189,40 @@ def test_join_range_bucketized_null_keys(spark):
     assert out[4] == (0, 0.0)
     assert out[6] == (0, 0.0)  # its only click has NULL ts
     assert out[7] == (0, 0.0)  # NULL-ts probe has no bucket
+
+
+def test_scd2_empty_updates_keeps_dim_current(spark):
+    """SCD2 with an empty update set is a no-op: every key stays current."""
+    from base_etl_spark.etl import scd2_apply
+
+    dim = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    empty = spark.createDataFrame([], "k long, v double")
+    out = scd2_apply(dim, empty, "k", "2024-01-01", ["v"]).collect()
+    assert len(out) == 2 and all(r.is_current for r in out)
+
+
+def test_funnel_empty_stage_truncates(spark):
+    """No click events at all -> every user stops at stage 1 with null
+    click/purchase timestamps."""
+    from base_etl_spark import queries
+    from tests.conftest import SF_TEST
+    from base_etl_spark.io import load_tables
+
+    t = load_tables(spark, SF_TEST)
+
+    class _Shim:  # events_funnel only touches t.events
+        events = t.events.filter(F.col("event_type") != "click")
+
+    rows = queries()["events_funnel"].tables_fn(_Shim()).collect()
+    assert rows and all(r.funnel_stage == 1 for r in rows)
+    assert all(r.t_click is None and r.t_purchase is None for r in rows)
+
+
+def test_bucket_pairs_empty_and_singleton_buckets(spark):
+    """Buckets of size 1 and an empty input both yield no pairs."""
+    from base_etl_spark.operators.llm_dedup import bucket_pairs
+
+    single = spark.createDataFrame([(1, 0, 7), (2, 0, 8)], "id long, band int, bh long")
+    assert bucket_pairs(single, "id", "a", "b").count() == 0
+    empty = spark.createDataFrame([], "id long, band int, bh long")
+    assert bucket_pairs(empty, "id", "a", "b").count() == 0
