@@ -285,3 +285,49 @@ def events_funnel(t: Tables) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("funnel_stage"))
     )
+
+
+@query(
+    "rollup_incremental",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_incremental(t: Tables) -> DataFrame:
+    """Incremental maintenance of the hourly rollup: merge a pre-existing
+    aggregate (events before the last day) with the new day's partial —
+    the oracle proves merged == full recompute, i.e. the aggregate is
+    correctly algebraic and the materialized table never needs a rescan.
+
+    This is the daily batch twin of a streaming continuous aggregate: at
+    100 TB you store the hourly partials (n, raw sum) partitioned by day
+    and fold in each new day with one partial-agg + one merge agg over
+    ONLY the touched hours — the historical fact table is never re-read
+    (here both sides derive from the fixture because queries are pure
+    reads, but the merge algebra is the deployed path). Counts and sums
+    merge losslessly; the 2dp money round happens once, after the merge.
+    The split is deliberately NOT hour-aligned so the boundary hour has
+    partials on BOTH sides — the merge genuinely combines them rather
+    than concatenating disjoint groups."""
+    split_ts = F.to_timestamp(F.lit("2024-01-30 12:30:00"))
+    hourly = lambda df: df.groupBy(  # noqa: E731 — partial aggregate
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_raw"))
+    existing = hourly(t.events.filter(F.col("ts") < split_ts))
+    delta = hourly(t.events.filter(F.col("ts") >= split_ts))
+    merged = (
+        existing.unionByName(delta)
+        .groupBy("event_type", "bucket_ts")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_raw").alias("sum_raw"))
+    )
+    return merged.select(
+        "event_type",
+        "bucket_ts",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_raw", 2).alias("sum_value"),
+    )

@@ -125,6 +125,7 @@ DRIVER_PRIORITY: list[str] = [
     "etl_dq_checks",  # data-quality gate (orphans/PK/null/range)
     "etl_cohort_retention",  # first-order-month cohort matrix
     "agg_salted",  # two-level salted agg == plain groupBy
+    "rollup_incremental",  # merge-of-partials == full recompute
 ]
 
 
