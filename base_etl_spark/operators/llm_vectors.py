@@ -72,18 +72,31 @@ def sim_topk(t: Tables) -> DataFrame:
     The probe side broadcasts; the corpus streams once. Ties pinned by
     neighbor_id; similarity rounded to 6dp BEFORE ranking so the rank
     itself is cross-engine deterministic."""
+    # norms are PRE-COMPUTED once per row on each side — cosine() inline
+    # would re-derive both norms per PAIR, tripling the interpreted
+    # aggregate work (the same 3-dots-per-pair trap measured on
+    # dedup_embedding in round 1)
     probes = F.broadcast(
         t.embeddings.filter(F.col("vec_id") < N_PROBES).select(
-            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            norm(F.col("embedding")).alias("p_norm"),
         )
     )
+    corpus = t.embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("e_norm")
+    )
     scored = (
-        probes.crossJoin(t.embeddings.select("vec_id", "embedding"))
+        probes.crossJoin(corpus)
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("p_emb"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("p_emb"), F.col("embedding"))
+                / (F.col("p_norm") * F.col("e_norm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
