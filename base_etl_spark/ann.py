@@ -88,10 +88,33 @@ def blocked_topk(
     )
 
 
-@query("sim_topk_blocked", oracle=None)  # R: pandas kernel, self-checked
+@query(
+    "sim_topk_blocked",
+    # same oracle as sim_topk: the Arrow kernel rounds HALF_UP like the
+    # expression path (np.floor(x*1e6+0.5)/1e6), so the blocked result is
+    # bit-identical and held to the full hash check
+    oracle="""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
+        WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT probe_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(p_emb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM probes CROSS JOIN embeddings e
+        WHERE e.vec_id <> probe_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
 def sim_topk_blocked(t: Tables) -> DataFrame:
     """sim_topk via the blocked matmul kernel; tests assert it returns
-    exactly the expression-based sim_topk's rows."""
+    exactly the expression-based sim_topk's rows, and the driver
+    hash-checks it against the same brute-force SQL oracle."""
     probe_rows = (
         t.embeddings.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
     )  # 10 rows: a deliberate, bounded driver-side collect for the probe set

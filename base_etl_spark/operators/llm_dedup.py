@@ -264,7 +264,7 @@ def bucket_pairs(banded: DataFrame, id_col: str, out_a: str, out_b: str) -> Data
     )
 
 
-@query("dedup_near_minhash", oracle=None)  # R: hash-seeded banding
+@query("dedup_near_minhash", oracle=_JACCARD_ORACLE)
 def dedup_near_minhash(t: Tables) -> DataFrame:
     """MinHash+LSH near-dup: signatures -> banded candidates -> exact
     shingle-Jaccard verification of CANDIDATES ONLY.
@@ -272,8 +272,13 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
     100 TB plan: linear scans + shuffles on (band hash) and (doc_id);
     verification cost is candidates x shingles, never the all-pairs
     join (which is quadratic in token collision classes and already
-    dominates at sf0.1). Self-check (tests): result set ==
-    dedup_near_jaccard's whenever banding recall holds."""
+    dominates at sf0.1). Hash-checked against the EXACT Jaccard oracle:
+    verified candidates equal the exact tier whenever banding recall
+    holds, and recall is DETERMINISTIC here — xxhash64 seeds are fixed,
+    so the banding outcome on a given corpus never varies run to run
+    (equality also asserted against dedup_near_jaccard in tests; a new
+    corpus at a different SF would re-roll the ~97%-per-pair recall
+    dice, which is the documented approximation contract)."""
     # No persists, no self-joins: the signature lineage runs exactly once
     # (bucket-collect candidate generation, see lsh_candidate_pairs), so
     # there is nothing to cache. Round 1 persisted two mid-plan

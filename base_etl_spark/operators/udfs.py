@@ -67,11 +67,28 @@ def _entropy_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "entropy": [round(h, 6)]})
 
 
-@query("udaf_entropy_pandas", oracle=None)  # R: pandas twin, self-checked
+@query(
+    "udaf_entropy_pandas",
+    # same oracle as the expression twin: the pandas kernel is
+    # deterministic (sorted groupby order; 6dp round absorbs float
+    # noise), so the grouped-map path is held to the full hash check
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, sum(n) AS total FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           round(-sum((n * 1.0 / total) * ln(n * 1.0 / total)), 6) AS entropy
+    FROM c JOIN tot ON c.user_id = tot.user_id
+    GROUP BY c.user_id
+    """,
+)
 def udaf_entropy_pandas(t: Tables) -> DataFrame:
     """The same entropy as a grouped-map UDAF (applyInPandas): each user's
-    rows arrive as one pandas DataFrame over Arrow. Declared rows-only;
-    tests assert equality with udaf_entropy."""
+    rows arrive as one pandas DataFrame over Arrow. Hash-checked against
+    the SAME oracle as udaf_entropy — the pandas kernel must agree with
+    the expression twin bit-for-bit after the 6dp round."""
     return (
         t.events.select("user_id", "event_type")
         .groupBy("user_id")
@@ -86,11 +103,22 @@ def _norm01(v: pd.Series) -> pd.Series:
     return ((v - 0.01) / (490.02 - 0.01)).round(6)
 
 
-@query("udf_pandas", oracle=None)  # R: vectorized UDF surface
+@query(
+    "udf_pandas",
+    oracle="""
+    SELECT event_id,
+           round((value - 0.01) / (490.02 - 0.01), 6) AS value_norm,
+           round((value - 0.01) / (490.02 - 0.01), 6) AS value_norm_builtin
+    FROM events
+    """,
+)
 def udf_pandas(t: Tables) -> DataFrame:
     """Arrow-vectorized pandas UDF (series -> series). The same formula is
-    also computed as a built-in expression; tests assert bit-equality —
-    the demo is the ~10-100x cheaper Python boundary, not new semantics."""
+    also computed as a built-in expression; tests assert bit-equality and
+    the driver hash-checks both columns against the SQL form — the demo
+    is the ~10-100x cheaper Python boundary, not new semantics. (pandas
+    .round is half-to-even vs HALF_UP elsewhere; no fixture value lands
+    on a 0.5e-6 boundary — the equality test would catch it.)"""
     return t.events.select(
         "event_id",
         _norm01(F.col("value")).alias("value_norm"),
@@ -98,11 +126,15 @@ def udf_pandas(t: Tables) -> DataFrame:
     )
 
 
-@query("udf_scalar", oracle=None)  # R: row-at-a-time UDF surface
+@query(
+    "udf_scalar",
+    oracle="SELECT event_id, least(value, 100.0) AS value_clipped FROM events",
+)
 def udf_scalar(t: Tables) -> DataFrame:
     """Row-at-a-time Python UDF — the discouraged path, present for
     surface completeness. Pickles every row across the Python boundary;
-    anything hot must use built-ins or pandas UDFs instead."""
+    anything hot must use built-ins or pandas UDFs instead. The clip
+    semantics are exactly SQL least(), so even this path is hash-checked."""
 
     @F.udf(DoubleType())
     def clip100(v: float) -> float:
@@ -111,12 +143,21 @@ def udf_scalar(t: Tables) -> DataFrame:
     return t.events.select("event_id", clip100(F.col("value")).alias("value_clipped"))
 
 
-@query("udtf_explode", oracle=None)  # R: table-function surface
+@query(
+    "udtf_explode",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    """,
+)
 def udtf_explode(t: Tables) -> DataFrame:
     """1-row -> N-rows table function via a generator expression
     (posexplode of a computed array) — the built-in UDTF form. The
     Python @udtf API adds nothing for expressible transforms and costs
-    the interpreter boundary."""
+    the interpreter boundary. posexplode is 0-based; the oracle shifts
+    DuckDB's 1-based subscripts to match."""
     return t.documents.select(
         "doc_id",
         F.posexplode(F.split("text", " ")),
