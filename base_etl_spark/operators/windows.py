@@ -235,3 +235,52 @@ def win_first_last(t: Tables) -> DataFrame:
         F.last("value").over(w).alias("last_val"),
         F.nth_value("value", 2).over(w).alias("second_val"),
     ).distinct()
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM events
+    )
+    SELECT user_id, event_id, ts,
+           CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_types_seen
+    FROM marked
+    """,
+)
+def win_running_distinct(t: Tables) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user over time — a window
+    Spark (and ANSI SQL) cannot express directly (COUNT DISTINCT is not
+    allowed in a running frame). The standard rewrite: mark each (user,
+    event_type)'s FIRST occurrence with a per-type row_number, then a
+    plain running sum of the markers counts distinct types seen so far.
+
+    Two window passes over the SAME user-keyed shuffle (the second
+    partitions by a prefix of the first, so no second exchange); no
+    collect_set state that would grow with cardinality — at 100 TB the
+    state per row stays one integer regardless of how many distinct
+    values exist."""
+    first_w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(first_w) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("is_first").over(run_w).cast("long").alias("n_types_seen"),
+    )

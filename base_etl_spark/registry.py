@@ -126,6 +126,7 @@ DRIVER_PRIORITY: list[str] = [
     "etl_cohort_retention",  # first-order-month cohort matrix
     "agg_salted",  # two-level salted agg == plain groupBy
     "rollup_incremental",  # merge-of-partials == full recompute
+    "win_running_distinct",  # running count-distinct via first-marker
 ]
 
 
