@@ -126,3 +126,26 @@ def test_sample_stratified_prunes_text_column(spark):
     scanning ~100% and ~5% of the table's bytes)."""
     plan = _plan(_QS["sample_stratified"](spark, SF_TEST))
     assert "ReadSchema: struct<doc_id:bigint,lang:string,source:string>" in plan
+
+
+def test_no_accidental_cartesian_in_any_key(spark):
+    """Repo-wide plan audit: no key's plan may contain a cartesian
+    product, and nested-loop joins may appear ONLY where a bounded side
+    makes them the intended plan (scalar subqueries, the deliberate
+    cross join, 10-row probe sets)."""
+    allowed_nested = {
+        "join_cross",       # intentional cross join
+        "text_tfidf",       # 1-row corpus-size scalar
+        "win_distribution", # 1-row global-count scalar
+        "stream_late_data", # 1-row max-ts watermark scalar
+        "sim_topk",         # 10-row probe broadcast x corpus
+        "sim_topk_ivf",     # 10-row probe broadcast x centroids
+    }
+    bad = []
+    for k, fn in _QS.items():
+        plan = _plan(fn(spark, SF_TEST))
+        if "CartesianProduct" in plan:
+            bad.append((k, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and k not in allowed_nested:
+            bad.append((k, "BroadcastNestedLoopJoin"))
+    assert not bad, bad
