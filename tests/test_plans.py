@@ -149,3 +149,28 @@ def test_no_accidental_cartesian_in_any_key(spark):
         if "BroadcastNestedLoopJoin" in plan and k not in allowed_nested:
             bad.append((k, "BroadcastNestedLoopJoin"))
     assert not bad, bad
+
+
+def test_python_eval_only_in_declared_udf_surface(spark):
+    """'UDFs are the slow path': Python evaluation nodes may appear ONLY
+    in the keys whose PURPOSE is the Python boundary. Every other
+    operator must stay JVM-side end to end."""
+    allowed = {
+        "udf_scalar": "BatchEvalPython",
+        "udf_pandas": "ArrowEvalPython",
+        "udaf_entropy_pandas": "FlatMapGroupsInPandas",
+        "sim_topk_blocked": "MapInPandas",
+    }
+    markers = (
+        "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+        "MapInPandas", "FlatMapGroupsWithStateInPandas",
+    )
+    bad = []
+    for k, fn in _QS.items():
+        plan = _plan(fn(spark, SF_TEST))
+        found = [m for m in markers if m in plan]
+        if found and k not in allowed:
+            bad.append((k, found))
+        elif k in allowed and allowed[k] not in found:
+            bad.append((k, f"expected {allowed[k]}, found {found}"))
+    assert not bad, bad
