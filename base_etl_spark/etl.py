@@ -189,22 +189,22 @@ def scd2_apply(
                         AND o_orderpriority = '1-URGENT')
     )
     SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, c_mktsegment,
-           TIMESTAMP '1900-01-01 00:00:00' AS valid_from,
-           TIMESTAMP '9999-12-31 00:00:00' AS valid_to,
+           '1900-01-01' AS valid_from,
+           '9999-12-31' AS valid_to,
            TRUE AS is_current
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = customer.c_custkey)
     UNION ALL
     SELECT c_custkey, c_name, round(c_acctbal, 2), c_mktsegment,
-           TIMESTAMP '1900-01-01 00:00:00',
-           TIMESTAMP '1998-01-01 00:00:00',
+           '1900-01-01',
+           '1998-01-01',
            FALSE
     FROM customer
     WHERE EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = customer.c_custkey)
     UNION ALL
     SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
-           TIMESTAMP '1998-01-01 00:00:00',
-           TIMESTAMP '9999-12-31 00:00:00',
+           '1998-01-01',
+           '9999-12-31',
            TRUE
     FROM updates
     """,
@@ -213,7 +213,13 @@ def etl_scd2(t: Tables) -> DataFrame:
     """SCD2 dim load over customer: customers with >=1 urgent order get a
     simulated acctbal change effective 1998-01-01; their current version
     closes and a new one opens, everyone else stays current. acctbal is
-    rounded on both sides (global double rule)."""
+    rounded on both sides (global double rule).
+
+    valid_from/valid_to are emitted as yyyy-MM-dd STRINGS, not timestamps:
+    the SCD2 open-ended sentinel 9999-12-31 overflows pandas ns-datetime64
+    (max 2262-04-11), which crashed the round-2 driver harness before any
+    comparison. scd2_apply itself keeps real timestamps for range lookups;
+    only this reporting surface stringifies."""
     dim = t.customer.select(
         "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
     )
@@ -230,6 +236,8 @@ def etl_scd2(t: Tables) -> DataFrame:
     return scd2_apply(
         dim, updates, "c_custkey", "1998-01-01",
         ["c_name", "c_acctbal", "c_mktsegment"],
+    ).withColumn("valid_from", F.date_format("valid_from", "yyyy-MM-dd")).withColumn(
+        "valid_to", F.date_format("valid_to", "yyyy-MM-dd")
     )
 
 

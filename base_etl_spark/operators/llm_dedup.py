@@ -406,7 +406,12 @@ def dedup_clusters(t: Tables) -> DataFrame:
     on doc_id; the driver loop only reads a scalar convergence count per
     round — the standard Spark shape for bounded-diameter graph
     algorithms without GraphFrames. The DuckDB oracle is a recursive-CTE
-    transitive closure of the same edge set."""
+    transitive closure of the same edge set.
+
+    The loop runs until changed == 0; the round cap is a runaway guard
+    that RAISES instead of returning non-converged labels (a silent cap
+    would emit wrong canonical ids for a cluster whose min-label distance
+    exceeds it)."""
     pairs = _shingle_jaccard_pairs(t).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -416,7 +421,9 @@ def dedup_clusters(t: Tables) -> DataFrame:
     )
     edges = edges.persist()
     labels = labels.persist()
-    for _ in range(20):  # >> any real near-dup cluster diameter
+    max_rounds = 100  # runaway guard only — far beyond any real diameter
+    changed = -1
+    for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -438,6 +445,12 @@ def dedup_clusters(t: Tables) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge within "
+            f"{max_rounds} rounds — graph has a longer chain than expected"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("canonical_id")
     )

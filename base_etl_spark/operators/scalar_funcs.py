@@ -303,18 +303,22 @@ def map_funcs(t: Tables) -> DataFrame:
     "json_extract",
     oracle="""
     SELECT event_type,
-           round(sum(cast(json_extract(props, '$.k') AS int)), 2) AS sum_k,
-           round(avg(cast(json_extract(props, '$.k') AS int)), 6) AS avg_k,
-           count(*)                                                AS n
+           CAST(sum(cast(json_extract(props, '$.k') AS int)) AS BIGINT) AS sum_k,
+           round(avg(cast(json_extract(props, '$.k') AS int)), 6)       AS avg_k,
+           count(*)                                                     AS n
     FROM events
     GROUP BY event_type
     """,
 )
 def json_extract(t: Tables) -> DataFrame:
-    """get_json_object path extraction feeding an aggregate."""
+    """get_json_object path extraction feeding an aggregate.
+
+    sum_k is pinned to BIGINT on both sides: DuckDB's round(sum(INT), 2)
+    yields DOUBLE while Spark's sum(int) is LONG — identical values,
+    different dtypes under a strict value-hash (round-2 driver FAIL)."""
     k = F.get_json_object("props", "$.k").cast("int")
     return t.events.groupBy("event_type").agg(
-        F.round(F.sum(k), 2).alias("sum_k"),
+        F.sum(k).cast("long").alias("sum_k"),
         F.round(F.avg(k), 6).alias("avg_k"),
         F.count(F.lit(1)).alias("n"),
     )

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from base_etl_spark import queries, oracle_sql
-from base_etl_spark.compare import compare_results
+from base_etl_spark.compare import compare_strict
 from tests.conftest import SF_TEST
 
 _QS = queries()
@@ -19,8 +19,7 @@ ROWS_ONLY = sorted(set(_QS) - set(_ORACLE))
 def test_declared_matches_oracle(key, spark, duck):
     sdf = _QS[key](spark, SF_TEST)
     srows = [tuple(r) for r in sdf.collect()]
-    res = duck.sql(_ORACLE[key])
-    problems = compare_results(sdf.columns, srows, res.columns, res.fetchall())
+    problems = compare_strict(sdf.columns, srows, duck.sql(_ORACLE[key]).df())
     assert not problems, f"{key}: {problems}"
 
 

@@ -2,8 +2,10 @@
 
 Runs every registered query on Spark and its oracle SQL on DuckDB over the
 same parquet, then compares row count, column-name set, and the
-order-insensitive multiset of normalized values. Strictest possible local
-check: exact equality (the driver's value-hash can only be looser).
+order-insensitive multiset of type-tagged values — with both sides
+materialized the way the driver does it (Spark rows through pandas
+ns-datetimes, DuckDB through .df() so HUGEINT/DECIMAL->float64 coercions
+are visible). A green here means the driver's value-hash matches.
 
 Usage: python tools/check.py [key ...] [--sf /root/testdata/sf0.01]
 """
@@ -17,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from base_etl_spark.compare import compare_results  # noqa: E402
+from base_etl_spark.compare import compare_strict  # noqa: E402
 
 
 def main() -> int:
@@ -62,19 +64,17 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.sql(osql[k])
-            dcols = res.columns
-            drows = res.fetchall()
+            duck_df = con.sql(osql[k]).df()
         except Exception as e:
             print(f"FAIL  {k}: duckdb error: {e}")
             n_fail += 1
             continue
-        problems = compare_results(scols, srows, dcols, drows)
+        problems = compare_strict(scols, srows, duck_df)
         if problems:
             print(f"FAIL  {k}: " + " | ".join(problems))
             if args.verbose:
                 print("  spark sample:", srows[:3])
-                print("  duck  sample:", drows[:3])
+                print("  duck  sample:", duck_df.head(3).to_dict("records"))
             n_fail += 1
         else:
             print(f"PASS  {k}: {len(srows)} rows ({time.time()-t0:.1f}s)")
