@@ -58,13 +58,24 @@ def run_daily_job(
     partitioned by order date (idempotent overwrite of that partition via
     dynamic partition overwrite); when a JDBC URL is given the same rows
     are LOADED into the database (executed, not just planned — tested
-    against embedded Derby). Returns the row count written."""
+    against embedded Derby). The JDBC leg is replay-idempotent too:
+    the logical date's rows are deleted before the append, so re-running
+    a backfill date never double-inserts (delete+append ~= partition
+    overwrite for databases). Returns the row count written."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = daily_order_summary(spark, sf_dir, day).withColumn(
         "ds", F.date_format("o_orderdate", "yyyy-MM-dd")
     )
     out.write.mode("overwrite").partitionBy("ds").parquet(out_path)
     if jdbc_url:
+        # ANSI-quoted column (Spark's JDBC writer creates case-sensitive
+        # lowercase identifiers) + VARCHAR cast (Derby maps StringType to
+        # CLOB, which cannot compare to a literal without it)
+        sinks.jdbc_delete_where(
+            spark, jdbc_url, jdbc_table,
+            f"CAST(\"ds\" AS VARCHAR(10)) = '{day.isoformat()}'",
+            properties=jdbc_properties,
+        )
         sinks.build_jdbc_writer(
             out, jdbc_url, jdbc_table, properties=jdbc_properties
         ).save()
@@ -84,8 +95,9 @@ def run_range(
     every run in an append-only parquet run log.
 
     Idempotency: re-running any date overwrites exactly that date's
-    parquet partition (dynamic partition overwrite in run_daily_job), so a
-    backfill can be replayed safely; the run log is append-only history —
+    parquet partition (dynamic partition overwrite in run_daily_job) and
+    delete+appends the same date in the JDBC sink, so a backfill can be
+    replayed safely on both legs; the run log is append-only history —
     a scheduler queries `latest status per (job, ds)` from it (see
     read_run_log) exactly like an Airflow task-instance table. Failures
     are logged with status='failed' and do not abort the remaining dates

@@ -15,6 +15,7 @@ for _mod in pkgutil.iter_modules(__path__):
 
 # engine modules outside operators/ that also declare queries
 importlib.import_module("base_etl_spark.ann")
+importlib.import_module("base_etl_spark.sinks")
 importlib.import_module("base_etl_spark.multimodal")
 importlib.import_module("base_etl_spark.profiling")
 importlib.import_module("base_etl_spark.etl")

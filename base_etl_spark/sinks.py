@@ -13,8 +13,14 @@ Engine policy for 100 TB writes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, DataFrameWriter
 from pyspark.sql import functions as F
+
+from base_etl_spark import schemas
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
 
 
 def write_parquet(
@@ -89,6 +95,44 @@ def build_jdbc_writer(
     return w
 
 
+def jdbc_delete_where(
+    spark, url: str, table: str, predicate: str,
+    properties: dict[str, str] | None = None,
+) -> bool:
+    """Execute ``DELETE FROM table WHERE predicate`` through the JVM's
+    DriverManager — Spark's JDBC source cannot DELETE, and this is the
+    replay half of overwrite-by-partition for database sinks (delete the
+    logical date's rows, then append the recomputed ones).
+
+    Returns False without deleting if the table does not exist yet (first
+    run); any other database error propagates. One driver-side statement —
+    the deleted predicate is a partition key (e.g. ds='2024-01-01'), so
+    the DB does an index/partition delete, not a scan per executor."""
+    jvm = spark._jvm
+    props = properties or {}
+    if props.get("driver"):
+        jvm.java.lang.Class.forName(props["driver"])
+    if "user" in props:
+        conn = jvm.java.sql.DriverManager.getConnection(
+            url, props["user"], props.get("password", "")
+        )
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            try:  # existence probe: cheap, portable, no metadata dialects
+                st.executeQuery(f"SELECT 1 FROM {table} WHERE 1=0").close()
+            except Exception:
+                return False  # table absent — nothing to delete
+            st.executeUpdate(f"DELETE FROM {table} WHERE {predicate}")
+            return True
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
 def read_csv(spark, path: str, schema) -> DataFrame:
     """CSV source with explicit schema (never inferSchema at scale — it
     costs a full extra pass)."""
@@ -105,3 +149,79 @@ def read_json(spark, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
+
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _derived_path(sf_dir: str, name: str) -> str:
+    """Deterministic scratch location for derived-format fixture copies,
+    namespaced by scale-factor directory so sf0.001/sf0.01 runs never
+    collide. Lives inside the repo (gitignored) — the sandbox forbids
+    writes elsewhere."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_REPO_ROOT, ".derived", sf_tag, name)
+
+
+@query(
+    "scan_csv_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                          AS n,
+           count(DISTINCT c_nationkey)       AS n_nations,
+           round(sum(c_acctbal), 2)          AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def scan_csv_agg(t: Tables) -> DataFrame:
+    """CSV source, driver-checked end to end: the parquet customer table
+    is written to CSV (header, explicit nullValue) and read back through
+    read_csv with the declared schema, then aggregated; the oracle runs
+    the same aggregate on the ORIGINAL parquet — so the check covers the
+    full write->parse->type round trip (quoting, null marker, shortest
+    double repr), not just that the reader runs.
+
+    Scale notes: the reader takes an explicit schema (inferSchema costs a
+    full extra pass), and CSV splits by line so reads parallelize; CSV is
+    an ingestion format here — no pushdown or column pruning, convert to
+    parquet at the lake edge."""
+    path = _derived_path(t.sf_dir, "customer_csv")
+    write_csv(t.customer, path)
+    df = read_csv(t.spark, path, schemas.CUSTOMER)
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@query(
+    "scan_json_agg",
+    oracle="""
+    SELECT p_brand,
+           count(*)                          AS n,
+           max(p_size)                       AS max_size,
+           round(avg(p_retailprice), 2)      AS avg_price
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def scan_json_agg(t: Tables) -> DataFrame:
+    """JSON-lines source, driver-checked end to end: part -> JSON ->
+    read_json with the declared schema -> aggregate, oracled against the
+    original parquet (same protocol as scan_csv_agg; doubles survive via
+    shortest-repr round trip).
+
+    Scale notes: JSON-lines splits by line (parallel reads) but parses
+    every byte of every record — explicit schema avoids the inference
+    pass, and nothing pushes down; like CSV it is an edge-ingestion
+    format to be converted to parquet once."""
+    path = _derived_path(t.sf_dir, "part_json")
+    write_json(t.part, path)
+    df = read_json(t.spark, path, schemas.PART)
+    return df.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("p_size").alias("max_size"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+    )

@@ -125,3 +125,15 @@ def test_run_daily_job_executes_jdbc_leg(spark, tmp_path):
         .option("driver", _DERBY["driver"]).load()
     )
     assert back.count() == n > 0
+    # replaying the same logical date must NOT double-insert (ADVICE r2:
+    # the JDBC leg appended blindly; now it delete+appends the date)
+    n2 = etl.run_daily_job(
+        spark, SF_TEST, dt.date(1995, 6, 19), str(tmp_path / "daily"),
+        jdbc_url=url, jdbc_properties=_DERBY,
+    )
+    assert n2 == n
+    assert (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "daily_order_summary")
+        .option("driver", _DERBY["driver"]).load().count() == n
+    )
