@@ -276,9 +276,18 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
     verified candidates equal the exact tier whenever banding recall
     holds, and recall is DETERMINISTIC here — xxhash64 seeds are fixed,
     so the banding outcome on a given corpus never varies run to run
-    (equality also asserted against dedup_near_jaccard in tests; a new
-    corpus at a different SF would re-roll the ~97%-per-pair recall
-    dice, which is the documented approximation contract)."""
+    (equality also asserted against dedup_near_jaccard in tests).
+
+    Recall margin, MEASURED on the fixtures (2026-08-13): every true
+    pair has Jaccard >= 0.9 at sf0.01 / >= 0.8 at sf0.1 — far above the
+    0.6 threshold — so the per-pair miss probability at 8x4 banding is
+    <= 2e-4 / 1.5e-2 and P(all pairs recalled) is 0.9998 / 0.98. The
+    oracle contract is therefore corpus-dependent by design: a
+    REGENERATED corpus would re-roll those dice. The safety net is the
+    local strict gate (tools/check.py runs this key against the exact
+    oracle every round) — a recall break surfaces there first, and the
+    key then demotes to rows-only with the tests' equality self-check
+    rather than shipping a red driver row."""
     # No persists, no self-joins: the signature lineage runs exactly once
     # (bucket-collect candidate generation, see lsh_candidate_pairs), so
     # there is nothing to cache. Round 1 persisted two mid-plan
@@ -288,20 +297,36 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
     # Verification is per-candidate array_intersect over the in-row
     # distinct-shingle arrays — the candidate table is O(near-dups),
     # replacing the round-1 explode -> two shuffle joins -> groupBy chain
-    # (3 extra shuffles of every (doc, shingle) pair). No broadcast hint:
-    # AQE sees the tiny candidate stats at runtime and picks broadcast
-    # itself (measured: the static hint serialized the build and was
-    # slightly slower).
+    # (3 extra shuffles of every (doc, shingle) pair). The shingle lineage
+    # is scanned ONCE: candidates explode into (doc_id, side) membership
+    # rows, join the corpus a single time, and regroup per pair — the
+    # earlier two-sided join evaluated the full shingle scan per side
+    # (measured ~0.25 s/side at sf0.1). No broadcast hint: AQE sees the
+    # tiny candidate stats at runtime and picks broadcast itself
+    # (measured: the static hint serialized the build and was slightly
+    # slower).
     sigs = minhash_signatures(t.documents)
     cands = lsh_candidate_pairs(sigs)
     shs = _spread(t.documents).select(
         "doc_id", F.array_distinct(_shingles()).alias("sh")
     )
-    half = shs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).join(
-        cands, "doc_a"
-    )
-    pairs = shs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).join(
-        half, "doc_b"
+    sides = cands.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("doc_id"), F.lit("a").alias("side")),
+                F.struct(F.col("doc_b").alias("doc_id"), F.lit("b").alias("side")),
+            )
+        ).alias("m"),
+    ).select("doc_a", "doc_b", F.col("m.doc_id").alias("doc_id"), F.col("m.side").alias("side"))
+    pairs = (
+        shs.join(sides, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(F.when(F.col("side") == "a", F.col("sh")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("side") == "b", F.col("sh")), ignorenulls=True).alias("sh_b"),
+        )
     )
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = common * F.lit(1.0) / (F.size("sh_a") + F.size("sh_b") - common)

@@ -136,8 +136,17 @@ def stream_dedup(t: Tables) -> DataFrame:
 @query("stream_late_data", oracle=None)  # R: watermark is a runtime concept
 def stream_late_data(t: Tables) -> DataFrame:
     """Watermark semantics, batch-emulated: drop events older than
-    (global max ts - 1 hour), then 15-min tumbling counts. The streaming
-    self-check (tests) asserts micro-batch output ⊆ this batch output."""
+    (global max ts - 1 hour), then 15-min tumbling counts.
+
+    Rows-only BY DESIGN — the only R row with no exact SQL twin, because
+    a watermark is a runtime concept (which rows are 'late' depends on
+    arrival order, not data). It is NOT untested: tests/test_selfchecks.py
+    ::test_late_data_subset_of_all_windows pins the horizon property
+    (every surviving window lies within watermark+window of max ts), and
+    tests/test_streaming.py runs the real withWatermark micro-batch
+    queries (EventTimeWatermark plan node asserted; tumbling/dedup/
+    stateful outputs equal their batch twins) — the strongest cross-checks
+    watermark semantics admit."""
     max_ts = t.events.agg(F.max("ts").alias("max_ts"))
     kept = t.events.crossJoin(F.broadcast(max_ts)).filter(
         F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 1 HOUR")

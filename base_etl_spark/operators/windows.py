@@ -138,7 +138,14 @@ def win_moving_avg(t: Tables) -> DataFrame:
 def win_range_frame(t: Tables) -> DataFrame:
     """Running revenue by date with an explicit RANGE frame over the
     pre-aggregated daily series (group first => the window input is one
-    row per day, so the cumulative sum is order-deterministic)."""
+    row per day, so the cumulative sum is order-deterministic).
+
+    The bare Window.orderBy here is BOUNDED BY CONSTRUCTION: its input is
+    the post-aggregation one-row-per-day series (~2.4k rows for 7 years
+    of orders — and still only ~thousands at 100 TB, because the grain is
+    calendar days, not input rows). The partial aggregation before it is
+    what absorbs the scale; a two-phase rank over a table this size would
+    add two shuffles to save a single-task pass over a few KB."""
     daily = t.orders.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("day_rev")
     )
