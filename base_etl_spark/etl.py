@@ -253,6 +253,55 @@ def etl_scd2(t: Tables) -> DataFrame:
     )
 
 
+@query(
+    "etl_upsert_merge",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal,
+               c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    )
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, c_mktsegment,
+           FALSE AS was_updated
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = customer.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment, TRUE
+    FROM updates
+    """,
+)
+def etl_upsert_merge(t: Tables) -> DataFrame:
+    """SCD1 upsert (MERGE semantics): updates overwrite matching keys in
+    place, everyone else passes through — the other half of the dim-load
+    story next to etl_scd2's history-keeping SCD2. Same anti-join + union
+    shape as upsert_parquet, held to a driver oracle.
+
+    At scale: one hash anti-join keyed on the dimension key (the changed
+    set is small -> AQE broadcasts it) + a union — identical plan to what
+    Delta/Iceberg MERGE INTO compiles to for non-matched-by-source
+    passthrough."""
+    dim = t.customer.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    updates = (
+        t.customer.join(urgent, t.customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    kept = dim.join(updates.select("c_custkey"), "c_custkey", "left_anti").withColumn(
+        "was_updated", F.lit(False)
+    )
+    return kept.unionByName(updates.withColumn("was_updated", F.lit(True)))
+
+
 def upsert_parquet(
     spark: SparkSession, existing_path: str, updates: DataFrame, key: str
 ) -> DataFrame:

@@ -346,3 +346,42 @@ def agg_salted(t: Tables) -> DataFrame:
         ],
     )
     return out
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_event, n AS n_events
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY n DESC, event_type) AS rn
+        FROM counts
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(t: Tables) -> DataFrame:
+    """Statistical mode per group: each user's most frequent event type,
+    ties broken lexicographically so the answer is a total function of
+    the data (Spark's native mode() is non-deterministic on ties).
+
+    Two hash aggregations — (user, type) counts, then argmax via max_by
+    over a (count, reversed-type) ordering struct — NO window over the
+    full table: the second agg's input is already one row per (user,
+    type), and max_by's comparator gives the deterministic tie-break.
+    At 100 TB both aggs shuffle on user_id and co-partition."""
+    counts = t.events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # deterministic argmax: strings don't negate, so order by
+    # (-n, event_type) and take min_by — (count DESC, type ASC)
+    pick = F.min_by(
+        F.struct(F.col("event_type").alias("mode_event"), F.col("n").alias("n_events")),
+        F.struct((-F.col("n")).alias("negn"), F.col("event_type").alias("et")),
+    )
+    return counts.groupBy("user_id").agg(pick.alias("p")).select(
+        "user_id", F.col("p.mode_event").alias("mode_event"), F.col("p.n_events").alias("n_events")
+    )

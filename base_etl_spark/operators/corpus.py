@@ -161,3 +161,117 @@ def sample_stratified(t: Tables) -> DataFrame:
         .filter(F.col("bucket") < F.col("pct"))
         .drop("pct")
     )
+
+
+#: sources whose documents form the held-out benchmark for contamination
+_BENCH_SOURCES = ("src0", "src1")
+
+_SHINGLE_CTE = """
+    t AS (
+        SELECT doc_id, source,
+               generate_subscripts(string_split(text, ' '), 1) AS i,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               w || ' ' || lead(w) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    sh2 AS (SELECT doc_id, source, s FROM sh WHERE s IS NOT NULL)
+"""
+
+
+@query(
+    "text_contamination",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (
+        SELECT DISTINCT s FROM sh2
+        WHERE source IN {_BENCH_SOURCES!r}
+    )
+    SELECT t.doc_id,
+           count(*)                                   AS n_shingles,
+           count(b.s)                                 AS n_contaminated,
+           round(count(b.s) * 1.0 / count(*), 6)      AS contamination
+    FROM sh2 t LEFT JOIN bench b ON t.s = b.s
+    WHERE t.source NOT IN {_BENCH_SOURCES!r}
+    GROUP BY t.doc_id
+    """,
+)
+def text_contamination(t: Tables) -> DataFrame:
+    """Benchmark-contamination score: for every TRAIN document, the
+    fraction of its distinct 3-word shingles that also appear anywhere in
+    the held-out BENCHMARK partition (sources src0/src1 stand in for an
+    eval suite). The decontamination step every serious LLM training
+    pipeline runs before training — docs with high overlap get dropped or
+    audited.
+
+    100 TB shape: the benchmark shingle set is tiny relative to the train
+    corpus (eval suites are MBs, corpora are TBs), so it BROADCASTS and
+    the train side streams through one scan + one groupBy(doc_id) —
+    which co-partitions with the shingle explode exactly like the dedup
+    operators (same _spread key). No shuffle ever carries the corpus
+    text, only (doc_id, shingle-count) aggregates."""
+    from base_etl_spark.operators.llm_dedup import _shingles, _spread
+
+    sh = _spread(t.documents).select(
+        "doc_id", "source", F.explode(F.array_distinct(_shingles())).alias("s")
+    )
+    bench = F.broadcast(
+        sh.filter(F.col("source").isin(*_BENCH_SOURCES)).select("s").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = sh.filter(~F.col("source").isin(*_BENCH_SOURCES))
+    return (
+        train.join(bench, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+            F.round(F.count("_hit") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+# train/val/test cut points over the 100-bucket hash space
+_SPLIT_TRAIN, _SPLIT_VAL = 80, 90
+
+
+@query(
+    "etl_train_split",
+    oracle=f"""
+    SELECT CASE WHEN (doc_id * {_KNUTH}) % 100 < {_SPLIT_TRAIN} THEN 'train'
+                WHEN (doc_id * {_KNUTH}) % 100 < {_SPLIT_VAL}   THEN 'val'
+                ELSE 'test' END                     AS split,
+           lang,
+           count(*)                                 AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)             AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def etl_train_split(t: Tables) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by multiplicative
+    hash of doc_id, summarized per (split, lang). Same engine-neutral
+    bucket arithmetic as sample_stratified: the split is a pure projection
+    (no rand(), no shuffle for the assignment itself), reproducible across
+    engines and re-runs, and stable under corpus growth — existing docs
+    never change split when new docs arrive, unlike percentile- or
+    row_number-based splits which reshuffle everything."""
+    bucket = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(100))
+    split = (
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        t.documents.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -362,3 +362,43 @@ def join_range_bucketized(t: Tables) -> DataFrame:
         F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
         F.round(F.coalesce("_sum", F.lit(0.0)), 2).alias("click_value"),
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT s_nationkey,
+           count(*)                       AS n_lines,
+           round(sum(l_quantity), 2)      AS total_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def join_skew_salted(t: Tables) -> DataFrame:
+    """Salted fact->dim join (skew.salted_join) proven equal to the plain
+    join: the oracle is the UNSALTED SQL, so the driver hash certifies the
+    salt never leaks into the answer — the same contract agg_salted pins
+    for salted aggregation.
+
+    The mechanism: the fact side gets a random salt in [0, 16); the dim
+    side is exploded 16x with every salt value and broadcast; the join key
+    becomes (suppkey, salt), so a hot supplier's rows spread over 16 tasks
+    instead of one. This is the fallback for hot keys AQE's skew split
+    cannot fix (e.g. one key >> one partition AFTER splitting, or
+    broadcast-hash joins where AQE skew handling does not apply). Cost:
+    dim replication x16 (still broadcast-sized) — the big side still
+    never shuffles."""
+    from base_etl_spark.skew import salted_join
+
+    fact = t.lineitem.select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+    )
+    dim = t.supplier.select("s_suppkey", "s_nationkey")
+    return (
+        salted_join(fact, dim, "s_suppkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )

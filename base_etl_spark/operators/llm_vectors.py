@@ -394,3 +394,87 @@ def sim_topk_ivf(t: Tables) -> DataFrame:
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+
+
+@query(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb, label AS true_label
+        FROM embeddings WHERE vec_id < {N_PROBES}
+    ),
+    scored AS (
+        SELECT probe_id, true_label, e.label AS n_label,
+               round(list_cosine_similarity(p_emb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim,
+               e.vec_id AS neighbor_id
+        FROM probes CROSS JOIN embeddings e
+        WHERE e.vec_id <> probe_id
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {TOP_K}
+    ),
+    votes AS (
+        SELECT probe_id, true_label, n_label, count(*) AS n_votes
+        FROM topk GROUP BY probe_id, true_label, n_label
+    )
+    SELECT probe_id, true_label, n_label AS pred_label, n_votes
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY n_votes DESC, n_label) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def sim_knn_classify(t: Tables) -> DataFrame:
+    """kNN label prediction: majority vote over the cosine top-5
+    neighbors of each probe (ties -> most votes, then smallest label) —
+    the eval-side twin of similarity search, e.g. quality-label
+    propagation from a small annotated set onto a corpus.
+
+    Same deterministic recipe as sim_topk (round similarity to 6dp BEFORE
+    ranking, total tie-break order), then two tiny aggregations over the
+    k x probes result. Scale: identical to sim_topk's broadcast-probe
+    plan — the corpus streams once; votes are k rows per probe."""
+    probes = F.broadcast(
+        t.embeddings.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            F.col("label").alias("true_label"),
+            norm(F.col("embedding")).alias("p_norm"),
+        )
+    )
+    corpus = t.embeddings.select(
+        "vec_id", "embedding", "label", norm(F.col("embedding")).alias("e_norm")
+    )
+    scored = (
+        probes.crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("label").alias("n_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("p_emb"), F.col("embedding"))
+                / (F.col("p_norm") * F.col("e_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+    votes = topk.groupBy("probe_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    pick = F.min_by(
+        F.struct(F.col("n_label").alias("pred_label"), F.col("n_votes").alias("n_votes")),
+        F.struct((-F.col("n_votes")).alias("negv"), F.col("n_label").alias("lb")),
+    )
+    return votes.groupBy("probe_id", "true_label").agg(pick.alias("p")).select(
+        "probe_id", "true_label", F.col("p.pred_label").alias("pred_label"),
+        F.col("p.n_votes").alias("n_votes")
+    )

@@ -140,6 +140,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "stream_late_data", # 1-row max-ts watermark scalar
         "sim_topk",         # 10-row probe broadcast x corpus
         "sim_topk_ivf",     # 10-row probe broadcast x centroids
+        "sim_knn_classify", # 10-row probe broadcast x corpus (sim_topk shape)
     }
     bad = []
     for k, fn in _QS.items():
