@@ -175,3 +175,18 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         elif k in allowed and allowed[k] not in found:
             bad.append((k, f"expected {allowed[k]}, found {found}"))
     assert not bad, bad
+
+
+def test_train_split_prunes_text_column(spark):
+    """The splitter needs only (doc_id, lang, n_chars); reading text
+    would scan ~95% more bytes for nothing."""
+    plan = _plan(_QS["etl_train_split"](spark, SF_TEST))
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast (eval suites are tiny vs
+    the train corpus); a shuffle join here would move the whole corpus's
+    shingles by shingle key."""
+    plan = _plan(_QS["text_contamination"](spark, SF_TEST))
+    assert "BroadcastHashJoin" in plan
