@@ -360,3 +360,51 @@ def text_langid_ngram(t: Tables) -> DataFrame:
             ).alias("score"),
         )
     )
+
+
+@query(
+    "text_unigram_nll",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT doc_id,
+           count(*)                                    AS n_tok,
+           round(avg(-ln(c * 1.0 / n)), 6)             AS avg_nll
+    FROM tok JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_nll(t: Tables) -> DataFrame:
+    """Unigram language-model quality score: per document, the mean
+    negative log-likelihood of its tokens under the corpus unigram
+    distribution — the classic cheap perplexity proxy used to rank/filter
+    training documents (gibberish and boilerplate sit at the distribution
+    tails; no external model needed).
+
+    Plan: one explode pass feeds BOTH the frequency table and the scoring
+    join; the vocabulary aggregate is tiny relative to the corpus (Heaps'
+    law — ~millions of types vs trillions of tokens at 100 TB) and
+    BROADCASTS back onto the token stream, so the only corpus-sized
+    shuffle is the final doc_id agg, which co-partitions with the explode
+    (_spread key). The 1-row total-token count rides the same broadcast
+    pattern as text_tfidf's corpus-size scalar."""
+    from base_etl_spark.operators.llm_dedup import _spread
+
+    tok = _spread(t.documents).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    nll = -F.log(F.col("c") * F.lit(1.0) / F.col("n"))
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )

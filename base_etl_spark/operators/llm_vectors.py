@@ -478,3 +478,51 @@ def sim_knn_classify(t: Tables) -> DataFrame:
         "probe_id", "true_label", F.col("p.pred_label").alias("pred_label"),
         F.col("p.n_votes").alias("n_votes")
     )
+
+
+_Q_SCALE = 256  # int8 quantization scale; fixture |x| <= 0.53 so a few
+#                dims exceed 127/256 = 0.496 and exercise the clamp path
+
+
+@query(
+    "embedding_quantize",
+    oracle=f"""
+    SELECT vec_id,
+           len(list_filter(embedding::DOUBLE[],
+               x -> abs(floor(x * {_Q_SCALE} + 0.5)) > 127))      AS n_clipped,
+           round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> pow(x - greatest(-127, least(127,
+                        floor(x * {_Q_SCALE} + 0.5))) / {_Q_SCALE}.0, 2)),
+               'sum')), 6)                                        AS l2_err
+    FROM embeddings
+    """,
+)
+def embedding_quantize(t: Tables) -> DataFrame:
+    """Scalar int8 quantization of the embedding column: quantize each
+    dimension to clamp(floor(x*scale + 0.5), -127, 127) and report the
+    per-vector reconstruction error and clip count — the storage tier
+    every 100 TB embedding store runs (int8 is 4x smaller than float32
+    and recall loss is dominated by exactly this L2 error).
+
+    Engine parity: floor(x*s + 0.5) is the repo's deterministic rounding
+    recipe (plain round() half-up vs half-even differs across engines);
+    float->double widening is exact on both sides, so quantized codes are
+    bit-identical and only the error SUM needs the 6dp round (summation
+    order). Pure projection — no shuffle, no UDF; the transform lambda
+    runs per element but the array is fixed 64-dim."""
+    emb = F.col("embedding")
+    q = lambda x: F.floor(x.cast("double") * _Q_SCALE + F.lit(0.5))  # noqa: E731
+    clipped = F.size(F.filter(emb, lambda x: F.abs(q(x)) > 127))
+    deq = lambda x: (  # noqa: E731
+        F.greatest(F.lit(-127.0), F.least(F.lit(127.0), q(x))) / _Q_SCALE
+    )
+    err2 = F.aggregate(
+        F.transform(emb, lambda x: F.pow(x.cast("double") - deq(x), F.lit(2.0))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return t.embeddings.select(
+        "vec_id",
+        clipped.alias("n_clipped"),
+        F.round(F.sqrt(err2), 6).alias("l2_err"),
+    )

@@ -138,6 +138,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "text_tfidf",       # 1-row corpus-size scalar
         "win_distribution", # 1-row global-count scalar
         "stream_late_data", # 1-row max-ts watermark scalar
+        "text_unigram_nll", # 1-row total-token-count scalar
         "sim_topk",         # 10-row probe broadcast x corpus
         "sim_topk_ivf",     # 10-row probe broadcast x centroids
         "sim_knn_classify", # 10-row probe broadcast x corpus (sim_topk shape)
