@@ -436,3 +436,84 @@ def etl_cohort_retention(t: Tables) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+    WITH today AS (
+        SELECT c_custkey, c_name,
+               round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0
+                          ELSE c_acctbal END, 2) AS c_acctbal,
+               c_mktsegment
+        FROM customer
+        WHERE c_custkey % 11 <> 0
+    ),
+    yesterday AS (
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+               c_mktsegment
+        FROM customer
+        WHERE c_custkey % 13 <> 0
+    )
+    SELECT CASE WHEN y.c_custkey IS NULL THEN 'added'
+                WHEN t.c_custkey IS NULL THEN 'removed'
+                WHEN t.c_acctbal IS DISTINCT FROM y.c_acctbal
+                  OR t.c_name IS DISTINCT FROM y.c_name
+                  OR t.c_mktsegment IS DISTINCT FROM y.c_mktsegment
+                     THEN 'changed'
+                ELSE 'unchanged' END           AS change_type,
+           count(*)                            AS n_rows
+    FROM today t FULL JOIN yesterday y USING (c_custkey)
+    GROUP BY 1
+    """,
+)
+def etl_snapshot_diff(t: Tables) -> DataFrame:
+    """Snapshot diff (data-diff / CDC reconciliation): classify every key
+    across two dimension snapshots as added / removed / changed /
+    unchanged — the audit step between consecutive daily loads, and the
+    validation tool when migrating a pipeline (old engine vs new engine
+    outputs). Snapshots are derived deterministically from customer
+    (yesterday drops keys %13, today drops %11 and perturbs %7 balances)
+    so the diff exercises all four classes.
+
+    At scale: ONE full outer hash join on the key plus a tiny class agg —
+    the join co-partitions both snapshots; null-safe comparison
+    (eqNullSafe / IS DISTINCT FROM) makes 'changed' correct under NULL
+    attributes. No window, no collect."""
+    base = t.customer.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+    today = base.filter(F.col("c_custkey") % 11 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 50.0, 2)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    yesterday = base.filter(F.col("c_custkey") % 13 != 0)
+    tt = today.select(
+        F.col("c_custkey").alias("k"),
+        *[F.col(c).alias(f"t_{c}") for c in ("c_name", "c_acctbal", "c_mktsegment")],
+    )
+    yy = yesterday.select(
+        F.col("c_custkey").alias("k"),
+        *[F.col(c).alias(f"y_{c}") for c in ("c_name", "c_acctbal", "c_mktsegment")],
+    )
+    changed = (
+        ~F.col("t_c_acctbal").eqNullSafe(F.col("y_c_acctbal"))
+        | ~F.col("t_c_name").eqNullSafe(F.col("y_c_name"))
+        | ~F.col("t_c_mktsegment").eqNullSafe(F.col("y_c_mktsegment"))
+    )
+    # presence markers: attribute nulls can't prove a side absent after
+    # the outer join (a real row may have NULL attributes)
+    j = tt.withColumn("_t", F.lit(1)).join(
+        yy.withColumn("_y", F.lit(1)), "k", "full_outer"
+    )
+    cls = (
+        F.when(F.col("_y").isNull(), "added")
+        .when(F.col("_t").isNull(), "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(cls.alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

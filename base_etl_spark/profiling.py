@@ -79,3 +79,37 @@ def etl_profile(t: Tables) -> DataFrame:
     doubles excluded from the declared slice to keep the oracle's
     cast-to-string formatting engine-neutral)."""
     return profile(t.orders, ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+
+_BIN_W, _N_BINS = 25.0, 20  # value domain [0, 500) measured; last bin clamps
+
+
+@query(
+    "events_histogram",
+    oracle=f"""
+    SELECT event_type,
+           least({_N_BINS - 1}, CAST(floor(value / {_BIN_W}) AS BIGINT)) AS bin,
+           count(*)                                                      AS n,
+           round(sum(value), 2)                                          AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_histogram(t: Tables) -> DataFrame:
+    """Fixed-width histogram of event values per type (20 bins of 25.0,
+    top bin clamps) — the profiling companion to etl_profile: monitors
+    compare successive days' histograms to catch distribution drift that
+    min/max/count stats miss.
+
+    Fixed bin edges (not percentile-based) keep the operator a single
+    hash aggregate — one scan, one shuffle of (type, bin) partials, bin
+    arithmetic is engine-neutral floor(). Percentile edges would need a
+    pre-pass; at 100 TB the fixed-edge daily histogram is what you page
+    on, the quantile profile is the weekly job (agg_percentiles)."""
+    bin_ = F.least(
+        F.lit(_N_BINS - 1).cast("long"), F.floor(F.col("value") / _BIN_W)
+    )
+    return t.events.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
