@@ -56,6 +56,23 @@ def streaming_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFram
     )
 
 
+def streaming_sessionize(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of stream_session: watermarked 30-min-gap session
+    windows per user. Session state merges adjacent windows as events
+    arrive and finalizes a session once the watermark passes its end —
+    the canonical stateful-streaming shape for user-activity rollups."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup by (user_id, event_type): keeps first-by-arrival
     within the watermark horizon (state is GC'd past it)."""

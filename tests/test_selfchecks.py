@@ -272,3 +272,44 @@ def test_knn_votes_bounded_by_k(spark):
     out = queries()["sim_knn_classify"](spark, SF_TEST).collect()
     assert len(out) == 10
     assert all(1 <= r.n_votes <= 5 for r in out)
+
+
+def test_quantize_codes_in_int8_range_and_error_bounded(spark):
+    """Quantized codes must fit int8 after clamp, and for unclipped
+    dims the per-dim reconstruction error is bounded by half a step."""
+    from base_etl_spark import load_tables, queries
+
+    out = queries()["embedding_quantize"](spark, SF_TEST)
+    rows = out.collect()
+    assert rows and all(r.n_clipped >= 0 for r in rows)
+    # worst case per-vector L2 error: sqrt(64 * (0.5/256)^2) for unclipped
+    # dims; clipped dims add at most (|x|max - 127/256) each. With fixture
+    # |x| <= 0.53 the bound is loose but finite:
+    import math
+    bound = math.sqrt(64) * (0.53 - 127.0 / 256.0 + 0.5 / 256.0)
+    assert all(r.l2_err <= bound for r in rows)
+
+
+def test_unigram_nll_scores_positive_and_complete(spark):
+    from base_etl_spark import load_tables, queries
+
+    t = load_tables(spark, SF_TEST)
+    out = queries()["text_unigram_nll"](spark, SF_TEST)
+    rows = out.collect()
+    assert len(rows) == t.documents.count()  # every doc scores
+    # -ln(p) > 0 strictly unless a single token IS the whole corpus
+    assert all(r.avg_nll > 0 for r in rows)
+    assert all(r.n_tok > 0 for r in rows)
+
+
+def test_snapshot_diff_classes_partition_the_key_space(spark):
+    from base_etl_spark import load_tables, queries
+
+    t = load_tables(spark, SF_TEST)
+    got = {r.change_type: r.n_rows for r in queries()["etl_snapshot_diff"](spark, SF_TEST).collect()}
+    n = t.customer.count()
+    n_union = (
+        t.customer.filter((F.col("c_custkey") % 11 != 0) | (F.col("c_custkey") % 13 != 0)).count()
+    )
+    assert set(got) == {"added", "removed", "changed", "unchanged"}
+    assert sum(got.values()) == n_union  # every key classified exactly once

@@ -66,3 +66,15 @@ def test_stream_static_enrich(spark, events_stream, tables):
     assert n == tables.events.count()  # left join preserves the stream
     # users that exist as customers got a segment
     assert got.filter(F.col("c_mktsegment").isNotNull()).count() > 0
+
+
+def test_streaming_sessionize_equals_batch(spark, events_stream):
+    """Session windows through a real micro-batch run must equal the
+    batch operator (complete mode: all sessions emitted at the end)."""
+    got = st.run_to_memory(
+        st.streaming_sessionize(events_stream), "t_sess", output_mode="complete"
+    )
+    batch = _QS["stream_session"](spark, SF_TEST)
+    s = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
