@@ -177,3 +177,58 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "payload").mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+def decode_audio_stub(payload: bytes, sample_rate: int = 16_000) -> np.ndarray:
+    """STUB audio decoder — a real build calls ffmpeg/soundfile and
+    returns a float waveform; the fake maps bytes to [-1, 1) samples so
+    downstream feature code (framing, energy, spectrogram shapes) runs
+    against realistic arrays."""
+    if payload is None:
+        raise NotImplementedError("real codec not available in this environment")
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    return (arr - 128.0) / 128.0
+
+
+@query(
+    "mm_frame_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id AS asset_id, text,
+               greatest(octet_length(encode(text)) // 4, 1) AS flen
+        FROM documents
+    )
+    SELECT asset_id, frame_no,
+           octet_length(encode(substr(text, frame_no * flen + 1, flen)))
+               AS n_bytes,
+           sha256(substr(text, frame_no * flen + 1, flen)) AS frame_sha
+    FROM d, (SELECT unnest([0, 1, 2, 3]) AS frame_no)
+    WHERE octet_length(encode(substr(text, frame_no * flen + 1, flen))) > 0
+    """,
+)
+def mm_frame_stats(t: Tables) -> DataFrame:
+    """Frame-sampling plumbing, driver-checked end to end: the derived
+    binary payload goes through the REAL mapInPandas frame sampler (Arrow
+    batches in, one row per frame out), and the per-frame byte lengths +
+    digests are hash-verified against DuckDB slicing the same bytes with
+    substr arithmetic (fixture text is ASCII, so char slices == byte
+    slices). This certifies the batch shape, the 1->N row explosion, and
+    the slice arithmetic — everything a real ffmpeg build would reuse
+    unchanged.
+
+    This key is deliberately ON the Python boundary (mapInPandas): codec
+    work cannot be a JVM expression; the plan-audit whitelist documents
+    it next to the four UDF-surface demos. Empty tail frames (payload
+    shorter than 4 bytes) are dropped on both sides."""
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    # re-spread the single-file fixture before the Python stage — same
+    # rationale as llm_dedup._spread: codec work is expensive PER ROW, so
+    # every core must hold a batch even when the input bytes are small
+    assets = with_binary_payload(t.documents).repartition(n, "asset_id")
+    frames = sample_frames(assets, n_frames=4)
+    return frames.filter(F.octet_length("frame") > 0).select(
+        "asset_id",
+        "frame_no",
+        F.octet_length("frame").cast("bigint").alias("n_bytes"),
+        F.sha2("frame", 256).alias("frame_sha"),
+    )

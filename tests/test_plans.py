@@ -162,6 +162,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "udf_pandas": "ArrowEvalPython",
         "udaf_entropy_pandas": "FlatMapGroupsInPandas",
         "sim_topk_blocked": "MapInPandas",
+        "mm_frame_stats": "MapInPandas",  # codec plumbing IS the boundary
     }
     markers = (
         "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",

@@ -313,3 +313,14 @@ def test_snapshot_diff_classes_partition_the_key_space(spark):
     )
     assert set(got) == {"added", "removed", "changed", "unchanged"}
     assert sum(got.values()) == n_union  # every key classified exactly once
+
+
+def test_audio_stub_waveform_shape():
+    from base_etl_spark import multimodal as mm
+
+    w = mm.decode_audio_stub(b"\x00\x80\xff")
+    assert w.shape == (3,) and (-1.0 <= w).all() and (w < 1.0).all()
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio_stub(None)
