@@ -122,3 +122,103 @@ def test_sample_bucket_matches_python_arithmetic(spark, ids):
         ).collect()
     }
     assert got == {i: (i * _KNUTH) % 100 for i in ids}
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-0.625, max_value=0.625, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_quantize_matches_numpy_reference(spark, vecs):
+    """Spark's int8 quantization expressions == the straight-numpy
+    reference (codes, clip counts, L2 reconstruction error)."""
+    import math
+
+    import numpy as np
+
+    from base_etl_spark.operators.llm_vectors import _Q_SCALE
+    from base_etl_spark.registry import REGISTRY
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+    class T:
+        embeddings = df
+
+    got = {r.vec_id: r for r in REGISTRY["embedding_quantize"].fn.tables_fn(T).collect()}
+    for i, v in enumerate(vecs):
+        x = np.array(v, dtype=np.float32).astype(np.float64)
+        q = np.floor(x * _Q_SCALE + 0.5)
+        n_clip = int((np.abs(q) > 127).sum())
+        deq = np.clip(q, -127, 127) / _Q_SCALE
+        err = round(math.sqrt(float(((x - deq) ** 2).sum())), 6)
+        assert got[i].n_clipped == n_clip
+        assert abs(got[i].l2_err - err) <= 1e-6
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=6),
+        min_size=1, max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_unigram_nll_matches_python_reference(spark, docs):
+    import math
+    from collections import Counter
+
+    from base_etl_spark.registry import REGISTRY
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    class T:
+        documents = df
+
+    got = {r.doc_id: r for r in REGISTRY["text_unigram_nll"].fn.tables_fn(T).collect()}
+    freq = Counter(w for d in docs for w in d)
+    total = sum(freq.values())
+    for i, d in enumerate(docs):
+        ref = round(sum(-math.log(freq[w] / total) for w in d) / len(d), 6)
+        assert got[i].n_tok == len(d)
+        assert abs(got[i].avg_nll - ref) <= 1e-6
+
+
+@given(ids=st.sets(st.integers(min_value=1, max_value=200), min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_snapshot_diff_matches_python_reference(spark, ids):
+    """Class counts == straight-Python over the same derived snapshots."""
+    from base_etl_spark.registry import REGISTRY
+
+    df = spark.createDataFrame(
+        [(k, f"c{k}", float(k), "SEG") for k in sorted(ids)],
+        "c_custkey long, c_name string, c_acctbal double, c_mktsegment string",
+    )
+
+    class T:
+        customer = df
+
+    got = {r.change_type: r.n_rows for r in REGISTRY["etl_snapshot_diff"].fn.tables_fn(T).collect()}
+    ref: dict[str, int] = {}
+    for k in ids:
+        in_today, in_yest = k % 11 != 0, k % 13 != 0
+        if in_today and not in_yest:
+            c = "added"
+        elif in_yest and not in_today:
+            c = "removed"
+        elif in_today and in_yest:
+            c = "changed" if k % 7 == 0 else "unchanged"
+        else:
+            continue
+        ref[c] = ref.get(c, 0) + 1
+    assert got == ref
