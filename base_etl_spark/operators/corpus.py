@@ -275,3 +275,38 @@ def etl_train_split(t: Tables) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+_SAMPLE_K = 100
+_BIG_PRIME = 1_000_000_007
+
+
+@query(
+    "sample_exact_k",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY (doc_id * {_KNUTH}) % {_BIG_PRIME}, doc_id
+    LIMIT {_SAMPLE_K}
+    """,
+)
+def sample_exact_k(t: Tables) -> DataFrame:
+    """Deterministic exact-k sample: rank every row by a multiplicative
+    hash and keep the k smallest — the reproducible replacement for
+    reservoir sampling when you need a FIXED-SIZE audit/eval subset
+    (df.sample() is probabilistic in size AND partitioning-dependent;
+    this is neither).
+
+    Scale shape: Spark plans TakeOrderedAndProject — each partition keeps
+    its local top-k and only k rows per partition reach the driver-side
+    merge; no global sort, no full shuffle, same plan family as
+    topk_orders (plan-asserted). The hash ranking is engine-neutral
+    integer arithmetic, so the same k rows come back on any engine and
+    any re-run. Total order via doc_id tie-break."""
+    rank = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_BIG_PRIME))
+    return (
+        t.documents.select("doc_id", "lang", "source", rank.alias("_r"))
+        .orderBy("_r", "doc_id")
+        .limit(_SAMPLE_K)
+        .drop("_r")
+    )

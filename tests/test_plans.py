@@ -192,3 +192,10 @@ def test_contamination_broadcasts_benchmark_side(spark):
     shingles by shingle key."""
     plan = _plan(_QS["text_contamination"](spark, SF_TEST))
     assert "BroadcastHashJoin" in plan
+
+
+def test_sample_exact_k_plans_take_ordered(spark):
+    """Exact-k hash sampling must plan TakeOrderedAndProject (per-
+    partition top-k + driver merge), never a global sort."""
+    plan = _plan(_QS["sample_exact_k"](spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan
