@@ -402,3 +402,72 @@ def join_skew_salted(t: Tables) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'click'    THEN event_id END AS click_id,
+               CASE WHEN event_type = 'click'    THEN ts       END AS click_ts,
+               CASE WHEN event_type = 'purchase' THEN event_id END AS probe_id,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END    AS kind
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+        SELECT probe_id, user_id, ts,
+               last_value(click_id IGNORE NULLS) OVER win AS m_click,
+               last_value(click_ts IGNORE NULLS) OVER win AS m_ts
+        FROM ev
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT probe_id, user_id, ts AS probe_ts,
+           CASE WHEN epoch_us(ts) - epoch_us(m_ts) <= {_ASOF_TOL_US}
+                THEN m_click END AS matched_click,
+           CASE WHEN epoch_us(ts) - epoch_us(m_ts) <= {_ASOF_TOL_US}
+                THEN epoch_us(ts) - epoch_us(m_ts) END AS gap_us
+    FROM w WHERE probe_id IS NOT NULL
+    """,
+)
+def join_asof_tolerance(t: Tables) -> DataFrame:
+    """As-of join with a staleness bound: the latest click at or before
+    each purchase counts only if it is at most 1 hour old, else NULL —
+    the variant every sensor/feature-store lookup needs (a stale feature
+    is worse than no feature). Same single-shuffle carry-forward plan as
+    join_asof, carrying the matched event's timestamp alongside its id;
+    the tolerance is a post-window projection, so the bound costs
+    nothing. Gap arithmetic in exact integer microseconds (second-level
+    date_diff truncation differs between engines)."""
+    ev = t.events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("probe_id"),
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.unix_micros("ts") - F.unix_micros(F.col("m_ts"))
+    within = gap <= _ASOF_TOL_US
+    return (
+        ev.withColumn("m_click", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("m_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("probe_id").isNotNull())
+        .select(
+            "probe_id",
+            "user_id",
+            F.col("ts").alias("probe_ts"),
+            F.when(within, F.col("m_click")).alias("matched_click"),
+            F.when(within, gap).alias("gap_us"),
+        )
+    )

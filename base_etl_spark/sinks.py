@@ -6,9 +6,10 @@ Engine policy for 100 TB writes:
   sizes via repartition(n) before write, never coalesce(1).
 - bucketing (write_bucketed) pre-shuffles fact tables by join key so
   later fact-fact joins are co-located (no exchange at read time).
-- JDBC batches through numPartitions concurrent connections; the fixture
-  environment has no database, so build_jdbc_writer only assembles the
-  plan (unit-tested); .save() is the caller's act.
+- JDBC batches through numPartitions concurrent connections; executed
+  round-trips are tested against embedded Derby (bundled in Spark's
+  jars), and jdbc_delete_where supplies the delete half of
+  replay-idempotent delete+append loads.
 """
 
 from __future__ import annotations
