@@ -340,3 +340,37 @@ def rollup_incremental(t: Tables) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.round("sum_raw", 2).alias("sum_value"),
     )
+
+
+@query(
+    "stream_topk_windowed",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rn
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY window_start
+                                     ORDER BY n_events DESC, event_type) AS rn
+        FROM hourly
+    ) WHERE rn <= 3
+    """,
+)
+def stream_topk_windowed(t: Tables) -> DataFrame:
+    """Top-3 event types per hour — the canonical live-dashboard rollup
+    (windowed aggregate + rank composition). Two shuffles: the hourly
+    hash agg (partial+final), then a rank window partitioned by the
+    window start — the window input is one row per (hour, type), so the
+    rank never sees raw events; ties pinned by event_type. The same agg
+    runs under Structured Streaming with the rank applied per micro-batch
+    output (foreachBatch) or by the serving layer."""
+    hourly = t.events.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return hourly.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)

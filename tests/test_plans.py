@@ -199,3 +199,18 @@ def test_sample_exact_k_plans_take_ordered(spark):
     partition top-k + driver merge), never a global sort."""
     plan = _plan(_QS["sample_exact_k"](spark, SF_TEST))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_stream_topk_window_ranks_aggregated_rows(spark):
+    """The hourly top-k's rank window must partition by window_start over
+    the pre-aggregated one-row-per-(hour,type) series — never a global
+    single-partition window, and never raw events reaching the rank
+    (the agg's partial+final pair sits below the window). Spark's
+    WindowGroupLimit (rank<=k pushed into the window sort) must fire, so
+    per-partition state is k rows, not the full hour's type list."""
+    plan = _plan(_QS["stream_topk_windowed"](spark, SF_TEST))
+    assert "hashpartitioning(window_start" in plan
+    assert "Exchange SinglePartition" not in plan
+    # plan text prints root-first: the Window consumes the agg output
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "WindowGroupLimit" in plan
