@@ -310,3 +310,130 @@ def sample_exact_k(t: Tables) -> DataFrame:
         .limit(_SAMPLE_K)
         .drop("_r")
     )
+
+
+_PACK_BUDGET = 2048  # tokens per training sequence (context window)
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start
+        FROM tk
+    )
+    SELECT doc_id, n_tokens,
+           CAST(start // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST(start % {_PACK_BUDGET} AS BIGINT)  AS bin_offset
+    FROM c
+    """,
+)
+def pack_sequences(t: Tables) -> DataFrame:
+    """Sequence packing for training batches: concatenate documents in
+    doc_id order and chunk the token stream into fixed {budget}-token
+    context windows. Each doc's placement is (bin_id, bin_offset) of its
+    first token — the standard concat-then-split packing (a doc may
+    straddle a boundary; the split point is implied by offset + length).
+    Deterministic: placement depends only on the corpus, not on
+    parallelism.
+
+    100 TB shape — a global ordered cumsum WITHOUT a global window: the
+    exclusive prefix sum is two-phase (the sort_multikey pattern).
+    (1) bucket docs by a monotone range of doc_id (width from one
+    broadcast max-id scalar, ~one bucket per core), (2) local cumsum via
+    a window hash-partitioned by bucket, (3) broadcast the per-bucket
+    total cumsum (<= parallelism rows) and add. The only
+    single-partition work is the bucket-offsets table; output is
+    invariant to the bucket count."""
+    n_buckets = t.documents.sparkSession.sparkContext.defaultParallelism
+    toks = t.documents.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    bounds = toks.agg(F.max("doc_id").alias("max_id"))
+    width = F.floor(F.col("max_id") / F.lit(n_buckets)) + 1
+    b = toks.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.floor(F.col("doc_id") / width)
+    )
+    local_w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn(
+        "local_start", F.coalesce(F.sum("n_tokens").over(local_w), F.lit(0))
+    )
+    # <= n_buckets rows: the bounded single-partition leg
+    off_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        b.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bucket_total").over(off_w), F.lit(0)).alias("bucket_off"),
+        )
+    )
+    start = F.col("bucket_off") + F.col("local_start")
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / _PACK_BUDGET).cast("long").alias("bin_id"),
+        (start % _PACK_BUDGET).cast("long").alias("bin_offset"),
+    )
+
+
+@query(
+    "corpus_mix_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+               count(*) AS n_sources
+        FROM s
+    )
+    SELECT source, n_docs, src_tokens,
+           round(src_tokens * 1.0 / total_tokens, 6) AS token_share,
+           round((1.0 / n_sources) / (src_tokens * 1.0 / total_tokens), 6)
+               AS mix_weight
+    FROM s CROSS JOIN tot
+    """,
+)
+def corpus_mix_weights(t: Tables) -> DataFrame:
+    """Domain-mixing report: per-source token share and the resampling
+    weight that flattens the corpus to a uniform source mix
+    (weight = target_share / actual_share with a uniform target — feed a
+    non-uniform target vector in deployment). Sampling at rate
+    min(1, w * r) per source then realizes the mix at global rate r.
+
+    One partial+final hash agg on source plus a broadcast of the 1-row
+    totals — the same scalar-broadcast shape as text_tfidf's corpus
+    size. Exact integer token counts; only the final ratios are
+    floating-point (6dp round on both sides)."""
+    s = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("src_tokens"),
+    )
+    tot = s.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("src_tokens") * F.lit(1.0) / F.col("total_tokens")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(F.lit(1.0) / F.col("n_sources") / share, 6).alias("mix_weight"),
+    )

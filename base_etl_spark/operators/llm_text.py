@@ -408,3 +408,145 @@ def text_unigram_nll(t: Tables) -> DataFrame:
             F.round(F.avg(nll), 6).alias("avg_nll"),
         )
     )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i, w,
+               w || ' ' || lead(w) OVER win AS g2,
+               w || ' ' || lead(w) OVER win || ' ' || lead(w, 2) OVER win AS g3
+        FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    s AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               count(g2) AS n2, count(DISTINCT g2) AS d2,
+               count(g3) AS n3, count(DISTINCT g3) AS d3
+        FROM g GROUP BY doc_id
+    ),
+    top2 AS (
+        SELECT doc_id, max(c) AS m2 FROM (
+            SELECT doc_id, g2, count(*) AS c FROM g
+            WHERE g2 IS NOT NULL GROUP BY doc_id, g2
+        ) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(n_tokens AS BIGINT)                            AS n_tokens,
+           round((n2 - d2) * 1.0 / nullif(n2, 0), 6)           AS dup2_frac,
+           round((n3 - d3) * 1.0 / nullif(n3, 0), 6)           AS dup3_frac,
+           round(m2 * 2.0 / n_tokens, 6)                       AS top2_frac,
+           (coalesce((n3 - d3) * 1.0 / nullif(n3, 0) <= 0.05, TRUE)
+            AND m2 * 2.0 / n_tokens <= 0.15)                   AS keep
+    FROM s JOIN top2 USING (doc_id)
+    """,
+)
+def text_repetition(t: Tables) -> DataFrame:
+    """Within-document repetition filter (the Gopher-family rule: drop
+    docs dominated by duplicate n-grams or one runaway bigram).
+
+    Per doc: duplicate-bigram/-trigram fractions (1 - distinct/total) and
+    the token share of the single most frequent bigram (x2: each bigram
+    occurrence spans two tokens). keep = dup3_frac <= 0.05 AND
+    top2_frac <= 0.15 — thresholds MEASURED on the fixture corpus
+    (2026-08-13: dup3 max 0.071, top2 max 0.31; both rules bind, keep
+    rate 93.2% at sf0.01). Docs under 2 tokens can't repeat and are
+    excluded (inner join on the top-bigram side; the oracle's JOIN drops
+    the same rows).
+
+    100 TB shape: the n-gram arrays and the distinct/total sizes are
+    per-row projections (linear, codegen); the only shuffles are the
+    exploded-bigram count keyed on (doc_id, bigram) and its doc_id
+    re-agg — co-partitioned with _spread's doc_id keying. Nothing is
+    quadratic in document length (array_distinct is hash-based;
+    no per-element HOF counting)."""
+    from base_etl_spark.operators.llm_dedup import _shingles, _spread
+
+    base = _spread(t.documents).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        _shingles("text", 2).alias("g2"),
+        _shingles("text", 3).alias("g3"),
+    )
+    stats = base.select(
+        "doc_id",
+        "n_tokens",
+        F.size("g2").alias("n2"),
+        F.size(F.array_distinct("g2")).alias("d2"),
+        F.size("g3").alias("n3"),
+        F.size(F.array_distinct("g3")).alias("d3"),
+    )
+    top2 = (
+        base.select("doc_id", F.explode("g2").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("m2"))
+    )
+    dup2 = (F.col("n2") - F.col("d2")) * F.lit(1.0) / F.nullif(F.col("n2"), F.lit(0))
+    dup3 = (F.col("n3") - F.col("d3")) * F.lit(1.0) / F.nullif(F.col("n3"), F.lit(0))
+    tf2 = F.col("m2") * F.lit(2.0) / F.col("n_tokens")
+    return stats.join(top2, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(dup2, 6).alias("dup2_frac"),
+        F.round(dup3, 6).alias("dup3_frac"),
+        F.round(tf2, 6).alias("top2_frac"),
+        (F.coalesce(dup3 <= 0.05, F.lit(True)) & (tf2 <= 0.15)).alias("keep"),
+    )
+
+
+# PII patterns — valid and equivalent under both Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround, ASCII \b word boundaries.
+# Parity vs Python `re` on constructed PII rows is asserted in
+# tests/test_text_ops.py (the fixture corpus itself contains no PII, so
+# fixture counts are legitimately all zero — the oracle still pins the
+# regex dialect equivalence).
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+_PII_PHONE = r"(\+\d{1,2}[ \-])?\(?\d{3}\)?[ \-]\d{3}[ \-]\d{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}'))  AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+              + len(regexp_extract_all(text, '{_PII_IPV4}'))
+              + len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_pii,
+           (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+              + len(regexp_extract_all(text, '{_PII_IPV4}'))
+              + len(regexp_extract_all(text, '{_PII_PHONE}'))) > 0     AS has_pii
+    FROM documents
+    """,
+)
+def text_pii_scrub(t: Tables) -> DataFrame:
+    """PII detection counts per document (email / IPv4 / phone) — the
+    screening half of a scrub stage; redaction itself is
+    `regexp_replace(text, pat, '[PII]')` over the same patterns (not part
+    of the checked result: the interesting contract is match parity).
+
+    Pure projection — zero shuffles; the regex runs inside codegen on the
+    JVM (never a Python UDF). At 100 TB this is a single mapper pass over
+    the corpus, the cheapest possible shape. Counting (not just a boolean
+    flag) keeps downstream policy flexible (e.g. drop when n_pii/token
+    ratio is high, else redact)."""
+    ne = F.regexp_count("text", F.lit(_PII_EMAIL))
+    ni = F.regexp_count("text", F.lit(_PII_IPV4))
+    np_ = F.regexp_count("text", F.lit(_PII_PHONE))
+    return t.documents.select(
+        "doc_id",
+        ne.cast("long").alias("n_emails"),
+        ni.cast("long").alias("n_ipv4"),
+        np_.cast("long").alias("n_phones"),
+        (ne + ni + np_).cast("long").alias("n_pii"),
+        ((ne + ni + np_) > 0).alias("has_pii"),
+    )

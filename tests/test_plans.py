@@ -142,6 +142,8 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "sim_topk",         # 10-row probe broadcast x corpus
         "sim_topk_ivf",     # 10-row probe broadcast x centroids
         "sim_knn_classify", # 10-row probe broadcast x corpus (sim_topk shape)
+        "pack_sequences",   # 1-row max-doc-id bucketing scalar
+        "corpus_mix_weights",  # 1-row corpus-totals scalar
     }
     bad = []
     for k, fn in _QS.items():
@@ -214,3 +216,19 @@ def test_stream_topk_window_ranks_aggregated_rows(spark):
     # plan text prints root-first: the Window consumes the agg output
     assert plan.index("Window") < plan.index("HashAggregate")
     assert "WindowGroupLimit" in plan
+
+
+def test_pack_sequences_cumsum_is_two_phase(spark):
+    """The packing cumsum's per-doc window must run hash-partitioned by
+    bucket; the only single-partition leg is the <= parallelism-row
+    bucket-offsets table."""
+    plan = _plan(_QS["pack_sequences"](spark, SF_TEST))
+    assert "hashpartitioning(bucket" in plan
+
+
+def test_pii_scrub_is_pure_projection(spark):
+    """PII screening is a single mapper pass: no shuffle of any kind may
+    appear in the plan (regexes evaluate in codegen on the scan output)."""
+    plan = _plan(_QS["text_pii_scrub"](spark, SF_TEST))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

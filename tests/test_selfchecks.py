@@ -324,3 +324,102 @@ def test_audio_stub_waveform_shape():
 
     with pytest.raises(NotImplementedError):
         mm.decode_audio_stub(None)
+
+
+def test_pii_patterns_match_python_re(spark):
+    """The Spark (Java regex) and declared-oracle (RE2) PII counts must
+    agree with a plain Python `re` reference on constructed rows — the
+    fixture corpus has no PII, so this is where the patterns earn their
+    keep."""
+    import re
+
+    import duckdb
+
+    from base_etl_spark.operators.llm_text import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+    )
+
+    texts = [
+        "contact alice.smith+spam@mail-host.co.uk or bob@x.io today",
+        "server at 10.0.0.1 and 192.168.255.3, call 555-123-4567",
+        "+49 555-123-4567 backup (555) 123 4567 ip 1.2.3.4",
+        "no personal data in this sentence at all",
+        "e@a.bc e@a.bc e@a.bc",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+
+    class _Shim:
+        documents = df
+
+    got = {
+        r.doc_id: (r.n_emails, r.n_ipv4, r.n_phones)
+        for r in queries()["text_pii_scrub"].tables_fn(_Shim()).collect()
+    }
+    for i, s in enumerate(texts):
+        want = tuple(
+            len(re.findall(p, s)) for p in (_PII_EMAIL, _PII_IPV4, _PII_PHONE)
+        )
+        assert got[i] == want, (i, got[i], want)
+    # and the RE2 side (the oracle dialect) agrees on the same rows
+    con = duckdb.connect()
+    for i, s in enumerate(texts):
+        (re2_counts,) = con.execute(
+            "SELECT [len(regexp_extract_all(?, ?)), len(regexp_extract_all(?, ?)),"
+            " len(regexp_extract_all(?, ?))]",
+            [s, _PII_EMAIL, s, _PII_IPV4, s, _PII_PHONE],
+        ).fetchone()
+        assert tuple(re2_counts) == got[i], (i, re2_counts, got[i])
+    assert got[3] == (0, 0, 0)  # clean row stays clean
+    assert got[4][0] == 3  # repeated matches all counted
+
+
+def test_pack_sequences_is_exclusive_token_cumsum(spark, tables):
+    """Packing must place each doc at the exclusive prefix sum of token
+    counts in doc_id order, regardless of how the two-phase bucketing
+    split the work: bin_id * budget + bin_offset == cumsum(preceding)."""
+    from base_etl_spark.operators.corpus import _PACK_BUDGET
+
+    rows = sorted(
+        queries()["pack_sequences"].tables_fn(tables).collect(),
+        key=lambda r: r.doc_id,
+    )
+    run = 0
+    for r in rows:
+        assert r.bin_id * _PACK_BUDGET + r.bin_offset == run, r
+        assert 0 <= r.bin_offset < _PACK_BUDGET
+        run += r.n_tokens
+
+
+def test_repetition_flags_crafted_docs(spark):
+    """A degenerate one-bigram doc must fail the keep rule; a
+    repetition-free doc must pass with zero dup fractions."""
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 40 + "spam"),  # one bigram dominates entirely
+            (2, " ".join(f"w{i}" for i in range(40))),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+
+    class _Shim:
+        documents = df
+
+    got = {r.doc_id: r for r in queries()["text_repetition"].tables_fn(_Shim()).collect()}
+    assert got[1].keep is False and got[1].top2_frac > 0.9
+    assert got[1].dup2_frac > 0.9 and got[1].dup3_frac > 0.9
+    assert got[2].keep is True
+    assert got[2].dup2_frac == 0.0 and got[2].dup3_frac == 0.0
+
+
+def test_mix_weights_flatten_to_uniform(spark, tables):
+    """sum(share) == 1 and share * weight == 1/n_sources for every
+    source — the defining property of flattening weights."""
+    rows = queries()["corpus_mix_weights"].tables_fn(tables).collect()
+    n = len(rows)
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.token_share * r.mix_weight - 1.0 / n) < 1e-4
