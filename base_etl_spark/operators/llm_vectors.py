@@ -526,3 +526,96 @@ def embedding_quantize(t: Tables) -> DataFrame:
         clipped.alias("n_clipped"),
         F.round(F.sqrt(err2), 6).alias("l2_err"),
     )
+
+
+_KMEANS_K = 8
+_KMEANS_MAX_ROUNDS = 25  # runaway guard only; fixture converges in ~5
+_KMEANS_TOL = 1e-6  # max centroid coordinate shift to declare converged
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance of two float arrays (codegen expr)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.pow(x.cast("double") - y.cast("double"), F.lit(2.0))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@query("cluster_kmeans", oracle=None)  # R: iterative — the brief's named
+# non-SQL-expressible category; invariants pinned in tests instead
+# (inertia monotone, final assignment == brute-force nearest centroid,
+# run-to-run determinism)
+def cluster_kmeans(t: Tables) -> DataFrame:
+    """Lloyd k-means over the embedding corpus (k=8, deterministic init =
+    the k lowest vec_ids), iterated to centroid-shift convergence. The
+    real-clustering upgrade of sim_topk_ivf's label-as-cluster coarse
+    quantizer: run this first, feed the centroids to the IVF shortlist.
+
+    100 TB shape — each round is one broadcast join + one hash agg:
+    centroids (k x dim doubles) broadcast against a single corpus scan;
+    assignment is an argmin via min(struct(dist, cluster_id)) (lexical
+    struct ordering doubles as the deterministic tie-break); the update
+    is 64 fixed-dim avg aggregates. The driver materializes ONLY the
+    k-row centroid table each round (bounded collect, the dedup_clusters
+    scalar-convergence pattern) — re-creating it per round also cuts the
+    iterative lineage, which otherwise grows a plan per round. An empty
+    cluster keeps its previous centroid. Raises if the runaway guard
+    trips (silent non-convergence would ship wrong clusters)."""
+    spark = t.embeddings.sparkSession
+    emb = t.embeddings.select("vec_id", "embedding")
+    cents_rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < _KMEANS_K)
+        .select(F.col("vec_id"), F.col("embedding"))
+        .collect()
+    ]
+    cents_rows = [(i, v) for i, (_, v) in enumerate(sorted(cents_rows))]
+    schema = "cluster_id int, centroid array<double>"
+
+    def assign(cents_df):
+        scored = emb.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id",
+            "embedding",
+            F.struct(
+                _l2sq(F.col("embedding"), F.col("centroid")).alias("d"),
+                F.col("cluster_id").alias("c"),
+            ).alias("dc"),
+        )
+        return scored.groupBy("vec_id").agg(
+            F.min("dc").alias("best"), F.first("embedding").alias("embedding")
+        )
+
+    for _ in range(_KMEANS_MAX_ROUNDS):
+        cents_df = spark.createDataFrame(cents_rows, schema)
+        assigned = assign(cents_df)
+        new_rows = {
+            int(r.cluster_id): [float(x) for x in r.centroid]
+            for r in assigned.groupBy(F.col("best.c").alias("cluster_id"))
+            .agg(*[F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}") for i in range(EMBEDDING_DIM)])
+            .select(
+                "cluster_id",
+                F.array(*[F.col(f"c{i}") for i in range(EMBEDDING_DIM)]).alias("centroid"),
+            )
+            .collect()
+        }
+        shift = 0.0
+        nxt = []
+        for cid, old in cents_rows:
+            new = new_rows.get(cid, old)  # empty cluster keeps its centroid
+            shift = max(shift, max(abs(a - b) for a, b in zip(old, new)))
+            nxt.append((cid, new))
+        cents_rows = nxt
+        if shift < _KMEANS_TOL:
+            break
+    else:
+        raise RuntimeError(
+            f"cluster_kmeans did not converge in {_KMEANS_MAX_ROUNDS} rounds"
+        )
+
+    final_cents = spark.createDataFrame(cents_rows, schema)
+    return assign(final_cents).select(
+        "vec_id",
+        F.col("best.c").alias("cluster_id"),
+        F.round(F.sqrt(F.col("best.d")), 6).alias("dist"),
+    )

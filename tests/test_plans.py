@@ -144,6 +144,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "sim_knn_classify", # 10-row probe broadcast x corpus (sim_topk shape)
         "pack_sequences",   # 1-row max-doc-id bucketing scalar
         "corpus_mix_weights",  # 1-row corpus-totals scalar
+        "cluster_kmeans",   # k-row (8) centroid broadcast x corpus scan
     }
     bad = []
     for k, fn in _QS.items():

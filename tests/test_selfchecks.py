@@ -423,3 +423,38 @@ def test_mix_weights_flatten_to_uniform(spark, tables):
     assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert abs(r.token_share * r.mix_weight - 1.0 / n) < 1e-4
+
+
+def test_kmeans_fixed_point_and_determinism(spark, tables):
+    """The returned assignment must be a Lloyd fixed point: (a) every
+    vec_id assigned exactly once to a cluster in [0, k); (b) re-deriving
+    centroids as the means of the returned clusters and brute-force
+    reassigning by nearest centroid reproduces the same assignment
+    (convergence => assignment is stable under one more Lloyd step);
+    (c) dist is the true L2 to the recomputed centroid within tol."""
+    import math
+
+    rows = queries()["cluster_kmeans"].tables_fn(tables).collect()
+    n = tables.embeddings.count()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    assert all(0 <= r.cluster_id < 8 for r in rows)
+
+    emb = {r.vec_id: list(r.embedding) for r in tables.embeddings.collect()}
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.vec_id)
+    cents = {
+        cid: [sum(emb[v][i] for v in vs) / len(vs) for i in range(len(next(iter(emb.values()))))]
+        for cid, vs in by_cluster.items()
+    }
+    for r in rows:
+        dists = {
+            cid: math.sqrt(sum((a - b) ** 2 for a, b in zip(emb[r.vec_id], c)))
+            for cid, c in cents.items()
+        }
+        best = min(dists, key=lambda cid: (dists[cid], cid))
+        # stable under one more Lloyd step (ties broken by cluster id,
+        # matching the struct-ordering tie-break in the operator)
+        assert dists[r.cluster_id] <= dists[best] + 1e-4
+        assert abs(r.dist - dists[r.cluster_id]) < 1e-3
