@@ -471,3 +471,134 @@ def join_asof_tolerance(t: Tables) -> DataFrame:
             F.when(within, gap).alias("gap_us"),
         )
     )
+
+
+@query(
+    "join_q10_returns",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def join_q10_returns(t: Tables) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in one quarter. The fact side carries both filters
+    (order-date quarter, returnflag) into the scans BEFORE the
+    l_orderkey co-shuffle; customer+nation is a broadcast dim, so the
+    only shuffle of fact-sized data is the orders<->lineitem join; the
+    final rank is TakeOrderedAndProject (top-20 never materializes a
+    global sort). Tie-break on c_custkey makes the limit boundary
+    engine-deterministic. Revenue aggregates exact integer cents
+    (per-row floor(x*100+0.5) on bit-identical doubles, exact bigint
+    sum, one division) — plain round(sum(..)) split a .xx5 boundary
+    here because the engines' addition order differs in the last
+    ulps."""
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t.lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    cust = F.broadcast(
+        t.customer.join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+                        + F.lit(0.5)
+                    )
+                )
+                / F.lit(100.0)
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "join_q7_volume",
+    oracle="""
+    SELECT s_nat AS supp_nation, c_nat AS cust_nation, l_year,
+           sum(volume_cents) / 100.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS s_nat, n2.n_name AS c_nat,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT) AS volume_cents
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY s_nat, c_nat, l_year
+    """,
+)
+def join_q7_volume(t: Tables) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between a nation pair, by
+    direction and ship year. Both nation legs resolve through broadcast
+    dims (supplier+nation, customer+nation pre-filtered to the pair
+    BEFORE broadcasting — the 100 TB fact rows for other nations die at
+    the join, and the shipdate filter is pushed to the scan); the only
+    fact-sized shuffle is orders<->lineitem on l_orderkey. Year cast to
+    long on both sides (Spark year() is INT, DuckDB's is BIGINT)."""
+    pair = ("NATION_18", "NATION_19")
+    supp = F.broadcast(
+        t.supplier.join(
+            F.broadcast(t.nation.filter(F.col("n_name").isin(*pair))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        t.customer.join(
+            F.broadcast(t.nation.filter(F.col("n_name").isin(*pair))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+                        + F.lit(0.5)
+                    )
+                )
+                / F.lit(100.0)
+            ).alias("revenue")
+        )
+    )

@@ -233,3 +233,21 @@ def test_pii_scrub_is_pure_projection(spark):
     plan = _plan(_QS["text_pii_scrub"](spark, SF_TEST))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q10_take_ordered_and_broadcast_dims(spark):
+    """Q10: top-20 must be TakeOrderedAndProject (no global sort) and the
+    customer+nation side must broadcast — the only fact-sized shuffle is
+    the orders<->lineitem co-shuffle, plan-asserted via pushed filters."""
+    plan = _plan(_QS["join_q10_returns"](spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+
+
+def test_q7_broadcast_both_nation_legs(spark):
+    """Q7: both supplier-nation and customer-nation legs broadcast; the
+    ship-date filter reaches the lineitem scan."""
+    plan = _plan(_QS["join_q7_volume"](spark, SF_TEST))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
