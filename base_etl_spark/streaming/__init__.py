@@ -7,6 +7,7 @@ from base_etl_spark.streaming.jobs import (
     streaming_cumsum,
     streaming_dedup,
     streaming_enrich,
+    streaming_interval_join,
     streaming_sessionize,
     streaming_tumbling,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "streaming_cumsum",
     "streaming_dedup",
     "streaming_enrich",
+    "streaming_interval_join",
     "streaming_sessionize",
     "streaming_tumbling",
 ]

@@ -156,3 +156,35 @@ def streaming_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), events.user_id == dim.c_custkey, "left").select(
         "event_id", "user_id", "event_type", "ts", "value", "c_mktsegment"
     )
+
+
+def streaming_interval_join(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user clicks
+    at most 1 hour older. Both sides carry watermarks and the join
+    condition bounds event time in BOTH directions — that pair is what
+    lets Structured Streaming expire buffered state (an unbounded-range
+    stream-stream join would hold every row forever; Spark rejects it
+    without the watermarks). At scale state is O(rows within the
+    watermark horizon) per side, co-partitioned on user_id."""
+    c = clicks.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL 1 HOUR
+            """
+        ),
+    ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts")
