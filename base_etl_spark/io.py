@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from base_etl_spark import schemas
 
@@ -42,14 +43,17 @@ def ensure_confs(spark: SparkSession) -> None:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, asserted + canonicalized.
 
-    events.ts arrives as LongType nanoseconds (nanosAsLong); the generator
-    emits us-precision values, so integer division by 1000 is exact.
-    Integer `div` (not `/`) matters: float division of ~1.7e18 ns loses
-    precision beyond 2^53.
+    events.ts has shipped in two fixture generations: INT64
+    TIMESTAMP(NANOS) — LongType nanoseconds under nanosAsLong, converted
+    here with integer `div` (not `/`: float division of ~1.7e18 ns loses
+    precision beyond 2^53) — and TIMESTAMP(MICROS), which Spark reads
+    natively as TimestampType and needs no conversion. Both layouts pass
+    the drift gate (schemas.ALT_RAW_SCHEMAS) and canonicalize to the same
+    TimestampType column.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     schemas.assert_schema(name, df.schema)
-    if name == "events":
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
@@ -123,9 +127,18 @@ def events_between(spark: SparkSession, sf_dir: str, start_us: int, end_us: int)
     scanning a year at 100 TB.
 
     Bounds are microseconds since epoch, [start_us, end_us).
+
+    With the us-timestamp fixture layout the native TimestampType column
+    is already pushdown-friendly, so the bounds become timestamp literals
+    and no conversion is needed at all.
     """
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    pushed = raw.filter(
-        (F.col("ts") >= F.lit(start_us * 1000)) & (F.col("ts") < F.lit(end_us * 1000))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        pushed = raw.filter(
+            (F.col("ts") >= F.lit(start_us * 1000)) & (F.col("ts") < F.lit(end_us * 1000))
+        )
+        return pushed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.filter(
+        (F.col("ts") >= F.timestamp_micros(F.lit(start_us)))
+        & (F.col("ts") < F.timestamp_micros(F.lit(end_us)))
     )
-    return pushed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -82,10 +82,22 @@ LINEITEM = _st(
     ("l_shipdate", TimestampType()),
 )
 
-# raw read: ts is INT64 TIMESTAMP(NANOS) -> LongType under nanosAsLong
+# raw read, ns layout: ts is INT64 TIMESTAMP(NANOS) -> LongType under
+# nanosAsLong (the original fixture generation; FIXTURES.md gotcha 1)
 EVENTS_RAW = _st(
     ("event_id", LongType()),
     ("ts", LongType()),
+    ("user_id", LongType()),
+    ("event_type", StringType()),
+    ("value", DoubleType()),
+    ("props", StringType()),
+)
+
+# raw read, us layout: regenerated fixtures store ts as TIMESTAMP(MICROS),
+# which Spark reads natively as TimestampType — no conversion needed.
+EVENTS_RAW_US = _st(
+    ("event_id", LongType()),
+    ("ts", TimestampType()),
     ("user_id", LongType()),
     ("event_type", StringType()),
     ("value", DoubleType()),
@@ -136,6 +148,12 @@ CANONICAL_SCHEMAS: dict[str, StructType] = {**RAW_SCHEMAS, "events": EVENTS}
 
 TABLE_NAMES = tuple(RAW_SCHEMAS)
 
+#: tables whose raw on-disk layout legitimately varies across fixture
+#: generations; any listed alternative passes the drift gate.
+ALT_RAW_SCHEMAS: dict[str, tuple[StructType, ...]] = {
+    "events": (EVENTS_RAW_US,),
+}
+
 
 class SchemaDriftError(RuntimeError):
     """Raised when an on-disk parquet footer disagrees with RAW_SCHEMAS."""
@@ -147,10 +165,10 @@ def assert_schema(table: str, actual: StructType) -> None:
     Compares (name, dataType) pairs, ignoring nullability — parquet
     footers round-trip nullability inconsistently across writers.
     """
-    expected = RAW_SCHEMAS[table]
     got = [(f.name, f.dataType) for f in actual.fields]
-    want = [(f.name, f.dataType) for f in expected.fields]
-    if got != want:
+    accepted = (RAW_SCHEMAS[table], *ALT_RAW_SCHEMAS.get(table, ()))
+    wants = [[(f.name, f.dataType) for f in s.fields] for s in accepted]
+    if got not in wants:
         raise SchemaDriftError(
-            f"schema drift for table {table!r}:\n  expected {want}\n  got      {got}"
+            f"schema drift for table {table!r}:\n  expected {wants[0]}\n  got      {got}"
         )

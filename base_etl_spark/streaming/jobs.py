@@ -31,19 +31,30 @@ from pyspark.sql.types import (
 )
 
 from base_etl_spark.io import ensure_confs
-from base_etl_spark.schemas import EVENTS_RAW
+from base_etl_spark.schemas import EVENTS_RAW, EVENTS_RAW_US
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (explicit RAW schema, then
-    the same ns->us canonicalization as the batch loader)."""
+    the same canonicalization as the batch loader).
+
+    readStream requires a declared schema, and the fixture's raw ts layout
+    varies by generation (ns-as-long vs native us timestamp) — so probe
+    the footer with a zero-cost batch read and declare the matching one.
+    """
     ensure_confs(spark)
+    import os
+
+    footer = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ns_layout = isinstance(footer["ts"].dataType, LongType)
     raw = (
-        spark.readStream.schema(EVENTS_RAW)
+        spark.readStream.schema(EVENTS_RAW if ns_layout else EVENTS_RAW_US)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ns_layout:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def streaming_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -71,22 +71,43 @@ def test_whole_stage_codegen_hot_path(spark):
     assert "WholeStageCodegen" in plan
 
 
-def test_events_range_scan_pushes_raw_ns_bounds(spark):
+def _events_ns_layout(spark):
+    from pyspark.sql.types import LongType
+
+    raw = spark.read.parquet(f"{SF_TEST}/events.parquet")
+    return isinstance(raw.schema["ts"].dataType, LongType)
+
+
+def test_events_range_scan_pushes_ts_bounds(spark):
+    """events_between must reach the parquet reader with ts bounds in both
+    fixture layouts: raw-ns integer bounds under nanosAsLong, or native
+    timestamp bounds for the us layout."""
     from base_etl_spark.io import events_between
 
     df = events_between(spark, SF_TEST, 1704067200000000, 1704153600000000)
     plan = _plan(df)
-    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,1704067200000000000)" in plan
+    if _events_ns_layout(spark):
+        assert (
+            "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,1704067200000000000)"
+            in plan
+        )
+    else:
+        assert "GreaterThanOrEqual(ts,2024-01-01" in plan
 
 
-def test_events_converted_ts_filter_not_pushed(tables):
-    # documents WHY events_between exists: filtering the converted column
-    # leaves the parquet reader unfiltered
+def test_events_loader_ts_filter_pushdown_posture(spark, tables):
+    """Documents WHY events_between exists. Under the ns layout the
+    loader's converted ts column hides the filter from the parquet reader;
+    under the native us layout the loaded column IS the raw column, so the
+    same filter pushes down with no helper needed."""
     from pyspark.sql import functions as F
 
     df = tables.events.filter(F.col("ts") >= "2024-01-02")
     plan = _plan(df)
-    assert "GreaterThanOrEqual(ts," not in plan
+    if _events_ns_layout(spark):
+        assert "GreaterThanOrEqual(ts," not in plan
+    else:
+        assert "GreaterThanOrEqual(ts," in plan
 
 
 def test_dedup_embedding_no_nested_loop(spark):
