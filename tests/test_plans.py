@@ -272,3 +272,38 @@ def test_q7_broadcast_both_nation_legs(spark):
     plan = _plan(_QS["join_q7_volume"](spark, SF_TEST))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_q21_semi_anti_no_nested_loop(spark):
+    """Q21: the EXISTS/NOT EXISTS pair must compile to semi/anti hash
+    joins riding the l_orderkey equi key — a nested loop here would be
+    quadratic in order size at scale."""
+    plan = _plan(_QS["join_q21_waiting"](spark, SF_TEST))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q19_pushes_common_quantity_range(spark):
+    """Q19: Catalyst must extract the cross-disjunct l_quantity range and
+    push it into the lineitem scan despite the OR-of-ANDs shape."""
+    plan = _plan(_QS["filter_q19_disjunctive"](spark, SF_TEST))
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+
+
+def test_q18_single_fact_shuffle(spark):
+    """Q18: both enrichment joins broadcast — the only exchange besides
+    the agg's partial/final pair feeds the orderkey hash agg."""
+    plan = _plan(_QS["join_q18_large_orders"](spark, SF_TEST))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_dual_nation_role_broadcasts(spark):
+    """Q8: nation joins twice under different roles; both legs broadcast
+    and the market filter semi-joins (never multiplies fact rows)."""
+    plan = _plan(_QS["join_q8_market_share"](spark, SF_TEST))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
