@@ -1,0 +1,287 @@
+"""Statistical / behavioral analytics operators (SURVEY §2.4/§2.9
+extensions): moment statistics, bool/bit aggregates, calendar gap-fill,
+Markov transitions, RFM scoring, and mergeable HLL sketch rollups.
+
+Scale posture: every key is hash-agg or broadcast-join shaped; the only
+window function here (transition lag) is partitioned by user_id —
+never a bare global Window. The HLL key demonstrates the algebraic
+sketch-merge pattern that makes 100 TB distinct-count rollups a
+re-aggregation instead of a rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from base_etl_spark.io import Tables
+from base_etl_spark.registry import query
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               avg(l_quantity) AS mu, stddev_pop(l_quantity) AS sd,
+               round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+               round(stddev_samp(l_quantity), 6)                 AS sd_qty,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT m.l_returnflag, corr_qty_price, covar_qty_price, sd_qty, n_rows,
+           round(avg(pow((l_quantity - mu) / sd, 3)), 6)     AS skew_qty,
+           round(avg(pow((l_quantity - mu) / sd, 4)) - 3, 6) AS kurt_qty
+    FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    GROUP BY m.l_returnflag, corr_qty_price, covar_qty_price, sd_qty, n_rows
+    """,
+)
+def agg_stats_moments(t: Tables) -> DataFrame:
+    """Statistical moment aggregates per group: Pearson correlation,
+    sample covariance/stddev, and population skewness / excess kurtosis.
+
+    Spark's built-in skewness()/kurtosis() use different estimator
+    conventions than other engines, so the 3rd/4th moments are computed
+    from first principles as a TWO-PASS plan: per-group mean/stddev
+    first, then an average of normalized centered powers. Normalizing
+    inside the avg keeps every term O(1), avoiding the catastrophic
+    cancellation a raw-moment (E[x^4]-style) one-pass formula hits on
+    large-magnitude columns. The second pass re-shuffles on the same
+    group key, so AQE reuses the exchange; at 100 TB this is two scans —
+    the price of numerically stable exact moments.
+    """
+    first = t.lineitem.groupBy("l_returnflag").agg(
+        F.avg("l_quantity").alias("mu"),
+        F.stddev_pop("l_quantity").alias("sd"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    z = (F.col("l_quantity") - F.col("mu")) / F.col("sd")
+    return (
+        t.lineitem.join(F.broadcast(first), "l_returnflag")
+        .groupBy("l_returnflag", "corr_qty_price", "covar_qty_price", "sd_qty", "n_rows")
+        .agg(
+            F.round(F.avg(F.pow(z, 3)), 6).alias("skew_qty"),
+            F.round(F.avg(F.pow(z, 4)) - 3, 6).alias("kurt_qty"),
+        )
+    )
+
+
+@query(
+    "agg_bool_bit",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 0.05) AS all_above_floor,
+           bool_or(value > 480)   AS any_near_cap,
+           bit_and(user_id) AS uid_bit_and,
+           bit_or(user_id)  AS uid_bit_or,
+           bit_xor(user_id) AS uid_bit_xor
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bool_bit(t: Tables) -> DataFrame:
+    """Boolean and bitwise aggregate surface: bool_and/bool_or (SQL
+    EVERY/ANY) and bit_and/bit_or/bit_xor. All five are single-pass
+    commutative aggregates with constant per-group state — map-side
+    partials make them free at any scale."""
+    return t.events.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0.05).alias("all_above_floor"),
+        F.bool_or(F.col("value") > 480).alias("any_near_cap"),
+        F.bit_and("user_id").alias("uid_bit_and"),
+        F.bit_or("user_id").alias("uid_bit_or"),
+        F.bit_xor("user_id").alias("uid_bit_xor"),
+    )
+
+
+@query(
+    "events_gapfill",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+         hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                   FROM b),
+         types AS (SELECT DISTINCT event_type FROM events),
+         agg AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                        round(sum(value), 2) AS revenue, count(*) AS n_events
+                 FROM events GROUP BY 1, 2)
+    SELECT h.hour, t.event_type,
+           coalesce(a.revenue, 0.0) AS revenue,
+           CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events
+    FROM hours h
+    CROSS JOIN types t
+    LEFT JOIN agg a ON a.hour = h.hour AND a.event_type = t.event_type
+    """,
+)
+def events_gapfill(t: Tables) -> DataFrame:
+    """Calendar densification (gap fill): build the complete hour ×
+    event_type grid with sequence()+explode and left-join the hourly
+    aggregate, so silent hours surface as explicit zero rows — the shape
+    every downstream time-series model / dashboard needs.
+
+    At 100 TB: the grid derives from a ONE-ROW min/max aggregate
+    (broadcast), never from the fact table's row count — hours×types is
+    tiny (720×5 here) and broadcasts to the left join against the hourly
+    aggregate, which itself is the usual partial/final hash agg.
+    """
+    bounds = t.events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = t.events.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    agg = t.events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.round(F.sum("value"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_events"))
+    return (
+        F.broadcast(grid)
+        .join(agg, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS curr,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    cnt AS (SELECT prev, curr, count(*) AS n FROM seq
+            WHERE prev IS NOT NULL GROUP BY prev, curr),
+    tot AS (SELECT prev AS p, sum(n) AS tot_n FROM cnt GROUP BY prev)
+    SELECT cnt.prev, cnt.curr, n AS n_transitions,
+           round(n / tot_n, 6) AS p_transition
+    FROM cnt JOIN tot ON cnt.prev = tot.p
+    """,
+)
+def events_transition_matrix(t: Tables) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag() within the user partition, pair counts, and
+    row-normalized transition probabilities.
+
+    The window is partitioned by user_id (hash-distributed — never a
+    global sort) with a total order (ts, event_id); the normalizing
+    totals re-aggregate the 25-row count matrix, so the second agg is
+    driver-trivial at any corpus size.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        F.col("event_type").alias("curr"), F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    cnt = seq.groupBy("prev", "curr").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy(F.col("prev").alias("p")).agg(F.sum("n").alias("tot_n"))
+    return (
+        cnt.join(F.broadcast(tot), cnt.prev == tot.p)
+        .select(
+            "prev",
+            "curr",
+            F.col("n").alias("n_transitions"),
+            F.round(F.col("n") / F.col("tot_n"), 6).alias("p_transition"),
+        )
+    )
+
+
+@query(
+    "events_rfm",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS now_ts FROM events),
+         per_user AS (
+        SELECT user_id,
+               date_diff('day', max(ts), (SELECT now_ts FROM g)) AS recency_days,
+               count(*) AS frequency,
+               round(sum(value), 2) AS monetary
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary,
+           CASE WHEN recency_days <= 1 THEN 5 WHEN recency_days <= 3 THEN 4
+                WHEN recency_days <= 7 THEN 3 WHEN recency_days <= 14 THEN 2
+                ELSE 1 END AS r_score,
+           CASE WHEN frequency >= 100 THEN 5 WHEN frequency >= 75 THEN 4
+                WHEN frequency >= 50 THEN 3 WHEN frequency >= 25 THEN 2
+                ELSE 1 END AS f_score,
+           CASE WHEN monetary >= 20000 THEN 5 WHEN monetary >= 15000 THEN 4
+                WHEN monetary >= 10000 THEN 3 WHEN monetary >= 5000 THEN 2
+                ELSE 1 END AS m_score
+    FROM per_user
+    """,
+)
+def events_rfm(t: Tables) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring: per-user
+    aggregates against the corpus reference time, bucketed into 1–5
+    scores by FIXED business thresholds.
+
+    Fixed thresholds (not ntile quantiles) are deliberate: scores stay
+    stable as the corpus grows, are reproducible across engines, and
+    need NO global sort — quantile scoring would put every user through
+    a single-partition window (the r1 scale-killer class) or a two-phase
+    rank for three separate metrics. The plan is one hash agg + a
+    one-row broadcast for the reference timestamp.
+    """
+    now_ts = t.events.agg(F.max("ts").alias("now_ts"))
+    per_user = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(now_ts))
+        .withColumn("recency_days", F.datediff(F.col("now_ts"), F.col("last_ts")).cast("long"))
+    )
+    r = F.col("recency_days")
+    fq = F.col("frequency")
+    m = F.col("monetary")
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(r <= 1, 5).when(r <= 3, 4).when(r <= 7, 3).when(r <= 14, 2).otherwise(1).alias("r_score"),
+        F.when(fq >= 100, 5).when(fq >= 75, 4).when(fq >= 50, 3).when(fq >= 25, 2).otherwise(1).alias("f_score"),
+        F.when(m >= 20000, 5).when(m >= 15000, 4).when(m >= 10000, 3).when(m >= 5000, 2).otherwise(1).alias("m_score"),
+    )
+
+
+@query("sketch_hll_rollup", oracle=None)  # R: HLL sketch bytes are engine-specific
+def sketch_hll_rollup(t: Tables) -> DataFrame:
+    """Mergeable-sketch rollup: daily Datasketches-HLL sketches of
+    distinct users, unioned upward to a corpus total WITHOUT rescanning
+    the raw events — `hll_union_agg` over the stored daily sketches.
+
+    This is the 100 TB distinct-count architecture: materialize tiny
+    fixed-size sketches at the fine grain (shuffle bytes per group ≈
+    constant), then every coarser rollup is an algebraic merge of
+    sketches, exactly like rollup_incremental's sum-merge but for a
+    non-additive measure. Rows-only key (sketch binaries differ across
+    engines); the self-check (tests/test_selfchecks.py) holds every
+    estimate within 5% of the exact distinct count.
+    """
+    daily = t.events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    day_rows = daily.select(
+        F.lit("day").alias("grain"),
+        F.col("day").cast("string").alias("day"),
+        F.round(F.hll_sketch_estimate("sketch"), 0).cast("long").alias("est_users"),
+    )
+    total_row = daily.agg(F.hll_union_agg("sketch").alias("merged")).select(
+        F.lit("total").alias("grain"),
+        F.lit(None).cast("string").alias("day"),
+        F.round(F.hll_sketch_estimate("merged"), 0).cast("long").alias("est_users"),
+    )
+    return day_rows.unionByName(total_row)

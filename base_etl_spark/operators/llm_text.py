@@ -550,3 +550,50 @@ def text_pii_scrub(t: Tables) -> DataFrame:
         (ne + ni + np_).cast("long").alias("n_pii"),
         ((ne + ni + np_) > 0).alias("has_pii"),
     )
+
+
+@query(
+    "text_ngram_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    seq AS (SELECT doc_id, w,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM tok),
+    cnt AS (SELECT w || ' ' || nxt AS bigram, count(*) AS n
+            FROM seq WHERE nxt IS NOT NULL GROUP BY 1)
+    SELECT bigram, n AS n_occurrences
+    FROM cnt ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def text_ngram_topk(t: Tables) -> DataFrame:
+    """Corpus-wide top-20 bigrams — the n-gram frequency pass behind
+    tokenizer training and corpus drift monitoring.
+
+    Bigrams are built IN-ROW with a codegen'd array transform over the
+    split words (no posexplode self-join, no window): each document emits
+    its own adjacent pairs, then one explode + hash agg counts them. The
+    top-20 is a total order (count desc, bigram asc), so ties at the
+    boundary are deterministic, and Spark plans it as
+    TakeOrderedAndProject — per-partition heaps, no global sort. At
+    100 TB the only shuffle is the bigram hash agg; shingle skew is
+    bounded because the key space is quadratic in vocabulary, not in
+    corpus size."""
+    words = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(0, size(ws) - 2),"
+        " i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"
+    )
+    return (
+        t.documents.select(words.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram"))
+        .limit(20)
+    )

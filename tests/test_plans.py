@@ -307,3 +307,25 @@ def test_q8_dual_nation_role_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gapfill_grid_broadcasts(spark):
+    """Gap fill: the hour×type grid must broadcast into the left join —
+    the fact-sized side is only the hourly aggregate."""
+    plan = _plan(_QS["events_gapfill"](spark, SF_TEST))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transition_matrix_window_is_user_partitioned(spark):
+    """Markov transitions: the lag window must be partitioned by user_id,
+    never a bare global Window.orderBy."""
+    plan = _plan(_QS["events_transition_matrix"](spark, SF_TEST))
+    assert "Window" in plan
+    # the exchange feeding the window must hash-partition on user_id
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_ngram_topk_take_ordered(spark):
+    plan = _plan(_QS["text_ngram_topk"](spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan

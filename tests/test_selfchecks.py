@@ -458,3 +458,25 @@ def test_kmeans_fixed_point_and_determinism(spark, tables):
         # matching the struct-ordering tie-break in the operator)
         assert dists[r.cluster_id] <= dists[best] + 1e-4
         assert abs(r.dist - dists[r.cluster_id]) < 1e-3
+
+
+def test_hll_rollup_estimates_within_5pct_of_exact(spark):
+    from pyspark.sql import functions as F
+
+    from base_etl_spark import load_tables, queries
+
+    t = load_tables(spark, SF_TEST)
+    out = {(r.grain, r.day): r.est_users for r in queries()["sketch_hll_rollup"](spark, SF_TEST).collect()}
+    exact_daily = {
+        str(r.day): r.n
+        for r in t.events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = t.events.select("user_id").distinct().count()
+    for day, n in exact_daily.items():
+        assert abs(out[("day", day)] - n) <= max(1, 0.05 * n), day
+    assert abs(out[("total", None)] - exact_total) <= max(1, 0.05 * exact_total)
+    # merge-of-daily-sketches must estimate the same population as one
+    # global sketch would: the union estimate can't be below any daily one
+    assert out[("total", None)] >= max(v for (g, _), v in out.items() if g == "day")
