@@ -53,19 +53,24 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 64
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 64,
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table: pre-shuffles by bucket_col so future joins
-    and aggs on that key read co-located data with NO exchange. This is
-    the at-scale answer for repeated fact-fact joins (orders x lineitem
-    on orderkey)."""
-    (
+    """Bucketed table: pre-shuffles by bucket_col so future joins and
+    aggs on that key read co-located data with NO exchange. This is the
+    at-scale answer for repeated fact-fact joins (orders x lineitem on
+    orderkey). With `path` the table is external (data at an absolute
+    location, independent of the session's warehouse dir / cwd);
+    bucket metadata always lives in the catalog."""
+    w = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
-        .saveAsTable(table_name)
     )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
 
 
 def build_jdbc_writer(
@@ -225,4 +230,95 @@ def scan_json_agg(t: Tables) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.max("p_size").alias("max_size"),
         F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+    )
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+
+
+@query(
+    "scan_partitioned_pruned",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_partitioned_pruned(t: Tables) -> DataFrame:
+    """Partitioned-parquet lake layout, driver-checked end to end: orders
+    is written partitioned by derived o_year, read back, and filtered on
+    the partition column — the filter resolves at PLANNING time against
+    directory names (PartitionFilters, plan-asserted), so non-matching
+    years are never opened, let alone scanned. The oracle runs the same
+    aggregate on the ORIGINAL un-partitioned parquet, so the check covers
+    the partitioned write -> hive-style directory discovery -> pruned
+    read round trip.
+
+    At 100 TB this is THE table layout decision: a year/date partition
+    key turns every time-bounded query from a full scan into a touched-
+    partition scan. Low-cardinality keys only (a high-cardinality
+    partition key is the small-files anti-pattern)."""
+    path = _derived_path(t.sf_dir, "orders_by_year")
+    write_parquet(
+        t.orders.withColumn("o_year", F.year("o_orderdate")), path, partition_by=["o_year"]
+    )
+    pruned = t.spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_bucketed_colocated(t: Tables) -> DataFrame:
+    """Bucketed fact-fact join, driver-checked: both orders and lineitem
+    are written as tables bucketed (and sorted) on the join key, then
+    joined back — the bucket metadata lets Spark plan a sort-merge join
+    with NO shuffle exchange on either side (plan-asserted with broadcast
+    disabled in tests). The oracle joins the ORIGINAL parquet, so the
+    check certifies the bucketed write -> catalog read -> co-located join
+    round trip.
+
+    At 100 TB this is the amortization play for repeated fact-fact joins:
+    pay the orderkey shuffle ONCE at write time, then every subsequent
+    join/agg on that key reads co-located, pre-sorted buckets. Bucket
+    count sizes the parallelism (here 8; production: match target
+    partition size)."""
+    tag = _sf_tag(t.sf_dir)
+    orders_tbl, lineitem_tbl = f"be_orders_bkt_{tag}", f"be_lineitem_bkt_{tag}"
+    write_bucketed(
+        t.orders.select("o_orderkey", "o_orderstatus"), orders_tbl, "o_orderkey", 8,
+        path=_derived_path(t.sf_dir, "orders_bkt"),
+    )
+    write_bucketed(
+        t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        lineitem_tbl,
+        "l_orderkey",
+        8,
+        path=_derived_path(t.sf_dir, "lineitem_bkt"),
+    )
+    o = t.spark.table(orders_tbl)
+    li = t.spark.table(lineitem_tbl)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
     )

@@ -329,3 +329,27 @@ def test_transition_matrix_window_is_user_partitioned(spark):
 def test_ngram_topk_take_ordered(spark):
     plan = _plan(_QS["text_ngram_topk"](spark, SF_TEST))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_scan_prunes_by_year(spark):
+    """The o_year=1997 filter must resolve as a PartitionFilter on the
+    derived layout — directory-level pruning, not a row filter."""
+    plan = _plan(_QS["scan_partitioned_pruned"](spark, SF_TEST))
+    assert "PartitionFilters" in plan
+    assert "o_year" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """With broadcast disabled, the bucketed orders x lineitem join must
+    read co-located buckets: no Exchange may feed the SortMergeJoin."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(_QS["join_bucketed_colocated"](spark, SF_TEST))
+        assert "SortMergeJoin" in plan, "bucketed join must be sort-merge when broadcast is off"
+        assert plan.count("Bucketed: true") == 2  # both scans read bucket metadata
+        # the ONLY exchange in the whole plan is the post-join one feeding
+        # the final aggregate — neither join input may shuffle
+        assert plan.count("Exchange (") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
