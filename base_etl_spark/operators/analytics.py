@@ -285,3 +285,40 @@ def sketch_hll_rollup(t: Tables) -> DataFrame:
         F.round(F.hll_sketch_estimate("merged"), 0).cast("long").alias("est_users"),
     )
     return day_rows.unionByName(total_row)
+
+
+@query(
+    "events_anomaly",
+    oracle="""
+    WITH m AS (SELECT event_type AS et, avg(value) AS mu,
+                      stddev_pop(value) AS sd
+               FROM events GROUP BY event_type)
+    SELECT event_id, event_type, round(value, 2) AS value,
+           round((value - mu) / sd, 4) AS z_score
+    FROM events JOIN m ON event_type = et
+    WHERE abs(value - mu) / sd > 3.0
+    """,
+)
+def events_anomaly(t: Tables) -> DataFrame:
+    """Z-score outlier detection per event type: two-pass (group
+    mean/stddev, then broadcast join-back and flag |z| > 3) — the
+    monitoring primitive behind alerting and bad-batch quarantine.
+
+    The group-stats side is a ~5-row broadcast, so the second pass is a
+    pure codegen'd scan; at 100 TB this costs two scans and zero fact
+    shuffles. The filter predicate is kept in the |value-mu|/sd form on
+    both sides so the boundary arithmetic is identical cross-engine."""
+    stats = t.events.groupBy(F.col("event_type").alias("et")).agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        t.events.join(F.broadcast(stats), F.col("event_type") == F.col("et"))
+        .filter(F.abs(F.col("value") - F.col("mu")) / F.col("sd") > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("z_score"),
+        )
+    )

@@ -479,3 +479,59 @@ def dedup_clusters(t: Tables) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("canonical_id")
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w || ' ' || lead(w) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    sh2 AS (SELECT doc_id, s FROM sh WHERE s IS NOT NULL),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, count(*) AS common
+        FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_inner, doc_outer,
+           round(common * 1.0 / sa.n, 6) AS containment
+    FROM pairs JOIN sizes sa ON doc_inner = sa.doc_id
+    WHERE common * 1.0 / sa.n >= 0.8
+    """,
+)
+def dedup_containment(t: Tables) -> DataFrame:
+    """Directed containment near-dup pairs: C(A→B) = |sh(A)∩sh(B)| /
+    |sh(A)| >= 0.8 — the asymmetric companion to Jaccard that catches a
+    SHORT document embedded inside a longer one (quote, boilerplate
+    wrapper, excerpt), which symmetric Jaccard dilutes below any usable
+    threshold. Broder's containment measure, standard in crawl dedup.
+
+    Same inverted-index shape as dedup_near_jaccard (shingle equi-join,
+    near-linear because shingle document frequency ~1 off the dup
+    classes); directed pairs, so both (a in b) and (b in a) can appear.
+    The LSH scale tier applies unchanged — containment candidates are a
+    superset-filtered view of the same banding buckets."""
+    tok = _shingle_sets(t)
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_inner"), F.col("b.doc_id").alias("doc_outer"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_inner"), F.col("n").alias("na"))
+    cont = F.col("common") * F.lit(1.0) / F.col("na")
+    return (
+        pairs.join(F.broadcast(sa), "doc_inner")
+        .filter(cont >= 0.8)
+        .select("doc_inner", "doc_outer", F.round(cont, 6).alias("containment"))
+    )

@@ -605,3 +605,32 @@ def join_q22_idle_customers(t: Tables) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "agg_q6_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24.0
+    """,
+)
+def agg_q6_forecast(t: Tables) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    scan-dominated scalar aggregate — three range predicates, no join,
+    one group. Every predicate pushes to the parquet reader, so at
+    100 TB this query is bounded purely by pruned-scan throughput; it is
+    the query that rewards column pruning + min/max row-group skipping
+    the most."""
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )

@@ -322,3 +322,48 @@ def join_bucketed_colocated(t: Tables) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "join_dpp_runtime",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE year(o_orderdate) >= 2000
+    GROUP BY o_orderpriority
+    """,
+)
+def join_dpp_runtime(t: Tables) -> DataFrame:
+    """Dynamic partition pruning (DPP), driver-checked: the fact side is
+    the year-partitioned orders layout; the dimension is a small year
+    table carrying an `era` attribute the planner cannot constant-fold.
+    Filtering the dimension on era='modern' and joining on the partition
+    column makes Spark inject a runtime `dynamicpruningexpression` into
+    the fact scan's PartitionFilters (plan-asserted): the qualifying
+    years are discovered by executing the broadcast dim side first, and
+    only those partitions are ever read.
+
+    This is the second half of the partition-layout story: static
+    pruning (scan_partitioned_pruned) covers literal predicates; DPP
+    covers the star-join case where the selective predicate lives on the
+    dimension — at 100 TB the difference between scanning 25 years and 2.
+    """
+    fact_path = _derived_path(t.sf_dir, "orders_by_year")
+    write_parquet(
+        t.orders.withColumn("o_year", F.year("o_orderdate")), fact_path,
+        partition_by=["o_year"],
+    )
+    dim_path = _derived_path(t.sf_dir, "year_dim")
+    years = (
+        t.orders.select(F.year("o_orderdate").alias("year"))
+        .distinct()
+        .withColumn("era", F.when(F.col("year") >= 2000, "modern").otherwise("classic"))
+    )
+    write_parquet(years, dim_path)
+    fact = t.spark.read.parquet(fact_path)
+    dim = t.spark.read.parquet(dim_path).filter(F.col("era") == "modern")
+    return (
+        fact.join(F.broadcast(dim), fact.o_year == dim.year)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -166,6 +166,9 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "pack_sequences",   # 1-row max-doc-id bucketing scalar
         "corpus_mix_weights",  # 1-row corpus-totals scalar
         "cluster_kmeans",   # k-row (8) centroid broadcast x corpus scan
+        "events_gapfill",   # hour-grid (from a 1-row min/max agg) x 5 types
+        "events_rfm",       # 1-row reference-timestamp scalar
+        "join_q22_idle_customers",  # 1-row global-average scalar
     }
     bad = []
     for k, fn in _QS.items():
@@ -353,3 +356,10 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert plan.count("Exchange (") == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dpp_injects_runtime_partition_filter(spark):
+    """The era-filtered dim join must inject a dynamicpruningexpression
+    into the partitioned fact scan — runtime pruning, not a full read."""
+    plan = _plan(_QS["join_dpp_runtime"](spark, SF_TEST))
+    assert "dynamicpruning" in plan.lower()
