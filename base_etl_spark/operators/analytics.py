@@ -322,3 +322,63 @@ def events_anomaly(t: Tables) -> DataFrame:
             F.round(z, 4).alias("z_score"),
         )
     )
+
+
+@query(
+    "events_conversion_lag",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+               GROUP BY e.user_id),
+         lags AS (SELECT round(date_diff('microsecond', v.first_view,
+                                         p.first_purchase) / 3600000000.0, 6)
+                         AS lag_hours
+                  FROM v JOIN p ON v.user_id = p.user_id)
+    SELECT count(*) AS n_converters,
+           round(avg(lag_hours), 4) AS avg_lag_h,
+           round(quantile_cont(lag_hours, 0.5), 4) AS p50_lag_h,
+           round(quantile_cont(lag_hours, 0.9), 4) AS p90_lag_h
+    FROM lags
+    """,
+)
+def events_conversion_lag(t: Tables) -> DataFrame:
+    """View→purchase conversion latency: per user, the first purchase
+    strictly after the first view; reports converter count plus
+    mean/median/p90 lag in hours — the funnel-timing companion to
+    events_funnel.
+
+    Both stage aggregates are pushdown-filtered scans (each reads only
+    its event type) hash-agged on user_id, joined on the same key — the
+    funnel plan shape. The lag is computed in exact integer microseconds
+    before the one float division, so both engines bucket identically.
+    Exact interpolated percentiles over the converters (bounded by user
+    count); at extreme user counts swap for approx_percentile.
+    """
+    views = (
+        t.events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    purchases = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"), F.first("first_view").alias("first_view"))
+    )
+    lag_h = F.round(
+        (
+            F.unix_micros("first_purchase") - F.unix_micros("first_view")
+        ) / F.lit(3600000000.0),
+        6,
+    )
+    lags = purchases.select(lag_h.alias("lag_hours"))
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.avg("lag_hours"), 4).alias("avg_lag_h"),
+        F.round(F.percentile("lag_hours", F.lit(0.5)), 4).alias("p50_lag_h"),
+        F.round(F.percentile("lag_hours", F.lit(0.9)), 4).alias("p90_lag_h"),
+    )

@@ -361,3 +361,45 @@ def join_scalar_subquery(t: Tables) -> DataFrame:
                                   WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
+
+
+@query(
+    "array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sum_sq,
+           len(list_filter(embedding, x -> x < -0.4)) > 0  AS any_very_neg,
+           len(list_filter(embedding, x -> abs(x) >= 1.0)) = 0 AS all_unit_bounded,
+           round(list_aggregate(list_transform(list_slice(embedding, 1, 8),
+                 x -> CAST(x AS DOUBLE)), 'sum') / 8.0, 4) AS head8_mean
+    FROM embeddings
+    """,
+)
+def array_hof(t: Tables) -> DataFrame:
+    """Higher-order array function surface: transform / filter / exists /
+    forall / aggregate as a declared key (embedding_quantize et al. use
+    them internally; this pins the semantics directly).
+
+    Every lambda stays a Catalyst expression — no Python. Float32
+    elements are cast to double BEFORE arithmetic on both sides, so the
+    products and the in-order fold are bit-identical cross-engine.
+    Caveat for the scale notes: HOF lambdas evaluate interpreted (outside
+    whole-stage codegen), fine for 64-element arrays; for hot million-row
+    × wide-array paths prefer explode+agg (see minhash_signatures'
+    measured 2x note)."""
+    e = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return t.embeddings.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + dbl(x) * dbl(x)), 4
+        ).alias("sum_sq"),
+        F.exists(e, lambda x: x < -0.4).alias("any_very_neg"),
+        F.forall(e, lambda x: F.abs(x) < 1.0).alias("all_unit_bounded"),
+        F.round(
+            F.aggregate(F.slice(e, 1, 8), F.lit(0.0), lambda acc, x: acc + dbl(x)) / 8.0, 4
+        ).alias("head8_mean"),
+    )

@@ -367,3 +367,88 @@ def join_dpp_runtime(t: Tables) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "etl_compaction",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def etl_compaction(t: Tables) -> DataFrame:
+    """Small-files compaction, driver-checked: lineitem is first written
+    deliberately fragmented (repartition(64) → 64 tiny files — the state
+    every streaming/incremental ingest drifts into), then compacted by
+    reading the fragments and rewriting at repartition(4). The returned
+    aggregate reads the COMPACTED copy; the oracle reads the original
+    parquet — so the hash certifies the fragment→compact rewrite lost and
+    duplicated nothing. tests assert the file-count contract (64 → 4).
+
+    At 100 TB small files are a top-3 operational killer: every file
+    costs a task + a footer read + a metadata entry; compaction restores
+    scan throughput. Production sizing: target ~128 MB–1 GB per file
+    (spark.sql.files.maxPartitionBytes-aligned); repartition — never
+    coalesce(1) — keeps the write itself parallel."""
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"]
+    frag = _derived_path(t.sf_dir, "lineitem_fragmented")
+    t.lineitem.select(*cols).repartition(64).write.mode("overwrite").parquet(frag)
+    compact = _derived_path(t.sf_dir, "lineitem_compacted")
+    t.spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    return (
+        t.spark.read.parquet(compact)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN year(o_orderdate) >= 1999 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_channel,
+           count(DISTINCT CASE WHEN year(o_orderdate) >= 1999
+                               THEN o_orderpriority END) AS n_channels
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_schema_evolution(t: Tables) -> DataFrame:
+    """Schema evolution across parquet generations, driver-checked: an
+    old generation (orders before 1999) is written WITHOUT the
+    sales_channel column, a new generation (1999+) WITH it; reading the
+    directory pair under mergeSchema=true unions the schemas and
+    null-fills the old files — the lake-evolution behavior every
+    long-lived table depends on. The aggregate counts channel coverage
+    per status; the oracle recreates it from the original single-schema
+    parquet via the generation predicate.
+
+    At 100 TB: mergeSchema=true costs a footer read per FILE at planning
+    (expensive on huge file counts) — production pins the merged schema
+    in a catalog/metastore and passes it explicitly; the read semantics
+    (missing columns → NULL) are identical."""
+    root = _derived_path(t.sf_dir, "orders_evolving")
+    old_gen = t.orders.filter(F.year("o_orderdate") < 1999)
+    new_gen = t.orders.filter(F.year("o_orderdate") >= 1999).withColumn(
+        "sales_channel", F.col("o_orderpriority")
+    )
+    write_parquet(old_gen, os.path.join(root, "gen=1"))
+    write_parquet(new_gen, os.path.join(root, "gen=2"))
+    merged = t.spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("sales_channel").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_channel"),
+        F.countDistinct("sales_channel").alias("n_channels"),
+    )

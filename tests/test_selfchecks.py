@@ -480,3 +480,25 @@ def test_hll_rollup_estimates_within_5pct_of_exact(spark):
     # merge-of-daily-sketches must estimate the same population as one
     # global sketch would: the union estimate can't be below any daily one
     assert out[("total", None)] >= max(v for (g, _), v in out.items() if g == "day")
+
+
+def test_pagerank_mass_fixed_point_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from base_etl_spark import load_tables, queries
+
+    t = load_tables(spark, SF_TEST)
+    out = queries()["graph_pagerank"](spark, SF_TEST)
+    rows = {r.node: r.rank for r in out.collect()}
+    # mass conservation: symmetrized graph has no dangling nodes
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
+    # node set == all trade participants on both sides
+    n_cust = t.orders.select("o_custkey").distinct().count()
+    n_supp = t.lineitem.select("l_suppkey").distinct().count()
+    assert len(rows) == n_cust + n_supp
+    # determinism at the rounded precision
+    rows2 = {r.node: r.rank for r in queries()["graph_pagerank"](spark, SF_TEST).collect()}
+    assert rows == rows2
+    # every rank at least the teleport floor
+    base = 0.15 / len(rows)
+    assert all(v >= base - 1e-12 for v in rows.values())

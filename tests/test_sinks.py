@@ -137,3 +137,18 @@ def test_run_daily_job_executes_jdbc_leg(spark, tmp_path):
         .option("dbtable", "daily_order_summary")
         .option("driver", _DERBY["driver"]).load().count() == n
     )
+
+
+def test_compaction_file_count_contract(spark):
+    import glob
+    import os
+
+    from base_etl_spark import queries
+    from base_etl_spark.sinks import _derived_path
+    from tests.conftest import SF_TEST
+
+    queries()["etl_compaction"](spark, SF_TEST).collect()
+    frag = glob.glob(os.path.join(_derived_path(SF_TEST, "lineitem_fragmented"), "*.parquet"))
+    comp = glob.glob(os.path.join(_derived_path(SF_TEST, "lineitem_compacted"), "*.parquet"))
+    assert len(frag) == 64
+    assert len(comp) == 4
