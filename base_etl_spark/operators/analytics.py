@@ -382,3 +382,117 @@ def events_conversion_lag(t: Tables) -> DataFrame:
         F.round(F.percentile("lag_hours", F.lit(0.5)), 4).alias("p50_lag_h"),
         F.round(F.percentile("lag_hours", F.lit(0.9)), 4).alias("p90_lag_h"),
     )
+
+
+@query(
+    "win_streaks",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+                FROM events),
+         s AS (SELECT user_id, day,
+                      CAST(day - CAST(row_number() OVER (PARTITION BY user_id
+                                                         ORDER BY day) AS INTEGER)
+                           AS DATE) AS grp
+               FROM ud)
+    SELECT user_id, min(day) AS streak_start, count(*) AS streak_len
+    FROM s GROUP BY user_id, grp
+    HAVING count(*) >= 5
+    """,
+)
+def win_streaks(t: Tables) -> DataFrame:
+    """Activity streaks (gaps-and-islands): consecutive-day runs of user
+    activity, length ≥ 5 — the classic consecutive-sequence detection
+    that has no direct SQL operator and falls out of the day-minus-
+    row_number trick: within a user, consecutive days share a constant
+    (day − rn) group key.
+
+    The only window is partitioned by user_id over the DISTINCT
+    (user, day) projection — at most days-per-user rows per partition,
+    hash-distributed; the streak aggregation reuses the same user key."""
+    ud = t.events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    s = ud.withColumn("grp", F.date_sub(F.col("day"), F.row_number().over(w)))
+    return (
+        s.groupBy("user_id", "grp")
+        .agg(F.min("day").alias("streak_start"), F.count(F.lit(1)).alias("streak_len"))
+        .filter(F.col("streak_len") >= 5)
+        .select("user_id", "streak_start", "streak_len")
+    )
+
+
+@query(
+    "agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_discount * l_extendedprice) / sum(l_extendedprice), 6)
+               AS wavg_discount,
+           round(avg(l_discount), 6) AS avg_discount,
+           round(sum(l_quantity * l_extendedprice) / sum(l_extendedprice), 4)
+               AS wavg_quantity
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted(t: Tables) -> DataFrame:
+    """Revenue-weighted averages next to the plain mean — the difference
+    IS the business signal (a high-discount cheap line moves avg but not
+    wavg). Pure ratio-of-sums: two partial-aggregable sums per measure,
+    one hash agg, no second pass."""
+    w = F.col("l_extendedprice")
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_discount") * w) / F.sum(w), 6).alias("wavg_discount"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        F.round(F.sum(F.col("l_quantity") * w) / F.sum(w), 4).alias("wavg_quantity"),
+    )
+
+
+@query(
+    "win_mad_outliers",
+    oracle="""
+    WITH med AS (SELECT event_type AS et, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+         mad AS (SELECT et, med, quantile_cont(abs(value - med), 0.5) AS mad
+                 FROM events JOIN med ON event_type = et GROUP BY et, med)
+    SELECT et AS event_type, round(med, 4) AS median_value,
+           round(mad, 4) AS mad_value,
+           CAST(sum(CASE WHEN abs(value - med) > 3 * mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM events JOIN mad ON event_type = et
+    GROUP BY et, med, mad
+    """,
+)
+def win_mad_outliers(t: Tables) -> DataFrame:
+    """Robust outlier counts per group via median absolute deviation —
+    the z-score companion (events_anomaly) that heavy tails can't skew:
+    both the center (median) and the spread (MAD) are rank statistics.
+
+    Three passes by necessity (median → MAD → flag), but each non-first
+    pass joins a ~5-row broadcast against a pushdown scan; exact
+    interpolated percentiles match DuckDB's quantile_cont
+    (agg_percentiles precedent). At extreme group cardinality swap for
+    approx_percentile and keep the same plan."""
+    med = t.events.groupBy(F.col("event_type").alias("et")).agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        t.events.join(F.broadcast(med), F.col("event_type") == F.col("et"))
+        .groupBy("et", "med")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    return (
+        t.events.join(F.broadcast(mad), F.col("event_type") == F.col("et"))
+        .groupBy(F.col("et").alias("event_type"), "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("median_value"),
+            F.round("mad", 4).alias("mad_value"),
+            "n_outliers",
+        )
+    )

@@ -452,3 +452,44 @@ def scan_schema_evolution(t: Tables) -> DataFrame:
         .alias("n_with_channel"),
         F.countDistinct("sales_channel").alias("n_channels"),
     )
+
+
+@query(
+    "etl_forget_users",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE user_id % 29 <> 3
+    GROUP BY event_type
+    """,
+)
+def etl_forget_users(t: Tables) -> DataFrame:
+    """Right-to-be-forgotten rewrite, driver-checked: a deterministic
+    forget-list (user_id % 29 == 3 stands in for the legal request
+    table), the events table rewritten WITHOUT those users via an
+    anti-join, and the aggregate read back from the REWRITTEN copy — the
+    oracle computes the same answer from the original plus the predicate,
+    so the hash certifies the deletion rewrite dropped exactly the
+    requested users and nobody else.
+
+    At 100 TB: deletion from immutable parquet IS a rewrite; scope it
+    with partition pruning (rewrite only partitions containing the
+    users — here the whole table stands in) and an anti join against the
+    broadcast forget-list. Table formats with delete vectors (Iceberg/
+    Delta) turn this into a metadata operation; the anti-join rewrite is
+    the format-agnostic floor."""
+    forget = t.events.select("user_id").distinct().filter(F.col("user_id") % 29 == 3)
+    cleaned_path = _derived_path(t.sf_dir, "events_forgotten")
+    t.events.join(F.broadcast(forget), "user_id", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(cleaned_path)
+    return (
+        t.spark.read.parquet(cleaned_path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
