@@ -199,3 +199,74 @@ def streaming_interval_join(
             """
         ),
     ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts")
+
+
+def run_foreach_batch_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "35 days",
+) -> DataFrame:
+    """Incremental hourly rollup maintained through ``foreachBatch`` with
+    an IDEMPOTENT epoch-keyed sink — the production pattern for "stream
+    into a warehouse table" when the sink has no transactional upsert.
+
+    Each micro-batch's updated (window, event_type) rows are written to
+    ``epoch=<id>`` partitions under dynamic partition overwrite: a
+    replayed epoch (Structured Streaming is at-least-once into
+    foreachBatch) overwrites its OWN partition instead of appending
+    duplicates. The reader side resolves last-writer-wins per key (max
+    epoch), which tests assert equals the batch aggregate; deleting the
+    checkpoint and re-running reproduces byte-identical state.
+
+    ``src_dir`` must contain the events rows as one-or-more parquet files;
+    with maxFilesPerTrigger=1 each file becomes its own micro-batch, so
+    the update-mode emissions genuinely span epochs. The default
+    watermark exceeds the fixture's time span — lateness semantics are
+    stream_late_data's contract, THIS key's contract is sink idempotency.
+    """
+    footer = spark.read.parquet(src_dir).schema
+    ns_layout = isinstance(footer["ts"].dataType, LongType)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW if ns_layout else EVENTS_RAW_US)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    if ns_layout:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        raw.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("revenue"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n_events", "revenue")
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_dir)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last-writer-wins merge: the newest epoch's row per key is current
+    out = spark.read.parquet(out_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("hour", "event_type").orderBy(F.col("epoch").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("hour", "event_type", "n_events", "revenue")
+    )

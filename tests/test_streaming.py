@@ -109,3 +109,44 @@ def test_streaming_interval_join_equals_batch(spark, events_stream):
     want_pairs = sorted((r.purchase_id, r.click_id) for r in want.collect())
     assert got_pairs == want_pairs
     assert len(got_pairs) > 0  # fixture must actually exercise the join
+
+
+def test_foreach_batch_epoch_sink_idempotent(spark, tmp_path):
+    """foreachBatch rollup: multi-epoch update-mode emissions merged
+    last-writer-wins must equal the batch hourly aggregate, and a full
+    replay (fresh checkpoint) must reproduce the identical state —
+    the epoch-keyed dynamic overwrite never duplicates."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from base_etl_spark.io import load_tables
+    from base_etl_spark.streaming.jobs import run_foreach_batch_rollup
+    from tests.conftest import SF_TEST
+
+    t = load_tables(spark, SF_TEST)
+    src = str(tmp_path / "events_files")
+    # range-split by ts so maxFilesPerTrigger=1 yields ordered micro-batches
+    t.events.repartitionByRange(3, "ts").write.mode("overwrite").parquet(src)
+
+    out, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    merged = run_foreach_batch_rollup(spark, SF_TEST, src, out, ckpt)
+    got = {(r.hour, r.event_type): (r.n_events, r.revenue) for r in merged.collect()}
+
+    batch = (
+        t.events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("rev"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n", "rev")
+    )
+    want = {(r.hour, r.event_type): (r.n, r.rev) for r in batch.collect()}
+    assert got == want
+
+    # epochs actually spanned micro-batches (multi-file source)
+    epochs = {r.epoch for r in spark.read.parquet(out).select("epoch").distinct().collect()}
+    assert len(epochs) >= 2
+
+    # replay from scratch: fresh checkpoint, same sink dir -> same state
+    shutil.rmtree(ckpt)
+    merged2 = run_foreach_batch_rollup(spark, SF_TEST, src, out, ckpt)
+    got2 = {(r.hour, r.event_type): (r.n_events, r.revenue) for r in merged2.collect()}
+    assert got2 == want
