@@ -496,3 +496,122 @@ def win_mad_outliers(t: Tables) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "events_share_of_day",
+    oracle="""
+    WITH hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                           sum(value) AS hr_rev
+                    FROM events GROUP BY 1, 2),
+         daily AS (SELECT date_trunc('day', hour) AS day, event_type,
+                          sum(hr_rev) AS day_rev
+                   FROM hourly GROUP BY 1, 2)
+    SELECT h.hour, h.event_type,
+           round(h.hr_rev, 2) AS hr_rev,
+           round(h.hr_rev / d.day_rev, 6) AS share_of_day
+    FROM hourly h
+    JOIN daily d ON date_trunc('day', h.hour) = d.day
+                AND h.event_type = d.event_type
+    """,
+)
+def events_share_of_day(t: Tables) -> DataFrame:
+    """Ratio-to-parent rollup: each hour's revenue as a share of its
+    day's total per event type — the two-grain normalization behind
+    'percent of daily traffic' dashboards.
+
+    The day grain derives from the HOURLY aggregate (24× fewer rows —
+    the rollup_multigrain re-aggregation trick), then joins back on
+    (day, type). Both grains share the event_type hash key; the day side
+    is tiny and broadcasts."""
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.sum("value").alias("hr_rev"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("hour")).alias("day"), F.col("event_type").alias("et")
+    ).agg(F.sum("hr_rev").alias("day_rev"))
+    return (
+        hourly.join(
+            F.broadcast(daily),
+            (F.date_trunc("day", F.col("hour")) == F.col("day"))
+            & (F.col("event_type") == F.col("et")),
+        )
+        .select(
+            "hour",
+            "event_type",
+            F.round("hr_rev", 2).alias("hr_rev"),
+            F.round(F.col("hr_rev") / F.col("day_rev"), 6).alias("share_of_day"),
+        )
+    )
+
+
+@query(
+    "orders_market_basket",
+    oracle="""
+    WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+         freq AS (SELECT p_brand, count(*) AS n_b FROM ob GROUP BY p_brand),
+         pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                          count(*) AS n_ab
+                   FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                                      AND a.p_brand < b.p_brand
+                   GROUP BY a.p_brand, b.p_brand)
+    SELECT brand_a, brand_b, n_ab,
+           round(n_ab * 1.0 / n.n_orders, 6) AS support,
+           round(n_ab * 1.0 * n.n_orders / (fa.n_b * fb.n_b), 4) AS lift
+    FROM pairs
+    JOIN freq fa ON brand_a = fa.p_brand
+    JOIN freq fb ON brand_b = fb.p_brand
+    CROSS JOIN n
+    """,
+)
+def orders_market_basket(t: Tables) -> DataFrame:
+    """Market-basket co-occurrence: support and lift for every brand pair
+    appearing in the same order — the association-rule mining primitive
+    (Apriori's first level).
+
+    The basket projection is DISTINCT (order, brand) — two int-ish
+    columns, the only fact-sized shuffle; the pair self-join is keyed on
+    l_orderkey with the a<b residual, so pairs-per-order is quadratic in
+    BASKET size (~4 lines), never corpus size; brand frequencies and the
+    order count are broadcast scalars. At 100 TB add a support-threshold
+    pre-prune of rare brands before pairing (Apriori pruning) — with 25
+    brands here every pair clears any threshold."""
+    ob = (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    fa = freq.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("na"))
+    fb = freq.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    return (
+        pairs.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab") * 1.0 / F.col("n_orders"), 6).alias("support"),
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n_orders") / (F.col("na") * F.col("nb")), 4
+            ).alias("lift"),
+        )
+    )

@@ -403,3 +403,61 @@ def array_hof(t: Tables) -> DataFrame:
             F.aggregate(F.slice(e, 1, 8), F.lit(0.0), lambda acc, x: acc + dbl(x)) / 8.0, 4
         ).alias("head8_mean"),
     )
+
+
+@query(
+    "str_try_parse",
+    oracle="""
+    WITH src AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 4 = 0 THEN CAST(p_size AS VARCHAR)
+                    WHEN p_partkey % 4 = 1 THEN ' ' || CAST(p_size AS VARCHAR) || ' '
+                    WHEN p_partkey % 4 = 2 THEN p_name
+                    ELSE '' END AS int_raw,
+               CASE WHEN p_partkey % 3 = 0 THEN CAST(p_retailprice AS VARCHAR)
+                    WHEN p_partkey % 3 = 1 THEN '1e2'
+                    ELSE p_brand END AS dbl_raw,
+               CASE WHEN p_partkey % 2 = 0 THEN '1997-02-28'
+                    ELSE '1997-02-30' END AS date_raw
+        FROM part
+    )
+    SELECT p_partkey,
+           TRY_CAST(int_raw AS INTEGER)  AS as_int,
+           TRY_CAST(dbl_raw AS DOUBLE)   AS as_double,
+           TRY_CAST(date_raw AS DATE)    AS as_date,
+           TRY_CAST(int_raw AS INTEGER) IS NULL AS int_failed
+    FROM src
+    """,
+)
+def str_try_parse(t: Tables) -> DataFrame:
+    """Fault-tolerant parsing surface (`try_cast`): dirty-ingest strings
+    → typed columns with NULL instead of job failure — the difference
+    between a 100 TB load that completes with a quarantine column and one
+    that dies at row 40 billion.
+
+    The probe strings derive deterministically from fixture columns:
+    integral-with-whitespace (parses), prose (NULL), empty (NULL),
+    double/scientific notation (parses), invalid calendar date (NULL).
+    Pinned out: decimal-string→int, where engines legitimately disagree
+    (Spark try_cast('7.5' AS int) = NULL; DuckDB rounds to 8) — the
+    declared contract covers the behaviors that are portable."""
+    pk = F.col("p_partkey")
+    int_raw = (
+        F.when(pk % 4 == 0, F.col("p_size").cast("string"))
+        .when(pk % 4 == 1, F.concat(F.lit(" "), F.col("p_size").cast("string"), F.lit(" ")))
+        .when(pk % 4 == 2, F.col("p_name"))
+        .otherwise(F.lit(""))
+    )
+    dbl_raw = (
+        F.when(pk % 3 == 0, F.col("p_retailprice").cast("string"))
+        .when(pk % 3 == 1, F.lit("1e2"))
+        .otherwise(F.col("p_brand"))
+    )
+    date_raw = F.when(pk % 2 == 0, F.lit("1997-02-28")).otherwise(F.lit("1997-02-30"))
+    return t.part.select(
+        "p_partkey",
+        int_raw.try_cast("int").alias("as_int"),
+        dbl_raw.try_cast("double").alias("as_double"),
+        date_raw.try_cast("date").alias("as_date"),
+        int_raw.try_cast("int").isNull().alias("int_failed"),
+    )
