@@ -517,3 +517,82 @@ def etl_snapshot_diff(t: Tables) -> DataFrame:
     return j.groupBy(cls.alias("change_type")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, round(c_acctbal + 100.0, 2) AS c_acctbal
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    ),
+    dim AS (
+        SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal,
+               TIMESTAMP '1900-01-01' AS valid_from,
+               TIMESTAMP '9999-12-31' AS valid_to, TRUE AS is_current
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.c_custkey = customer.c_custkey)
+        UNION ALL
+        SELECT c_custkey, round(c_acctbal, 2),
+               TIMESTAMP '1900-01-01', TIMESTAMP '1998-01-01', FALSE
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM updates u
+                      WHERE u.c_custkey = customer.c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_acctbal,
+               TIMESTAMP '1998-01-01', TIMESTAMP '9999-12-31', TRUE
+        FROM updates
+    )
+    SELECT o_orderkey, o_custkey, d.c_acctbal AS acctbal_at_order,
+           d.is_current AS version_is_current
+    FROM orders
+    JOIN dim d ON o_custkey = d.c_custkey
+              AND o_orderdate >= d.valid_from
+              AND o_orderdate <  d.valid_to
+    """,
+)
+def join_point_in_time(t: Tables) -> DataFrame:
+    """Point-in-time (PIT) join: each order picks the SCD2 dimension
+    version that was valid AT its order date — the lookup that makes
+    versioned dimensions useful, and the batch twin of a feature-store
+    PIT lookup (training-data correctness depends on it: joining the
+    CURRENT version leaks future attribute values into past facts).
+
+    Spark side reuses scd2_apply (real timestamps internally; the
+    9999-12-31 sentinel never reaches the output, so the driver's pandas
+    conversion is safe). The join is an equi join on the dimension key
+    with the validity range as a residual predicate — per key there are
+    at most a handful of versions, so the residual filters a few rows per
+    match and NO range/nested-loop join appears. Orders before and after
+    the 1998-01-01 effective date exercise both versions."""
+    dim = t.customer.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    updates = t.customer.join(
+        urgent, t.customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    scd2 = scd2_apply(
+        dim, updates, "c_custkey", "1998-01-01", ["c_name", "c_acctbal", "c_mktsegment"]
+    )
+    o = t.orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    return o.join(
+        scd2,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("c_acctbal").alias("acctbal_at_order"),
+        F.col("is_current").alias("version_is_current"),
+    )

@@ -602,3 +602,52 @@ def join_q7_volume(t: Tables) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH o AS (SELECT o_orderkey,
+                      CASE WHEN o_custkey % 97 = 0 THEN NULL
+                           ELSE o_custkey END AS k
+               FROM orders),
+         c AS (SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL
+                           ELSE c_custkey END AS k,
+                      c_mktsegment
+               FROM customer)
+    SELECT o.k IS NULL AS key_is_null,
+           count(*) AS n_matches,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+    GROUP BY o.k IS NULL
+    """,
+)
+def join_null_safe(t: Tables) -> DataFrame:
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics CDC
+    merges and dedup-on-nullable-key pipelines need (a plain equi join
+    makes NULL-keyed rows vanish without an error).
+
+    Keys are deterministically nullified on both sides (every 97th id);
+    the null-class rows multiply (every null left row matches every null
+    right row), which the grouped counts make visible. Spark still plans
+    this as a hash join — `<=>` is an equi comparator, NOT a theta join —
+    so at scale it shuffles exactly like `=` (NULLs all hash to one
+    partition: if the null fraction is material, route NULL keys to a
+    separate union leg; noted here, negligible at 1/97)."""
+    o = t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 97 == 0, F.lit(None)).otherwise(F.col("o_custkey")).alias("k"),
+    )
+    c = t.customer.select(
+        F.when(F.col("c_custkey") % 97 == 0, F.lit(None)).otherwise(F.col("c_custkey")).alias("ck"),
+        "c_mktsegment",
+    )
+    return (
+        o.join(c, o.k.eqNullSafe(c.ck))
+        .groupBy(F.col("k").isNull().alias("key_is_null"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )

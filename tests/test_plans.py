@@ -363,3 +363,20 @@ def test_dpp_injects_runtime_partition_filter(spark):
     into the partitioned fact scan — runtime pruning, not a full read."""
     plan = _plan(_QS["join_dpp_runtime"](spark, SF_TEST))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_pit_join_is_equi_with_residual(spark):
+    """Point-in-time join must ride the dimension-key equi join (validity
+    range as residual) — a range-driven nested loop would be quadratic."""
+    plan = _plan(_QS["join_point_in_time"](spark, SF_TEST))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """<=> is an equi comparator: the plan must be a hash join, never a
+    nested loop over the null class."""
+    plan = _plan(_QS["join_null_safe"](spark, SF_TEST))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
