@@ -615,3 +615,96 @@ def orders_market_basket(t: Tables) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "events_session_paths",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s2 AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS sess
+           FROM s),
+    paths AS (SELECT user_id, sess,
+                     string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              FROM s2 GROUP BY user_id, sess)
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def events_session_paths(t: Tables) -> DataFrame:
+    """Top-20 session paths: sessionize (30-min gap, gaps-and-islands),
+    concatenate each session's ordered event types into a path string,
+    count paths — clickstream pattern mining's entry query.
+
+    All windows are user-partitioned; the per-session ordering happens
+    IN-ROW (collect the session's (ts, event_id, type) structs, one
+    array_sort, one transform — never a global sort); the final top-20 is
+    TakeOrderedAndProject over the tiny distinct-path aggregate. Path
+    strings are bounded by session length; a runaway session would need
+    the same cap a streaming session window puts on duration."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    s = t.events.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn("sess", F.sum("new_s").over(w))
+    paths = (
+        s.groupBy("user_id", "sess")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform(F.col("evs"), lambda x: x.event_type)
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(20)
+    )
+
+
+@query(
+    "win_time_range_moving",
+    oracle="""
+    SELECT event_id, event_type,
+           round(sum(value) OVER (PARTITION BY event_type
+                                  ORDER BY epoch_us(ts)
+                                  RANGE BETWEEN 3600000000 PRECEDING
+                                            AND CURRENT ROW), 2)
+               AS trailing_1h_revenue
+    FROM events
+    """,
+)
+def win_time_range_moving(t: Tables) -> DataFrame:
+    """Event-time RANGE frame: per event, the trailing 1-hour revenue of
+    its type — the time-based moving window (vs win_moving_avg's
+    row-count frame), ordered by integer epoch microseconds so the frame
+    arithmetic is engine-exact and tie rows are frame peers on both
+    sides.
+
+    Partitioned by event_type (hash-distributed); at 100 TB the state
+    per partition is the in-frame row buffer — bounded by event rate ×
+    1 hour, the same bound a streaming sliding window carries."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600000000, 0)
+    )
+    return t.events.select(
+        "event_id",
+        "event_type",
+        F.round(F.sum("value").over(w), 2).alias("trailing_1h_revenue"),
+    )
