@@ -385,3 +385,39 @@ def agg_mode(t: Tables) -> DataFrame:
     return counts.groupBy("user_id").agg(pick.alias("p")).select(
         "user_id", F.col("p.mode_event").alias("mode_event"), F.col("p.n_events").alias("n_events")
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           round(sum(o_totalprice) FILTER (WHERE o_totalprice > 300000.0), 2)
+               AS big_order_revenue,
+           round(avg(o_totalprice) FILTER (WHERE year(o_orderdate) >= 2000), 2)
+               AS avg_price_modern
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_filter_clause(t: Tables) -> DataFrame:
+    """SQL FILTER clause (per-aggregate predicates) through the SQL entry
+    point — the standard form of conditional aggregation; Catalyst
+    compiles each FILTER to the same if(cond, x, null) input the CASE
+    formulation produces, so one scan serves all four aggregates.
+    NULL-when-empty semantics (sum/avg over a filtered-empty group)
+    match across engines."""
+    return t.spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_total,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               round(sum(o_totalprice) FILTER (WHERE o_totalprice > 300000.0), 2)
+                   AS big_order_revenue,
+               round(avg(o_totalprice) FILTER (WHERE year(o_orderdate) >= 2000), 2)
+                   AS avg_price_modern
+        FROM orders
+        GROUP BY o_orderstatus
+        """
+    )

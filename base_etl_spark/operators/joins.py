@@ -651,3 +651,38 @@ def join_null_safe(t: Tables) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.price
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS price
+                  FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) t
+    WHERE c.c_mktsegment = 'MACHINERY'
+    """,
+)
+def join_lateral_topn(t: Tables) -> DataFrame:
+    """LATERAL correlated subquery (top-2 orders per machinery customer)
+    through the SQL entry point: the per-row-subquery SQL surface, which
+    Catalyst decorrelates into a window/join plan instead of executing a
+    subquery per customer — same answer as the win_topk_per_group
+    formulation, expressed the way SQL users migrating from engines with
+    LATERAL/CROSS APPLY write it. Tie-break on the PK makes the LIMIT
+    deterministic."""
+    return t.spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.price
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS price
+                      FROM orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) t
+        WHERE c.c_mktsegment = 'MACHINERY'
+        """
+    )

@@ -204,3 +204,44 @@ def agg_unpivot(t: Tables) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey, round(o_totalprice, 2) AS price FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey, round(o_totalprice, 2) AS price FROM orders
+    WHERE o_totalprice > 200000.0
+    """,
+)
+def set_intersect_all(t: Tables) -> DataFrame:
+    """Multiset INTERSECT ALL: keeps min(m, n) copies of each duplicated
+    row (vs set_intersect's dedup-to-one) — the bag semantics audits need
+    when counting matched occurrences. Planned like the distinct variant
+    (co-shuffle on the full row) plus per-row multiplicity counters."""
+    proj = lambda df: df.select("o_custkey", F.round("o_totalprice", 2).alias("price"))
+    a = proj(t.orders.filter(F.col("o_orderpriority") == "1-URGENT"))
+    b = proj(t.orders.filter(F.col("o_totalprice") > 200000.0))
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey, round(o_totalprice, 2) AS price FROM orders
+    WHERE o_totalprice > 200000.0
+    EXCEPT ALL
+    SELECT o_custkey, round(o_totalprice, 2) AS price FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_except_all(t: Tables) -> DataFrame:
+    """Multiset EXCEPT ALL: removes one copy per match, keeps max(m-n, 0)
+    copies (vs set_except's remove-all) — the reconciliation diff that
+    respects multiplicities."""
+    proj = lambda df: df.select("o_custkey", F.round("o_totalprice", 2).alias("price"))
+    a = proj(t.orders.filter(F.col("o_totalprice") > 200000.0))
+    b = proj(t.orders.filter(F.col("o_orderpriority") == "1-URGENT"))
+    return a.exceptAll(b)
