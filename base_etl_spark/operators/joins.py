@@ -686,3 +686,31 @@ def join_lateral_topn(t: Tables) -> DataFrame:
         WHERE c.c_mktsegment = 'MACHINERY'
         """
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_shuffle_hash_hint(t: Tables) -> DataFrame:
+    """Physical-strategy control via join hint: SHUFFLE_HASH forces a
+    shuffled hash join (plan-asserted) where the planner would otherwise
+    broadcast or sort-merge. The when-to-use story: hash join beats
+    sort-merge when one side is much smaller than the other but too big
+    to broadcast — it skips both sort phases at the cost of building a
+    hash map per partition; hints are the escape hatch when statistics
+    mislead the cost model (post-filter cardinality, UDF-derived keys).
+    The RESULT is hint-independent — the oracle is the plain join."""
+    return (
+        t.supplier.hint("shuffle_hash")
+        .join(t.nation.hint("shuffle_hash"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )

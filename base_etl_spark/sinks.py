@@ -493,3 +493,51 @@ def etl_forget_users(t: Tables) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "etl_cluster_by_date",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def etl_cluster_by_date(t: Tables) -> DataFrame:
+    """Sort-clustered lake layout: lineitem rewritten range-partitioned +
+    sorted by l_shipdate, then a date-range query over the clustered
+    copy (oracle over the original). Clustering gives every file a tight
+    shipdate min/max, so the pushed-down range predicate (plan-asserted
+    in tests) lets the reader skip whole files and row groups — the
+    poor-man's Z-order for the single-column-range workload, and the
+    right companion when partitioning by date is too fine-grained
+    (high-cardinality timestamp vs low-cardinality partition key).
+
+    repartitionByRange(ts) + sortWithinPartitions keeps the write
+    parallel AND the clustering global across files (file k's max <=
+    file k+1's min, modulo range-sampling boundaries)."""
+    path = _derived_path(t.sf_dir, "lineitem_clustered")
+    (
+        t.lineitem.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    lo, hi = "1997-06-01", "1997-09-01"
+    return (
+        t.spark.read.parquet(path)
+        .filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -380,3 +380,47 @@ def test_null_safe_join_is_hash_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_shuffle_hash_hint_plans_shuffled_hash_join(spark):
+    """The SHUFFLE_HASH hint must override the default strategy."""
+    plan = _plan(_QS["join_shuffle_hash_hint"](spark, SF_TEST))
+    assert "ShuffledHashJoin" in plan
+
+
+def test_clustered_scan_pushes_date_range(spark):
+    """The clustered-layout read must reach the parquet reader with both
+    shipdate bounds (file/row-group min-max skipping depends on it)."""
+    plan = _plan(_QS["etl_cluster_by_date"](spark, SF_TEST))
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "LessThan(l_shipdate," in plan
+
+
+def test_runtime_bloom_filter_injection(spark, tables):
+    """Scale feature demo: with the runtime bloom-filter optimizer rule
+    enabled (thresholds lowered to fixture scale), a selective dim join
+    injects a might_contain pre-filter on the fact side — at 100 TB this
+    prunes shuffle input for joins where neither static pushdown nor DPP
+    applies. Asserted here so a Spark upgrade silently dropping the rule
+    fails loudly."""
+    from pyspark.sql import functions as F2
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # creationSideThreshold is a MAX (dim must fit); the application
+        # threshold is a MIN (fact must be big enough) — lower only the min
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        dim = tables.part.filter(F2.col("p_size") == 1).select("p_partkey")
+        fact = tables.lineitem.select("l_partkey", "l_quantity")
+        df = fact.join(dim, fact.l_partkey == dim.p_partkey)
+        plan = _plan(df)
+        assert "might_contain" in plan.lower() or "bloomfilter" in plan.lower()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
