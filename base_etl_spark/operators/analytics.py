@@ -708,3 +708,47 @@ def win_time_range_moving(t: Tables) -> DataFrame:
         "event_type",
         F.round(F.sum("value").over(w), 2).alias("trailing_1h_revenue"),
     )
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+    WITH firsts AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS d
+                    FROM events GROUP BY user_id),
+         new_users AS (SELECT d, count(*) AS n_new FROM firsts GROUP BY d),
+         active AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                           count(DISTINCT user_id) AS n_active
+                    FROM events GROUP BY 1)
+    SELECT a.d AS day, a.n_active,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.d) AS BIGINT)
+               AS cumulative_users
+    FROM active a LEFT JOIN new_users n ON a.d = n.d
+    """,
+)
+def events_cumulative_users(t: Tables) -> DataFrame:
+    """Daily active / new / cumulative distinct users — the growth-
+    dashboard staple. Cumulative DISTINCT over time is not directly
+    windowable; the first-seen-day rewrite (min day per user → daily new
+    → running sum) makes it one extra hash agg.
+
+    The only unpartitioned window runs over the PRE-AGGREGATED one-row-
+    per-day series (~30 rows — the win_range_frame bounded-by-construction
+    pattern); every fact-sized operation is a user- or day-keyed hash
+    agg."""
+    day = F.to_date("ts")
+    firsts = t.events.groupBy("user_id").agg(F.min(day).alias("d"))
+    new_users = firsts.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
+    active = t.events.groupBy(day.alias("d")).agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(F.broadcast(new_users), "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .withColumn("cumulative_users", F.sum("n_new").over(w).cast("long"))
+    )

@@ -461,3 +461,99 @@ def str_try_parse(t: Tables) -> DataFrame:
         date_raw.try_cast("date").alias("as_date"),
         int_raw.try_cast("int").isNull().alias("int_failed"),
     )
+
+
+@query(
+    "date_timezone",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(timezone('America/New_York',
+                             o_orderdate AT TIME ZONE 'UTC'),
+                    '%Y-%m-%d %H:%M') AS ny_local,
+           hour(timezone('America/New_York', o_orderdate AT TIME ZONE 'UTC'))
+               AS ny_hour,
+           hour(timezone('Asia/Tokyo', o_orderdate AT TIME ZONE 'UTC'))
+               AS tokyo_hour
+    FROM orders
+    """,
+)
+def date_timezone(t: Tables) -> DataFrame:
+    """Timezone conversion surface: UTC order timestamps rendered in
+    America/New_York (DST boundary crossings included — the 1995–2001
+    span covers both offsets) and Asia/Tokyo. Local-time values are
+    emitted as strings/hours so the comparison is about WALL-CLOCK
+    semantics, not timestamp-type representation; the session timezone is
+    pinned to UTC on both engines (io.REQUIRED_CONFS), which is also the
+    production posture — store UTC, convert at the edge."""
+    d = F.col("o_orderdate")
+    ny = F.from_utc_timestamp(d, "America/New_York")
+    tokyo = F.from_utc_timestamp(d, "Asia/Tokyo")
+    return t.orders.select(
+        "o_orderkey",
+        F.date_format(ny, "yyyy-MM-dd HH:mm").alias("ny_local"),
+        F.hour(ny).alias("ny_hour"),
+        F.hour(tokyo).alias("tokyo_hour"),
+    )
+
+
+@query(
+    "json_struct_roundtrip",
+    oracle="""
+    SELECT l_orderkey % 10 AS bucket,
+           CAST(sum(cnt) AS BIGINT) AS n_lines,
+           round(sum(qty_sum), 2) AS total_qty
+    FROM (SELECT l_orderkey, count(*) AS cnt, sum(l_quantity) AS qty_sum
+          FROM lineitem GROUP BY l_orderkey)
+    GROUP BY l_orderkey % 10
+    """,
+)
+def json_struct_roundtrip(t: Tables) -> DataFrame:
+    """Nested-JSON round trip: each order's lines are packed into a JSON
+    document (array of structs), parsed back with an explicit schema, and
+    re-exploded; the aggregate equals the direct computation because the
+    to_json/from_json double representation is shortest-repr lossless.
+    This is the document-shaped ingest path (webhook / event payloads)
+    exercised end to end — build, parse, explode, aggregate.
+
+    Scale: to_json/from_json are codegen'd JVM expressions (Jackson
+    under the hood) — no Python; the per-order pack is one hash agg and
+    the parse is a projection. The explicit schema matters at 100 TB:
+    schema inference over JSON is a full extra pass."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    packed = t.lineitem.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.struct(
+                F.collect_list(
+                    F.struct(F.col("l_quantity").alias("qty"), F.col("l_extendedprice").alias("price"))
+                ).alias("lines")
+            )
+        ).alias("doc")
+    )
+    schema = StructType(
+        [
+            StructField(
+                "lines",
+                ArrayType(
+                    StructType(
+                        [StructField("qty", DoubleType()), StructField("price", DoubleType())]
+                    )
+                ),
+            )
+        ]
+    )
+    exploded = packed.select(
+        "l_orderkey", F.explode(F.from_json("doc", schema).lines).alias("line")
+    )
+    return (
+        exploded.groupBy((F.col("l_orderkey") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("line.qty"), 2).alias("total_qty"),
+        )
+    )
