@@ -597,3 +597,82 @@ def text_ngram_topk(t: Tables) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("bigram"))
         .limit(20)
     )
+
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_QUERY = ("merge", "hash", "scan")
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+         stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avg_dlen FROM dl),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+                WHERE w IN ('merge', 'hash', 'scan') GROUP BY doc_id, w),
+         df AS (SELECT w AS t, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+         scored AS (
+             SELECT tf.doc_id,
+                    sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                        * tf.tf * ({_BM25_K1} + 1.0)
+                        / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                           + {_BM25_B} * dl.dlen / stats.avg_dlen))) AS s
+             FROM tf
+             JOIN df ON tf.w = df.t
+             JOIN dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN stats
+             GROUP BY tf.doc_id
+         )
+    SELECT doc_id, round(s, 6) AS bm25
+    FROM scored ORDER BY s DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25(t: Tables) -> DataFrame:
+    """BM25 ranking for a fixed keyword query — TF-IDF's
+    production successor (term-frequency saturation via k1, document-
+    length normalization via b), the lexical half of a hybrid retrieval
+    stack.
+
+    Plan shape: one explode feeds the doc-length agg and the
+    query-term-filtered tf agg (the term filter prunes the explode
+    output to ~3 terms before any shuffle); df and the corpus stats are
+    broadcast scalars; final score is one doc_id-keyed agg +
+    TakeOrderedAndProject. The idf formula is the Robertson-Sparck Jones
+    variant with the +1 floor (never negative), pinned identically in
+    the oracle."""
+    return (
+        bm25_scores(t)
+        .orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("s", 6).alias("bm25"))
+    )
+
+
+def bm25_scores(t: Tables) -> DataFrame:
+    """(doc_id, s): raw BM25 scores for the fixed query — shared by
+    text_bm25 (top-20 report) and sim_hybrid_rrf (lexical leg)."""
+    tok = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avg_dlen"))
+    tf = (
+        tok.filter(F.col("w").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy(F.col("w").alias("t")).agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avg_dlen")
+    )
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / norm
+    return (
+        tf.join(F.broadcast(df_), tf.w == df_.t)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("s"))
+    )

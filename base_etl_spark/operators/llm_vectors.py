@@ -619,3 +619,99 @@ def cluster_kmeans(t: Tables) -> DataFrame:
         F.col("best.c").alias("cluster_id"),
         F.round(F.sqrt(F.col("best.d")), 6).alias("dist"),
     )
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+         stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avg_dlen FROM dl),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+                WHERE w IN ('merge', 'hash', 'scan') GROUP BY doc_id, w),
+         df AS (SELECT w AS term, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+         bm25 AS (
+             SELECT tf.doc_id,
+                    sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / stats.avg_dlen))) AS s
+             FROM tf JOIN df ON tf.w = df.term
+             JOIN dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN stats GROUP BY tf.doc_id
+         ),
+         trank AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS tr
+                   FROM bm25 QUALIFY tr <= 100),
+         vsc AS (SELECT vec_id AS doc_id,
+                        round(list_cosine_similarity(
+                            embedding::DOUBLE[],
+                            (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]
+                        ), 6) AS cs
+                 FROM embeddings),
+         vrank AS (SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS vr
+                   FROM vsc QUALIFY vr <= 100),
+         fused AS (
+             SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+                    round(coalesce(1.0 / (60 + t.tr), 0.0)
+                        + coalesce(1.0 / (60 + v.vr), 0.0), 6) AS rrf,
+                    t.tr AS text_rank, v.vr AS vec_rank
+             FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
+         )
+    SELECT doc_id, rrf, text_rank, vec_rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def sim_hybrid_rrf(t: Tables) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion: the BM25 lexical
+    ranking (query 'merge hash scan') and the cosine vector ranking
+    (probe = vec 0's embedding) fused as Σ 1/(60+rank) — the standard
+    two-tower + keyword search combiner, robust to incomparable score
+    scales because only RANKS cross the fusion boundary.
+
+    Scale discipline: each leg is cut to its top-100 by
+    TakeOrderedAndProject BEFORE any rank window, so the row_number runs
+    over a bounded 100-row frame, never the corpus; similarities and
+    scores are rounded to 6dp before ranking with doc_id tie-breaks, so
+    both engines agree on every rank. The fusion itself is a full outer
+    join of two 100-row frames (a doc can be in either leg alone)."""
+    from base_etl_spark.operators.llm_text import bm25_scores
+
+    t100 = (
+        bm25_scores(t)
+        .orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(100)
+    )
+    tw = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    trank = t100.select("doc_id", F.row_number().over(tw).alias("text_rank"))
+
+    probe = F.broadcast(
+        t.embeddings.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("p_emb"), norm(F.col("embedding")).alias("p_norm")
+        )
+    )
+    vsc = (
+        t.embeddings.select("vec_id", "embedding", norm(F.col("embedding")).alias("e_norm"))
+        .crossJoin(probe)
+        .select(
+            F.col("vec_id").alias("v_doc"),
+            F.round(
+                dot(F.col("p_emb"), F.col("embedding")) / (F.col("p_norm") * F.col("e_norm")),
+                6,
+            ).alias("cs"),
+        )
+    )
+    v100 = vsc.orderBy(F.col("cs").desc(), F.col("v_doc")).limit(100)
+    vw = Window.orderBy(F.col("cs").desc(), F.col("v_doc"))
+    vrank = v100.select(F.col("v_doc"), F.row_number().over(vw).alias("vec_rank"))
+
+    fused = trank.join(vrank, trank.doc_id == vrank.v_doc, "full_outer").select(
+        F.coalesce("doc_id", "v_doc").alias("doc_id"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("text_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        "text_rank",
+        "vec_rank",
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)
