@@ -752,3 +752,26 @@ def events_cumulative_users(t: Tables) -> DataFrame:
         )
         .withColumn("cumulative_users", F.sum("n_new").over(w).cast("long"))
     )
+
+
+@query(
+    "events_heatmap_dow_hour",
+    oracle="""
+    SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY dayofweek(ts) + 1, hour(ts)
+    """,
+)
+def events_heatmap_dow_hour(t: Tables) -> DataFrame:
+    """Day-of-week × hour activity heatmap (≤168 cells) — the seasonality
+    fingerprint behind staffing/alert-threshold dashboards. One hash agg;
+    dow pinned to Spark's 1=Sunday convention (DuckDB's dayofweek is
+    0=Sunday, offset in the oracle)."""
+    return t.events.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )

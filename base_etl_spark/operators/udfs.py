@@ -162,3 +162,28 @@ def udtf_explode(t: Tables) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")),
     ).toDF("doc_id", "pos", "token")
+
+
+@query(
+    "udf_arrow",
+    oracle="""
+    SELECT event_id,
+           round(sqrt(value) * 10.0, 6) AS value_scored
+    FROM events
+    """,
+)
+def udf_arrow(t: Tables) -> DataFrame:
+    """Arrow-optimized Python UDF (`useArrow=True`, Spark 3.5+): scalar
+    Python signature, Arrow-batched transfer — the middle tier between
+    the pickled row-at-a-time udf_scalar and the pandas-Series udf_pandas
+    (same wire format as pandas UDFs, simpler authoring). Hash-checked
+    against the SQL twin like the rest of the declared UDF surface; the
+    plan node (ArrowEvalPython) is pinned by the Python-boundary audit in
+    tests/test_plans.py."""
+    import math
+
+    @F.udf(DoubleType(), useArrow=True)
+    def score(v: float) -> float:
+        return round(math.sqrt(v) * 10.0, 6)
+
+    return t.events.select("event_id", score(F.col("value")).alias("value_scored"))

@@ -541,3 +541,55 @@ def etl_cluster_by_date(t: Tables) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "scan_csv_permissive",
+    oracle="""
+    SELECT FALSE AS is_corrupt, count(*) AS n_rows FROM customer
+    UNION ALL
+    SELECT TRUE, 3
+    """,
+)
+def scan_csv_permissive(t: Tables) -> DataFrame:
+    """Malformed-input ingest contract: the customer CSV plus an injected
+    file of 3 deterministically-broken lines (wrong arity / non-numeric
+    key), read in PERMISSIVE mode with a corrupt-record column — bad rows
+    surface as quarantine rows instead of failing the load or silently
+    vanishing. The grouped count certifies BOTH populations: every good
+    row parsed (count == parquet truth) and every bad row captured
+    (count == injected 3).
+
+    At 100 TB this is the ingest stance: PERMISSIVE + quarantine column,
+    route corrupt rows to a review sink, never FAILFAST on a multi-hour
+    load (and never DROPMALFORMED, which destroys the audit trail)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    path = _derived_path(t.sf_dir, "customer_csv_dirty")
+    write_csv(t.customer, path)
+    bad = os.path.join(path, "zz_bad_lines.csv")
+    with open(bad, "w") as f:
+        f.write("c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment\n")  # per-file header
+        f.write("not_an_int,Broken Row 1,9,12.5,BUILDING\n")
+        f.write("42,Too,Few\n")
+        f.write("abc,def,ghi,jkl,mno\n")
+    schema = StructType(
+        [*schemas.CUSTOMER.fields, StructField("_corrupt_record", StringType())]
+    )
+    df = (
+        t.spark.read.schema(schema)
+        .option("header", "true")
+        .option("nullValue", "\\N")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # Spark refuses to run plans that read ONLY the corrupt-record column
+    # from a raw CSV scan (column pruning reduces this query to exactly
+    # that), so the quarantine split materializes the parsed batch first —
+    # which is also the production shape: parse once, then fan out the
+    # good rows and the quarantine rows from the same materialization.
+    df = df.cache()
+    return df.groupBy(F.col("_corrupt_record").isNotNull().alias("is_corrupt")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

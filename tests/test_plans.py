@@ -187,6 +187,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
     allowed = {
         "udf_scalar": "BatchEvalPython",
         "udf_pandas": "ArrowEvalPython",
+        "udf_arrow": "ArrowEvalPython",  # Arrow-optimized scalar UDF tier
         "udaf_entropy_pandas": "FlatMapGroupsInPandas",
         "sim_topk_blocked": "MapInPandas",
         "mm_frame_stats": "MapInPandas",  # codec plumbing IS the boundary
