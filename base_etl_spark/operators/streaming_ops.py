@@ -374,3 +374,31 @@ def stream_topk_windowed(t: Tables) -> DataFrame:
         F.desc("n_events"), F.asc("event_type")
     )
     return hourly.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query(
+    "stream_sliding_distinct",
+    oracle=f"""
+    WITH slid AS (
+        SELECT user_id,
+               make_timestamp((epoch_us(ts) // {_US_15MIN}) * {_US_15MIN}
+                              - cast(k AS bigint) * {_US_15MIN}) AS window_start
+        FROM events, unnest([0, 1, 2, 3]) AS u(k)
+    )
+    SELECT window_start, count(DISTINCT user_id) AS n_users
+    FROM slid GROUP BY window_start
+    """,
+)
+def stream_sliding_distinct(t: Tables) -> DataFrame:
+    """Sliding-window DISTINCT users (1 h window, 15 min slide): the
+    uniques-per-window dashboard metric. Unlike additive counts, distinct
+    does NOT merge across panes — the expansion to (window, user) pairs
+    is the honest cost (4× rows here, slide-ratio× in general), which is
+    exactly why production replaces it with the HLL sketch tier
+    (sketch_hll_rollup) once windows get wide. Exact tier stays the
+    correctness oracle."""
+    return (
+        t.events.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("window.start").alias("window_start"), "n_users")
+    )

@@ -8,6 +8,7 @@ from base_etl_spark.streaming.jobs import (
     streaming_dedup,
     streaming_enrich,
     streaming_interval_join,
+    streaming_interval_join_outer,
     streaming_sessionize,
     streaming_tumbling,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_enrich",
     "streaming_interval_join",
+    "streaming_interval_join_outer",
     "streaming_sessionize",
     "streaming_tumbling",
 ]

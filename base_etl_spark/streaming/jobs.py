@@ -270,3 +270,43 @@ def run_foreach_batch_rollup(
         .filter(F.col("rn") == 1)
         .select("hour", "event_type", "n_events", "revenue")
     )
+
+
+def streaming_interval_join_outer(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: purchases matched to
+    same-user clicks at most 1 hour older — and purchases with NO such
+    click still emitted (click columns NULL) once the watermark passes
+    their join horizon, i.e. once no future click could still match.
+    This is the conversion-attribution join where unattributed purchases
+    matter as much as attributed ones.
+
+    Same two-sided event-time bound as the inner variant (state stays
+    expirable); the OUTER semantics are what the watermark enables — the
+    engine can only emit a null-extended row once it can PROVE no match
+    will arrive, which is exactly the watermark guarantee. Rows newer
+    than (final watermark) may be withheld at end of a bounded run; the
+    test pins matched pairs == batch inner join and null-extended rows ⊆
+    batch anti-join with the withheld tail accounted for."""
+    c = clicks.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL 1 HOUR
+            """
+        ),
+        "leftOuter",
+    ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts")

@@ -502,3 +502,28 @@ def test_pagerank_mass_fixed_point_determinism(spark):
     # every rank at least the teleport floor
     base = 0.15 / len(rows)
     assert all(v >= base - 1e-12 for v in rows.values())
+
+
+def test_hll_overlap_tracks_exact_retention(spark):
+    from pyspark.sql import functions as F
+
+    from base_etl_spark import load_tables, queries
+
+    t = load_tables(spark, SF_TEST)
+    out = {r.day: r.est_retained for r in queries()["sketch_hll_overlap"](spark, SF_TEST).collect()}
+    days = t.events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    a = days.select(F.col("d").alias("d0"), F.col("user_id").alias("u0"))
+    b = days.select(F.col("d").alias("d1"), F.col("user_id").alias("u1"))
+    exact = {
+        str(r.d0): r.n
+        for r in a.join(
+            b, (F.date_add(F.col("d0"), 1) == F.col("d1")) & (F.col("u0") == F.col("u1"))
+        )
+        .groupBy("d0")
+        .agg(F.countDistinct("u0").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for day, n in exact.items():
+        # inclusion-exclusion triples the sketch error: wide tolerance
+        assert abs(out[day] - n) <= max(3, 0.15 * n), (day, out[day], n)

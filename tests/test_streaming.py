@@ -150,3 +150,53 @@ def test_foreach_batch_epoch_sink_idempotent(spark, tmp_path):
     merged2 = run_foreach_batch_rollup(spark, SF_TEST, src, out, ckpt)
     got2 = {(r.hour, r.event_type): (r.n_events, r.revenue) for r in merged2.collect()}
     assert got2 == want
+
+
+def test_streaming_outer_interval_join_semantics(spark, events_stream):
+    """LEFT OUTER stream-stream join: matched pairs must equal the batch
+    inner join; null-extended purchases must be exactly the batch
+    anti-join minus the tail the final watermark is still holding (an
+    unmatched purchase can only emit once no future click could match)."""
+    got = st.run_to_memory(
+        st.streaming_interval_join_outer(events_stream, events_stream), "t_ssjoin_outer"
+    )
+    ev = load_tables(spark, SF_TEST).events
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = F.expr(
+        "p_user = c_user AND click_ts <= purchase_ts"
+        " AND click_ts >= purchase_ts - INTERVAL 1 HOUR"
+    )
+    want_matched = sorted(
+        (r.purchase_id, r.click_id) for r in p.join(c, cond).collect()
+    )
+    got_matched = sorted(
+        (r.purchase_id, r.click_id) for r in got.filter(F.col("click_id").isNotNull()).collect()
+    )
+    assert got_matched == want_matched
+
+    want_unmatched = {r.purchase_id for r in p.join(c, cond, "left_anti").collect()}
+    got_rows = got.filter(F.col("click_id").isNull()).collect()
+    got_unmatched = {r.purchase_id for r in got_rows}
+    # every emitted null-extension is a true non-match (soundness)...
+    assert got_unmatched <= want_unmatched
+    # ...and was only emitted once PROVABLY unmatchable: the engine may
+    # null-extend a purchase only after the watermark (max event time
+    # minus the 2h delay, propagated with up to a micro-batch of lag)
+    # passes it — so every emitted row sits at least the delay behind
+    # the stream's end. The withheld tail is the complement; bounded-run
+    # watermark lag means we make no completeness claim about it.
+    import datetime as dt
+
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    horizon = max_ts - dt.timedelta(hours=2)
+    assert all(r.purchase_ts <= horizon for r in got_rows)
+    assert len(got_unmatched) > 0  # the fixture exercises the outer leg
