@@ -596,3 +596,44 @@ def join_point_in_time(t: Tables) -> DataFrame:
         F.col("c_acctbal").alias("acctbal_at_order"),
         F.col("is_current").alias("version_is_current"),
     )
+
+
+@query(
+    "etl_surrogate_keys",
+    oracle="""
+    WITH sk AS (
+        SELECT c_custkey,
+               md5(c_name || '|' || CAST(c_nationkey AS VARCHAR)
+                   || '|' || c_mktsegment) AS surrogate_key
+        FROM customer
+    )
+    SELECT count(*) AS n_rows,
+           count(DISTINCT surrogate_key) AS n_distinct_keys,
+           min(surrogate_key) AS min_key, max(surrogate_key) AS max_key
+    FROM sk
+    """,
+)
+def etl_surrogate_keys(t: Tables) -> DataFrame:
+    """Deterministic surrogate keys by content hash (md5 of the
+    pipe-delimited natural-key attributes) with a collision audit —
+    the engine-reproducible alternative to monotonically_increasing_id
+    (which depends on partition layout and differs run to run: useless
+    for incremental dim loads or cross-system reconciliation).
+
+    The audit aggregate (row count vs distinct keys, plus the hash range
+    endpoints) is what the driver hashes; at 100 TB the key assignment
+    is a pure projection and the collision audit one hash agg. 128-bit
+    md5 collision odds at 10^10 rows: ~10^-19 — acceptable for dim keys;
+    use sha2-256 where compliance demands it."""
+    sk = F.md5(
+        F.concat_ws(
+            "|", F.col("c_name"), F.col("c_nationkey").cast("string"), F.col("c_mktsegment")
+        )
+    )
+    keyed = t.customer.select("c_custkey", sk.alias("surrogate_key"))
+    return keyed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("surrogate_key").alias("n_distinct_keys"),
+        F.min("surrogate_key").alias("min_key"),
+        F.max("surrogate_key").alias("max_key"),
+    )

@@ -808,3 +808,99 @@ def sketch_hll_overlap(t: Tables) -> DataFrame:
         union_est.alias("est_union"),
         (est("sk0") + est("sk1") - union_est).alias("est_retained"),
     )
+
+
+@query(
+    "win_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mon, round(rev, 2) AS revenue,
+           round(100.0 * (rev - lag(rev) OVER w) / lag(rev) OVER w, 4)
+               AS yoy_pct
+    FROM monthly WINDOW w AS (PARTITION BY mon ORDER BY yr)
+    """,
+)
+def win_yoy_growth(t: Tables) -> DataFrame:
+    """Year-over-year growth per calendar month: monthly revenue with
+    lag(1) over the same-month-previous-year series — partitioning by
+    month-of-year makes YoY a PLAIN lag instead of a fragile lag(12)
+    over one global series (which breaks on gap months and needs a
+    single-partition sort). First year of each month series is NULL by
+    construction. Fact-sized work is one hash agg; the window runs over
+    the tiny (year × month) aggregate."""
+    monthly = t.orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.partitionBy("mon").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "yr",
+        "mon",
+        F.round("rev", 2).alias("revenue"),
+        F.round(100.0 * (F.col("rev") - prev) / prev, 4).alias("yoy_pct"),
+    )
+
+
+@query(
+    "win_pareto_abc",
+    oracle="""
+    WITH cust AS (
+        SELECT c_nationkey, o_custkey, sum(o_totalprice) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey, o_custkey
+    ),
+    ranked AS (
+        SELECT c_nationkey, o_custkey, rev,
+               sum(rev) OVER (PARTITION BY c_nationkey
+                              ORDER BY rev DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               sum(rev) OVER (PARTITION BY c_nationkey) AS tot_rev
+        FROM cust
+    )
+    SELECT c_nationkey,
+           CASE WHEN cum_rev / tot_rev <= 0.5 THEN 'A'
+                WHEN cum_rev / tot_rev <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_customers,
+           round(sum(rev), 2) AS class_revenue
+    FROM ranked
+    GROUP BY c_nationkey, abc_class
+    """,
+)
+def win_pareto_abc(t: Tables) -> DataFrame:
+    """Pareto / ABC classification per nation: customers ranked by
+    revenue within their nation, classified by cumulative revenue share
+    (A ≤ 50%, B ≤ 80%, C rest) — the inventory-management classic.
+
+    The running sum is partitioned by nation (hash-distributed, ordered
+    within partition by revenue with a PK tie-break for determinism);
+    the per-nation total rides the same window spec without the frame.
+    One orders hash agg feeds it; the final class rollup is tiny."""
+    cust = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wp = Window.partitionBy("c_nationkey")
+    w = wp.orderBy(F.col("rev").desc(), F.col("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    share = F.sum("rev").over(w) / F.sum("rev").over(wp)
+    abc = (
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C")
+    )
+    return (
+        cust.withColumn("abc_class", abc)
+        .groupBy("c_nationkey", "abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("rev"), 2).alias("class_revenue"),
+        )
+    )
