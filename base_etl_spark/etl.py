@@ -637,3 +637,48 @@ def etl_surrogate_keys(t: Tables) -> DataFrame:
         F.min("surrogate_key").alias("min_key"),
         F.max("surrogate_key").alias("max_key"),
     )
+
+
+@query(
+    "etl_k_anonymity",
+    oracle="""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+               count(*) AS grp_n
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+               AS n_exposed_rows,
+           count(*) AS n_groups,
+           CAST(min(grp_n) AS BIGINT) AS k_actual
+    FROM qi
+    """,
+)
+def etl_k_anonymity(t: Tables) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier combination
+    (nation, market segment, account-balance band): groups smaller than
+    k re-identify their members, so the release gate is `k_actual >= k`.
+    The audit reports violating-group and exposed-row counts — the
+    numbers a generalization step (widen the balance band, drop a QI
+    column) must drive to zero before data leaves the boundary.
+
+    One hash agg over the QI tuple + a 4-number re-aggregation; the
+    banding uses engine-neutral floor division (the etl_profile /
+    events_histogram bin rule)."""
+    qi = t.customer.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    return qi.agg(
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0)).cast("long").alias("n_violating_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("n_exposed_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("grp_n").cast("long").alias("k_actual"),
+    )

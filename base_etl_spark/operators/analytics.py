@@ -904,3 +904,64 @@ def win_pareto_abc(t: Tables) -> DataFrame:
             F.round(F.sum("rev"), 2).alias("class_revenue"),
         )
     )
+
+
+@query(
+    "events_bot_detection",
+    oracle="""
+    WITH per_min AS (
+        SELECT user_id, date_trunc('minute', ts) AS m, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    burst AS (SELECT user_id, max(n) AS max_per_min FROM per_min GROUP BY user_id),
+    mode_share AS (
+        SELECT user_id, max(tc) * 1.0 / sum(tc) AS top_type_share
+        FROM (SELECT user_id, event_type, count(*) AS tc
+              FROM events GROUP BY user_id, event_type)
+        GROUP BY user_id
+    ),
+    base AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+    SELECT b.user_id, b.n_events,
+           CAST(burst.max_per_min AS BIGINT) AS max_per_min,
+           round(mode_share.top_type_share, 6) AS top_type_share,
+           (burst.max_per_min >= 4 OR mode_share.top_type_share > 0.5)
+               AS bot_suspect
+    FROM base b
+    JOIN burst ON b.user_id = burst.user_id
+    JOIN mode_share ON b.user_id = mode_share.user_id
+    """,
+)
+def events_bot_detection(t: Tables) -> DataFrame:
+    """Heuristic bot/abuse scoring per user: burst rate (max events in
+    any minute) and behavioral monotony (share of the single most common
+    event type), flagged against fixed thresholds — the traffic-
+    filtering stage a training-data pipeline runs before counting
+    anything else as organic signal.
+
+    Three hash aggregates all keyed on user_id (AQE reuses the
+    exchange); no windows, no sorting. Thresholds are fixture-calibrated
+    (uniform synthetic traffic sits near 1/5 type share; real deploys
+    fit them per surface). The max-over-minutes rewrite is the same
+    grain trick as rollup_multigrain — never a per-event window."""
+    per_min = t.events.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    burst = per_min.groupBy("user_id").agg(F.max("n").cast("long").alias("max_per_min"))
+    type_counts = t.events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    mode_share = type_counts.groupBy("user_id").agg(
+        (F.max("tc") * 1.0 / F.sum("tc")).alias("share")
+    )
+    base = t.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        base.join(burst, "user_id")
+        .join(mode_share, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "max_per_min",
+            F.round("share", 6).alias("top_type_share"),
+            ((F.col("max_per_min") >= 4) | (F.col("share") > 0.5)).alias("bot_suspect"),
+        )
+    )
