@@ -17,6 +17,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from base_etl_spark.functions import money
 from base_etl_spark.io import Tables, load_tables
 from base_etl_spark.registry import query
 from base_etl_spark import sinks
@@ -681,4 +682,83 @@ def etl_k_anonymity(t: Tables) -> DataFrame:
         .alias("n_exposed_rows"),
         F.count(F.lit(1)).alias("n_groups"),
         F.min("grp_n").cast("long").alias("k_actual"),
+    )
+
+
+@query(
+    "etl_cdc_apply",
+    oracle="""
+    WITH ops AS (
+        SELECT o_orderkey AS k, o_orderstatus, o_totalprice AS price,
+               1 AS seq, 'I' AS op
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               floor(o_totalprice * 1.1 * 100 + 0.5) / 100,
+               2, 'U'
+        FROM orders WHERE o_orderkey % 10 IN (7, 8)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 2, 'D'
+        FROM orders WHERE o_orderkey % 10 = 9
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+            FROM ops
+        ) WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT o_orderstatus, count(*) AS n_rows,
+           round(sum(price), 2) AS total_price
+    FROM latest GROUP BY o_orderstatus
+    """,
+)
+def etl_cdc_apply(t: Tables) -> DataFrame:
+    """CDC changelog application: an insert/update/delete op log (derived
+    deterministically — every key an I at seq 1, 20% of keys a U at seq
+    2, 10% a D) collapsed to final table state by last-op-wins per key,
+    deletes dropped — the merge every Debezium/binlog-fed lake table
+    runs.
+
+    The collapse is a key-partitioned row_number window (hash-
+    distributed; at scale this is THE canonical CDC-compaction shape —
+    Delta/Iceberg MERGE does the same resolution transactionally). The
+    audited result is final-state counts and sums per status, so a
+    wrong op resolution (e.g. applying the U after the D, or keeping
+    deleted rows) flips the hash."""
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    upd = (
+        t.orders.filter((F.col("o_orderkey") % 10).isin(7, 8))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderstatus",
+            money(F.col("o_totalprice") * 1.1).alias("price"),
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+        )
+    )
+    dele = (
+        t.orders.filter(F.col("o_orderkey") % 10 == 9)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderstatus",
+            F.col("o_totalprice").alias("price"),
+            F.lit(2).alias("seq"),
+            F.lit("D").alias("op"),
+        )
+    )
+    ops = base.unionByName(upd).unionByName(dele)
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("price"), 2).alias("total_price"),
     )
