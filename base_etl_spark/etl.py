@@ -762,3 +762,55 @@ def etl_cdc_apply(t: Tables) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("price"), 2).alias("total_price"),
     )
+
+
+@query(
+    "etl_impute_median",
+    oracle="""
+    WITH holed AS (
+        SELECT p_partkey, p_type,
+               CASE WHEN p_partkey % 7 = 0 THEN NULL
+                    ELSE p_retailprice END AS price
+        FROM part
+    ),
+    med AS (SELECT p_type AS ty, quantile_cont(price, 0.5) AS m
+            FROM holed GROUP BY p_type)
+    SELECT h.p_type,
+           CAST(sum(CASE WHEN h.price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_imputed,
+           count(*) AS n_rows,
+           round(sum(coalesce(h.price, med.m)), 2) AS total_imputed_price,
+           round(avg(coalesce(h.price, med.m)), 4) AS avg_imputed_price
+    FROM holed h JOIN med ON h.p_type = med.ty
+    GROUP BY h.p_type
+    """,
+)
+def etl_impute_median(t: Tables) -> DataFrame:
+    """Median imputation per group: nulls (deterministically punched into
+    every 7th part's price) filled with the within-type median — the
+    robust feature-prep default (mean imputation drags toward outliers).
+    The audit reports imputed counts plus post-imputation sums/averages,
+    so a wrong median or a miscounted null flips the hash.
+
+    Two passes: per-type exact median (broadcast ~6 rows) + coalesce
+    join-back — the win_mad_outliers plan family; swap approx_percentile
+    at extreme group cardinality, same shape."""
+    holed = t.part.select(
+        "p_partkey",
+        "p_type",
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("p_retailprice"))
+        .alias("price"),
+    )
+    med = holed.groupBy(F.col("p_type").alias("ty")).agg(
+        F.percentile("price", F.lit(0.5)).alias("m")
+    )
+    imputed = holed.join(F.broadcast(med), holed.p_type == med.ty).select(
+        "p_type", "price", F.coalesce("price", "m").alias("filled")
+    )
+    return imputed.groupBy("p_type").agg(
+        F.sum(F.when(F.col("price").isNull(), 1).otherwise(0)).cast("long").alias("n_imputed"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("filled"), 2).alias("total_imputed_price"),
+        F.round(F.avg("filled"), 4).alias("avg_imputed_price"),
+    )

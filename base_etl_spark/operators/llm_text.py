@@ -11,8 +11,13 @@ ln() (libm) needs a 6dp round.
 
 from __future__ import annotations
 
+import zlib
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 from base_etl_spark.io import Tables
 from base_etl_spark.registry import query
@@ -675,4 +680,35 @@ def bm25_scores(t: Tables) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("s"))
+    )
+
+
+@F.pandas_udf(DoubleType())
+def _zratio(texts: pd.Series) -> pd.Series:
+    def one(s: str) -> float:
+        raw = s.encode("utf-8")
+        if not raw:
+            return 1.0
+        return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+    return texts.map(one)
+
+
+@query("text_compress_ratio", oracle=None)  # R: zlib lives on the Python side only
+def text_compress_ratio(t: Tables) -> DataFrame:
+    """Compressibility quality signal: zlib-compressed length over raw
+    length per document — boilerplate/repetitive junk compresses far
+    below organic text, making this one of the cheapest high-recall
+    garbage detectors in a training-data pipeline (the classic
+    complement to text_repetition's exact n-gram counters).
+
+    zlib is Python-side, so this is the seventh declared Python-boundary
+    key: an Arrow-batched pandas UDF (one C call per value — the
+    per-batch transfer dominates, not the compression). Deterministic
+    (zlib level 6 fixed), so rows-only with property tests: ratio
+    bounds, monotonicity on constructed repetitive-vs-random docs."""
+    return t.documents.select(
+        "doc_id",
+        F.col("n_chars").alias("raw_len"),
+        _zratio(F.col("text")).alias("compress_ratio"),
     )

@@ -188,6 +188,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "udf_scalar": "BatchEvalPython",
         "udf_pandas": "ArrowEvalPython",
         "udf_arrow": "ArrowEvalPython",  # Arrow-optimized scalar UDF tier
+        "text_compress_ratio": "ArrowEvalPython",  # zlib quality signal
         "udaf_entropy_pandas": "FlatMapGroupsInPandas",
         "sim_topk_blocked": "MapInPandas",
         "mm_frame_stats": "MapInPandas",  # codec plumbing IS the boundary

@@ -527,3 +527,20 @@ def test_hll_overlap_tracks_exact_retention(spark):
     for day, n in exact.items():
         # inclusion-exclusion triples the sketch error: wide tolerance
         assert abs(out[day] - n) <= max(3, 0.15 * n), (day, out[day], n)
+
+
+def test_compress_ratio_bounds_and_monotonicity(spark):
+    from base_etl_spark import queries
+
+    rows = queries()["text_compress_ratio"](spark, SF_TEST).collect()
+    assert rows and all(0.0 < r.compress_ratio <= 1.5 for r in rows)
+    # constructed docs: pure repetition must compress harder than varied text
+    from base_etl_spark.operators.llm_text import _zratio
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 200), (2, " ".join(f"w{i}x{i * 7 % 13}" for i in range(200)))],
+        "doc_id long, text string",
+    ).select("doc_id", _zratio(F.col("text")).alias("r"))
+    got = {r.doc_id: r.r for r in df.collect()}
+    assert got[1] < got[2] * 0.5
