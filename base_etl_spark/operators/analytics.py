@@ -965,3 +965,39 @@ def events_bot_detection(t: Tables) -> DataFrame:
             ((F.col("max_per_min") >= 4) | (F.col("share") > 0.5)).alias("bot_suspect"),
         )
     )
+
+
+@query(
+    "events_time_decay_score",
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT user_id,
+           round(sum(value * exp(-date_diff('microsecond', ts,
+                                            (SELECT now_ts FROM ref))
+                                 / 86400000000.0 / 7.0)), 4)
+               AS decayed_value,
+           round(sum(value), 2) AS raw_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_time_decay_score(t: Tables) -> DataFrame:
+    """Exponential time-decay engagement score per user (7-day
+    half-life-ish constant): recent activity dominates, stale activity
+    fades — the recency weighting behind engagement ranking and churn
+    features, computed in ONE pass because exp-decay is sum-distributive
+    (no per-event window needed; the reference time is a one-row
+    broadcast). Age is exact integer microseconds before the one float
+    division, so both engines exponentiate identical inputs."""
+    ref = t.events.agg(F.max("ts").alias("now_ts"))
+    age_days = (
+        (F.unix_micros("now_ts") - F.unix_micros("ts")) / F.lit(86400000000.0)
+    )
+    return (
+        t.events.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.exp(-age_days / 7.0)), 4).alias("decayed_value"),
+            F.round(F.sum("value"), 2).alias("raw_value"),
+        )
+    )

@@ -712,3 +712,85 @@ def text_compress_ratio(t: Tables) -> DataFrame:
         F.col("n_chars").alias("raw_len"),
         _zratio(F.col("text")).alias("compress_ratio"),
     )
+
+
+@query(
+    "text_js_divergence",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+         cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w),
+         tot AS (SELECT source AS s, sum(c) AS n FROM cnt GROUP BY source),
+         p AS (SELECT cnt.w, cnt.c * 1.0 / tot.n AS p
+               FROM cnt JOIN tot ON cnt.source = tot.s
+               WHERE cnt.source = 'src0'),
+         q AS (SELECT cnt.source, cnt.w, cnt.c * 1.0 / tot.n AS q
+               FROM cnt JOIN tot ON cnt.source = tot.s
+               WHERE cnt.source <> 'src0'),
+         joined AS (
+             SELECT q.source, coalesce(p.p, 0.0) AS p, q.q,
+                    (coalesce(p.p, 0.0) + q.q) / 2.0 AS m
+             FROM q LEFT JOIN p ON q.w = p.w
+             UNION ALL
+             SELECT srcs.source, p.p, 0.0, p.p / 2.0
+             FROM p CROSS JOIN (SELECT DISTINCT source FROM q) srcs
+             WHERE NOT EXISTS (SELECT 1 FROM q
+                               WHERE q.source = srcs.source AND q.w = p.w)
+         )
+    SELECT source,
+           round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0 END)
+               + sum(CASE WHEN q > 0 THEN 0.5 * q * ln(q / m) ELSE 0 END), 6)
+               AS jsd_vs_src0
+    FROM joined GROUP BY source
+    """,
+)
+def text_js_divergence(t: Tables) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and src0's — the symmetric, bounded (≤ ln 2) drift
+    metric for corpus-mix monitoring: a new crawl snapshot whose JSD
+    jumps is the canary for distribution shift before any model sees it.
+
+    Shape: one token hash agg per (source, word), broadcastable totals,
+    then a word-keyed outer alignment of each source against the
+    reference distribution (both directions of the mixture handled — the
+    UNION leg carries reference words absent from the source). All
+    probabilities divide exact integer counts, so both engines feed ln()
+    identical doubles; the KL convention 0·ln(0/m)=0 is written out as
+    CASE/when on both sides."""
+    tok = t.documents.select("source", F.explode(F.split("text", " ")).alias("w"))
+    cnt = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy(F.col("source").alias("s")).agg(F.sum("c").alias("n"))
+    dist = cnt.join(F.broadcast(tot), cnt.source == tot.s).select(
+        "source", "w", (F.col("c") * 1.0 / F.col("n")).alias("pr")
+    )
+    p = dist.filter(F.col("source") == "src0").select(
+        F.col("w").alias("pw"), F.col("pr").alias("p")
+    )
+    q = dist.filter(F.col("source") != "src0").select(
+        "source", "w", F.col("pr").alias("q")
+    )
+    matched = q.join(p, q.w == p.pw, "left").select(
+        "source",
+        F.coalesce("p", F.lit(0.0)).alias("p"),
+        "q",
+        ((F.coalesce("p", F.lit(0.0)) + F.col("q")) / 2.0).alias("m"),
+    )
+    srcs = q.select("source").distinct()
+    # explicit renames: both anti-join sides descend from q, and Spark
+    # resolves ambiguous self-lineage references silently (to a tautology)
+    q_keys = q.select(F.col("source").alias("qs"), F.col("w").alias("qw"))
+    ref_only = (
+        p.crossJoin(F.broadcast(srcs))
+        .join(
+            q_keys,
+            (F.col("qs") == F.col("source")) & (F.col("qw") == F.col("pw")),
+            "left_anti",
+        )
+        .select("source", F.col("p"), F.lit(0.0).alias("q"), (F.col("p") / 2.0).alias("m"))
+    )
+    joined = matched.unionByName(ref_only)
+    kl_p = F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / F.col("m"))).otherwise(0.0)
+    kl_q = F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / F.col("m"))).otherwise(0.0)
+    return joined.groupBy("source").agg(
+        F.round(F.sum(kl_p) + F.sum(kl_q), 6).alias("jsd_vs_src0")
+    )
