@@ -1001,3 +1001,42 @@ def events_time_decay_score(t: Tables) -> DataFrame:
             F.round(F.sum("value"), 2).alias("raw_value"),
         )
     )
+
+
+@query(
+    "events_max_gap",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id), ts) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           round(avg(gap_us) / 1000000.0, 4) AS avg_gap_s,
+           CAST(sum(CASE WHEN gap_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gaps_over_10m
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_max_gap(t: Tables) -> DataFrame:
+    """Outage/silence detection per stream: max and mean inter-event gap
+    plus the count of gaps above a 10-minute threshold — the
+    "did the pipeline stall" monitor. The lag window is partitioned by
+    event_type with a (ts, event_id) total order; gaps are exact integer
+    microseconds (the one float division happens after aggregation)."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gaps = t.events.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.round(F.avg("gap_us") / 1000000.0, 4).alias("avg_gap_s"),
+        F.sum(F.when(F.col("gap_us") > 600000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_gaps_over_10m"),
+    )

@@ -715,3 +715,50 @@ def sim_hybrid_rrf(t: Tables) -> DataFrame:
         "vec_rank",
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)
+
+
+@query(
+    "sim_topk_ip",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
+        WHERE vec_id < {N_PROBES}
+    ),
+    scored AS (
+        SELECT probe_id, e.vec_id AS neighbor_id,
+               round(list_inner_product(p_emb::DOUBLE[], e.embedding::DOUBLE[]), 6)
+                   AS ip
+        FROM probes CROSS JOIN embeddings e
+        WHERE e.vec_id <> probe_id
+    )
+    SELECT probe_id, neighbor_id, ip, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY ip DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_ip(t: Tables) -> DataFrame:
+    """Maximum-inner-product top-k (unnormalized dot) — the retrieval
+    metric when magnitude IS signal (recommendation embeddings trained
+    with dot-product loss), next to sim_topk's cosine. Same
+    broadcast-probe × single-corpus-scan plan, no norms needed. The MIPS
+    note for ANN tiers: augment each vector with sqrt(M²−|x|²) and the
+    problem reduces to cosine, so the SRP-LSH bucketing path
+    (dedup_embedding) applies after that transform."""
+    probes = F.broadcast(
+        t.embeddings.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+        )
+    )
+    scored = (
+        probes.crossJoin(t.embeddings.select("vec_id", "embedding"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("p_emb"), F.col("embedding")), 6).alias("ip"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("ip").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)

@@ -187,3 +187,35 @@ def udf_arrow(t: Tables) -> DataFrame:
         return round(math.sqrt(v) * 10.0, 6)
 
     return t.events.select("event_id", score(F.col("value")).alias("value_scored"))
+
+
+@query("udtf_python", oracle=None)  # R: the Python-UDTF boundary itself
+def udtf_python(t: Tables) -> DataFrame:
+    """Real Python UDTF (`@udtf` class API, Spark 3.5+): one input row →
+    variable output rows computed in Python — the boundary for
+    generators that no SQL expression covers (API pagination expansion,
+    tokenizer-with-state, parser emitting irregular records). Here it
+    splits each document into fixed-size token chunks with per-chunk
+    spans — deliberately also expressible as slices, so the self-check
+    (tests) pins the UDTF output against the pure-expression twin
+    row-for-row. Eighth declared Python-boundary key (PythonUDTF plan
+    node); everything expressible stays on the udtf_explode built-in
+    path — this exists to pin the API and its plan shape."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, start_tok int, n_toks int, chunk string")
+    class ChunkDoc:
+        def eval(self, text: str, size: int):  # noqa: ANN001
+            toks = text.split(" ")
+            for i in range(0, len(toks), size):
+                part = toks[i : i + size]
+                yield i // size, i, len(part), " ".join(part)
+
+    t.spark.udtf.register("chunk_doc", ChunkDoc)
+    return t.spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.start_tok, c.n_toks,
+               length(c.chunk) AS chunk_chars
+        FROM documents, LATERAL chunk_doc(text, 16) AS c
+        """
+    )

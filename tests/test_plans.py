@@ -163,6 +163,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "sim_topk",         # 10-row probe broadcast x corpus
         "sim_topk_ivf",     # 10-row probe broadcast x centroids
         "sim_knn_classify", # 10-row probe broadcast x corpus (sim_topk shape)
+        "sim_topk_ip",      # 10-row probe broadcast x corpus (dot-product)
         "pack_sequences",   # 1-row max-doc-id bucketing scalar
         "corpus_mix_weights",  # 1-row corpus-totals scalar
         "cluster_kmeans",   # k-row (8) centroid broadcast x corpus scan
@@ -192,6 +193,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "udaf_entropy_pandas": "FlatMapGroupsInPandas",
         "sim_topk_blocked": "MapInPandas",
         "mm_frame_stats": "MapInPandas",  # codec plumbing IS the boundary
+        "udtf_python": "BatchEvalPythonUDTF",  # the Python-UDTF boundary itself
     }
     markers = (
         "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",

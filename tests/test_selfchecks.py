@@ -544,3 +544,36 @@ def test_compress_ratio_bounds_and_monotonicity(spark):
     ).select("doc_id", _zratio(F.col("text")).alias("r"))
     got = {r.doc_id: r.r for r in df.collect()}
     assert got[1] < got[2] * 0.5
+
+
+def test_python_udtf_matches_expression_twin(spark):
+    """udtf_python's chunking must equal the pure-expression slice twin
+    row-for-row (the UDTF exists to pin the API, not new semantics)."""
+    from pyspark.sql import functions as F
+
+    from base_etl_spark import load_tables, queries
+
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.start_tok, r.n_toks, r.chunk_chars)
+        for r in queries()["udtf_python"](spark, SF_TEST).collect()
+    )
+    t = load_tables(spark, SF_TEST)
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / 16).cast("int")
+    twin = (
+        t.documents.select("doc_id", toks.alias("ws"), n_chunks.alias("nc"))
+        .select("doc_id", "ws", F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("ci"))
+        .select(
+            "doc_id",
+            F.col("ci").alias("chunk_idx"),
+            (F.col("ci") * 16).alias("start_tok"),
+            F.size(F.slice("ws", F.col("ci") * 16 + 1, 16)).alias("n_toks"),
+            F.length(F.concat_ws(" ", F.slice("ws", F.col("ci") * 16 + 1, 16))).alias(
+                "chunk_chars"
+            ),
+        )
+    )
+    want = sorted(
+        (r.doc_id, r.chunk_idx, r.start_tok, r.n_toks, r.chunk_chars) for r in twin.collect()
+    )
+    assert got == want
