@@ -170,6 +170,11 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "events_gapfill",   # hour-grid (from a 1-row min/max agg) x 5 types
         "events_rfm",       # 1-row reference-timestamp scalar
         "join_q22_idle_customers",  # 1-row global-average scalar
+        "orders_market_basket",  # 1-row order-count scalar
+        "events_time_decay_score",  # 1-row reference-timestamp scalar
+        "text_bm25",        # 1-row corpus-stats scalar
+        "text_js_divergence",  # ~19-row distinct-sources broadcast
+        "sim_hybrid_rrf",   # inherits text_bm25's 1-row stats scalar
     }
     bad = []
     for k, fn in _QS.items():
@@ -193,7 +198,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "udaf_entropy_pandas": "FlatMapGroupsInPandas",
         "sim_topk_blocked": "MapInPandas",
         "mm_frame_stats": "MapInPandas",  # codec plumbing IS the boundary
-        "udtf_python": "BatchEvalPythonUDTF",  # the Python-UDTF boundary itself
+        "udtf_python": "BatchEvalPython",  # Python-UDTF boundary (BatchEvalPythonUDTF node)
     }
     markers = (
         "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
