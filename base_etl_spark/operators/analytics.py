@@ -1040,3 +1040,50 @@ def events_max_gap(t: Tables) -> DataFrame:
         .cast("long")
         .alias("n_gaps_over_10m"),
     )
+
+
+@query(
+    "events_type_overlap",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         sizes AS (SELECT event_type AS et, count(*) AS n FROM tu GROUP BY 1),
+         inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                          count(*) AS common
+                   FROM tu a JOIN tu b ON a.user_id = b.user_id
+                                      AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+    SELECT type_a, type_b, common AS n_common_users,
+           round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON type_a = sa.et
+    JOIN sizes sb ON type_b = sb.et
+    """,
+)
+def events_type_overlap(t: Tables) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of user sets between
+    every event-type pair — the segment-overlap report behind campaign
+    targeting and funnel design. Same inverted-index discipline as the
+    document dedup family: the self-join is keyed on user_id, so pair
+    expansion is quadratic in types-per-user (≤5), never in users."""
+    tu = t.events.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy(F.col("event_type").alias("et")).agg(F.count(F.lit(1)).alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), F.col("user_id").alias("ua"))
+    b = tu.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("ub"))
+    inter = (
+        a.join(b, (F.col("ua") == F.col("ub")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("et").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("et").alias("type_b"), F.col("n").alias("nb"))
+    jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("common").alias("n_common_users"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

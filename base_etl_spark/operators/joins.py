@@ -714,3 +714,29 @@ def join_shuffle_hash_hint(t: Tables) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@query(
+    "join_disjunctive_keys",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_custkey, round(c.c_acctbal, 2) AS acctbal
+    FROM events e JOIN customer c
+      ON e.user_id = c.c_custkey OR e.user_id = c.c_nationkey
+    """,
+)
+def join_disjunctive_keys(t: Tables) -> DataFrame:
+    """OR-of-keys join (match on either of two columns): the naive form
+    compiles to a nested-loop product — every row against every row —
+    because a hash join needs ONE equi key. The scalable rewrite is a
+    UNION of two equi joins with the second leg anti-filtered by the
+    first predicate to preserve OR (not UNION-dedup) semantics exactly:
+    each leg hash-joins on its own key, and a row matching both
+    conditions appears once, as the OR produces it. The oracle runs the
+    naive OR form (DuckDB's optimizer handles small scale); the Spark
+    side IS the rewrite — same multiset, scale-safe plan (no nested loop,
+    plan-asserted)."""
+    e = t.events.select("event_id", "user_id")
+    c = t.customer.select("c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("acctbal"))
+    leg1 = e.join(c, e.user_id == c.c_custkey)
+    leg2 = e.join(c, (e.user_id == c.c_nationkey) & (e.user_id != c.c_custkey))
+    return leg1.unionByName(leg2).select("event_id", "user_id", "c_custkey", "acctbal")

@@ -593,3 +593,43 @@ def scan_csv_permissive(t: Tables) -> DataFrame:
     return df.groupBy(F.col("_corrupt_record").isNotNull().alias("is_corrupt")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@query(
+    "scan_nested_struct",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_totalprice > 300000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_nested_struct(t: Tables) -> DataFrame:
+    """Nested-column lake layout: orders rewritten with the measures
+    nested under a struct (`info.price`, `info.priority`), then filtered
+    ON THE NESTED FIELD — Spark pushes the predicate into the parquet
+    reader as a nested-field filter and prunes the struct to the touched
+    leaves (both plan-asserted), so deep document-style schemas keep
+    columnar economics. The oracle computes the same answer from the
+    ORIGINAL flat parquet."""
+    path = _derived_path(t.sf_dir, "orders_nested")
+    nested = t.orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("odate"),
+        ).alias("info"),
+    )
+    nested.write.mode("overwrite").parquet(path)
+    return (
+        t.spark.read.parquet(path)
+        .filter(F.col("info.price") > 300000.0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("info.price"), 2).alias("total_price"),
+        )
+    )

@@ -433,3 +433,20 @@ def test_runtime_bloom_filter_injection(spark, tables):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_nested_struct_pushdown_and_pruning(spark):
+    """The nested-field predicate must reach the reader and the struct
+    must be pruned to the touched leaves."""
+    plan = _plan(_QS["scan_nested_struct"](spark, SF_TEST))
+    assert "info.price" in plan  # nested pushed filter or pruned schema
+    assert "odate" not in plan.split("ReadSchema", 1)[-1][:300]  # untouched leaf pruned
+
+
+def test_disjunctive_key_join_has_no_nested_loop(spark):
+    """The OR-of-keys rewrite must plan as two hash joins + union, never
+    the nested-loop product the naive OR form produces."""
+    plan = _plan(_QS["join_disjunctive_keys"](spark, SF_TEST))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
