@@ -1087,3 +1087,104 @@ def events_type_overlap(t: Tables) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+@query(
+    "win_zscore_rolling",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4)
+               AS rolling_z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    QUALIFY count(*) OVER w >= 30
+    """,
+)
+def win_zscore_rolling(t: Tables) -> DataFrame:
+    """Rolling z-score: each event against the mean/stddev of its
+    type's TRAILING 100 events (strictly before it — no self-inclusion
+    leakage), emitted only once 30 warm-up observations exist. This is
+    the adaptive-baseline anomaly detector (events_anomaly's global
+    stats go stale under drift; a trailing window tracks the regime).
+
+    Type-partitioned window with a bounded ROWS frame — per-row state is
+    the 100-row ring buffer, constant at any scale; the (ts, event_id)
+    order is total so frames are engine-identical."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        t.events.select(
+            "event_id",
+            "event_type",
+            F.round(z, 4).alias("rolling_z"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .filter(F.col("_n") >= 30)
+        .drop("_n")
+    )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH cust AS (
+        SELECT c_nationkey, o_custkey, sum(o_totalprice) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey, o_custkey
+    ),
+    ranked AS (
+        SELECT c_nationkey, rev,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY rev, o_custkey) AS i,
+               count(*) OVER (PARTITION BY c_nationkey) AS n,
+               sum(rev) OVER (PARTITION BY c_nationkey) AS tot
+        FROM cust
+    )
+    SELECT c_nationkey,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           round(2.0 * sum(i * rev) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked GROUP BY c_nationkey
+    """,
+)
+def agg_gini(t: Tables) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the inequality
+    index behind concentration-risk dashboards (how dependent is this
+    market on its top spenders), computed with the rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending revenues.
+
+    The rank window is nation-partitioned with a PK tie-break (total
+    order → engine-identical ranks); one fact hash agg feeds it and the
+    final reduction is 25 rows. Same plan family as win_pareto_abc —
+    the two reports share the ranked-revenue intermediate in a real
+    deployment."""
+    cust = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wp = Window.partitionBy("c_nationkey")
+    wr = wp.orderBy("rev", "o_custkey")
+    ranked = cust.select(
+        "c_nationkey",
+        "rev",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("rev").over(wp).alias("tot"),
+    )
+    return ranked.groupBy("c_nationkey").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev")) / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -557,3 +557,63 @@ def json_struct_roundtrip(t: Tables) -> DataFrame:
             F.round(F.sum("line.qty"), 2).alias("total_qty"),
         )
     )
+
+
+@query(
+    "str_mask_pii",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey,
+               c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+                      || '@example.com> card 4556-' 
+                      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                      || '-1111-2222' AS contact
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(
+               regexp_replace(contact,
+                   '[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+)', '[email@\\1]'),
+               '\\d{4}-\\d{4}-\\d{4}-(\\d{4})', 'XXXX-XXXX-XXXX-\\1')
+               AS masked,
+           NOT regexp_matches(
+               regexp_replace(
+                   regexp_replace(contact,
+                       '[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+)', '[email@\\1]'),
+                   '\\d{4}-\\d{4}-\\d{4}-(\\d{4})', 'XXXX-XXXX-XXXX-\\1'),
+               '@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS is_clean
+    FROM src
+    """,
+)
+def str_mask_pii(t: Tables) -> DataFrame:
+    """PII masking (the redaction half of the scrub stage next to
+    text_pii_scrub's counts): emails collapse to their domain in
+    brackets, card-like numbers keep only the last group — partial
+    reveal preserves debuggability while killing the identifier. Capture
+    groups pin the dialect difference: Spark's replacement refs are $1,
+    DuckDB's are \\1 — same pattern semantics, different escape (the
+    regex dialect-parity concern text_pii_scrub tests row-wise).
+
+    Pure projection: two codegen'd regexp_replace passes, zero shuffles;
+    the is_clean flag re-scans for any surviving raw email — the audit
+    column a release gate filters on."""
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com> card 4556-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit("-1111-2222"),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            contact, r"[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+)", r"[email@$1]"
+        ),
+        r"\d{4}-\d{4}-\d{4}-(\d{4})",
+        r"XXXX-XXXX-XXXX-$1",
+    )
+    return t.customer.select(
+        "c_custkey",
+        masked.alias("masked"),
+        (~masked.rlike(r"@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")).alias("is_clean"),
+    )
