@@ -455,3 +455,34 @@ def agg_regression(t: Tables) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "agg_mean_family",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_quantity), 6) AS arith_mean,
+           round(exp(avg(ln(l_quantity))), 6) AS geo_mean,
+           round(count(*) / sum(1.0 / l_quantity), 6) AS harm_mean
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_mean_family(t: Tables) -> DataFrame:
+    """The three Pythagorean means per group: arithmetic, geometric
+    (exp∘avg∘ln — the log-space trick that also makes it a single
+    partial-aggregable pass and overflow-proof), harmonic (n/Σ(1/x) —
+    the correct mean for rates). Strict-positive guard because ln/1÷x
+    are undefined at zero. AM ≥ GM ≥ HM is asserted as a property test
+    invariant."""
+    q = F.col("l_quantity")
+    return (
+        t.lineitem.filter(q > 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg(q), 6).alias("arith_mean"),
+            F.round(F.exp(F.avg(F.log(q))), 6).alias("geo_mean"),
+            F.round(F.count(F.lit(1)) / F.sum(1.0 / q), 6).alias("harm_mean"),
+        )
+    )

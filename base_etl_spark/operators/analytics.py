@@ -1188,3 +1188,50 @@ def agg_gini(t: Tables) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "win_ema_fold",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(vals, (acc, x) -> acc * 0.8 + x * 0.2), 4)
+               AS ema_value
+    FROM seqs
+    """,
+)
+def win_ema_fold(t: Tables) -> DataFrame:
+    """Exponential moving average per user (α=0.2) — a RECURSIVE metric
+    no window frame expresses (each value depends on the full prior
+    fold), computed as an IN-ROW fold: collect the user's ordered values
+    once, then a single aggregate-lambda pass. The fold runs left-to-
+    right in both engines (Spark F.aggregate, DuckDB list_reduce seeded
+    with the first element), so results are bit-identical before
+    rounding.
+
+    Scale bound: state per user is its event array — fine for bounded
+    per-entity streams (sessions, sensors with retention); for unbounded
+    per-key history use the streaming applyInPandasWithState cumsum
+    pattern (stream_stateful) where state is O(1). The collect_list +
+    array_sort is one user-keyed shuffle."""
+    seqs = t.events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", F.col("value").cast("double").alias("v")))
+        ).alias("evs")
+    )
+    vals = F.transform(F.col("evs"), lambda s: s.v)
+    ema = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * 0.8 + x * 0.2,
+    )
+    return seqs.select(
+        "user_id",
+        F.size("evs").cast("long").alias("n_events"),
+        F.round(ema, 4).alias("ema_value"),
+    )

@@ -577,3 +577,10 @@ def test_python_udtf_matches_expression_twin(spark):
         (r.doc_id, r.chunk_idx, r.start_tok, r.n_toks, r.chunk_chars) for r in twin.collect()
     )
     assert got == want
+
+
+def test_mean_family_inequality(spark):
+    from base_etl_spark import queries
+
+    for r in queries()["agg_mean_family"](spark, SF_TEST).collect():
+        assert r.arith_mean >= r.geo_mean >= r.harm_mean > 0
