@@ -486,3 +486,41 @@ def agg_mean_family(t: Tables) -> DataFrame:
             F.round(F.count(F.lit(1)) / F.sum(1.0 / q), 6).alias("harm_mean"),
         )
     )
+
+
+@query(
+    "agg_top_percentile_share",
+    oracle="""
+    WITH cust AS (SELECT o_custkey, sum(o_totalprice) AS rev
+                  FROM orders GROUP BY o_custkey),
+         thresh AS (SELECT quantile_cont(rev, 0.99) AS p99,
+                           sum(rev) AS total FROM cust)
+    SELECT CAST(count(*) AS BIGINT) AS n_top_customers,
+           round(sum(rev), 2) AS top_revenue,
+           round(sum(rev) / max(thresh.total), 6) AS revenue_share
+    FROM cust CROSS JOIN thresh
+    WHERE rev > thresh.p99
+    """,
+)
+def agg_top_percentile_share(t: Tables) -> DataFrame:
+    """Whale concentration: customers above the p99 revenue threshold
+    and their share of total revenue — the one-number concentration
+    report next to agg_gini's full curve. NO global rank: the threshold
+    is an exact-percentile SCALAR (one-row broadcast), so the plan is
+    hash agg → scalar → filtered re-aggregation — the pattern that
+    replaces 'rank everyone, take top 1%' at any scale (swap
+    approx_percentile for the same plan when exactness isn't worth the
+    sort memory)."""
+    cust = t.orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    thresh = cust.agg(
+        F.percentile("rev", F.lit(0.99)).alias("p99"), F.sum("rev").alias("total")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("rev") > F.col("p99"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_top_customers"),
+            F.round(F.sum("rev"), 2).alias("top_revenue"),
+            F.round(F.sum("rev") / F.max("total"), 6).alias("revenue_share"),
+        )
+    )

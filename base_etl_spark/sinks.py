@@ -633,3 +633,33 @@ def scan_nested_struct(t: Tables) -> DataFrame:
             F.round(F.sum("info.price"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "scan_orc_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_orc_agg(t: Tables) -> DataFrame:
+    """ORC source/sink, driver-checked end to end (same derived-fixture
+    protocol as the CSV/JSON keys): orders → ORC → read → aggregate,
+    oracled against the ORIGINAL parquet. ORC is the other first-class
+    columnar lake format (vectorized reader, predicate pushdown, column
+    pruning — same economics as parquet, different ecosystem: Hive/Trino
+    shops); the round trip certifies type fidelity through the format
+    boundary including timestamps."""
+    path = _derived_path(t.sf_dir, "orders_orc")
+    t.orders.write.mode("overwrite").orc(path)
+    return (
+        t.spark.read.orc(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )

@@ -175,6 +175,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "text_bm25",        # 1-row corpus-stats scalar
         "text_js_divergence",  # ~19-row distinct-sources broadcast
         "sim_hybrid_rrf",   # inherits text_bm25's 1-row stats scalar
+        "agg_top_percentile_share",  # 1-row percentile-threshold scalar
     }
     bad = []
     for k, fn in _QS.items():
