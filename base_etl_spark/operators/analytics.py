@@ -1235,3 +1235,48 @@ def win_ema_fold(t: Tables) -> DataFrame:
         F.size("evs").cast("long").alias("n_events"),
         F.round(ema, 4).alias("ema_value"),
     )
+
+
+@query(
+    "orders_running_backlog",
+    oracle="""
+    WITH opened AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                           count(*) AS n_opened
+                    FROM orders GROUP BY 1),
+         closed AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                           count(*) AS n_closed
+                    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+    SELECT o.m AS month, o.n_opened,
+           CAST(coalesce(c.n_closed, 0) AS BIGINT) AS n_closed,
+           CAST(sum(o.n_opened - coalesce(c.n_closed, 0))
+                OVER (ORDER BY o.m) AS BIGINT) AS open_backlog
+    FROM opened o LEFT JOIN closed c ON o.m = c.m
+    """,
+)
+def orders_running_backlog(t: Tables) -> DataFrame:
+    """Running order backlog: monthly opened minus finalized, accumulated
+    over time — the operations burndown chart. Both flows aggregate to
+    the month grain FIRST (the rollup_multigrain discipline), so the
+    running sum walks an ~80-row calendar series — bounded by elapsed
+    months, not data volume (the win_range_frame bounded-by-construction
+    window class)."""
+    month = F.to_date(F.date_trunc("month", F.col("o_orderdate")))
+    opened = t.orders.groupBy(month.alias("m")).agg(F.count(F.lit(1)).alias("n_opened"))
+    closed = (
+        t.orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(month.alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        opened.join(F.broadcast(closed), "m", "left")
+        .select(
+            F.col("m").alias("month"),
+            "n_opened",
+            F.coalesce("n_closed", F.lit(0)).cast("long").alias("n_closed"),
+        )
+        .withColumn(
+            "open_backlog",
+            F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("long"),
+        )
+    )

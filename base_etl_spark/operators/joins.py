@@ -740,3 +740,78 @@ def join_disjunctive_keys(t: Tables) -> DataFrame:
     leg1 = e.join(c, e.user_id == c.c_custkey)
     leg2 = e.join(c, (e.user_id == c.c_nationkey) & (e.user_id != c.c_custkey))
     return leg1.unionByName(leg2).select("event_id", "user_id", "c_custkey", "acctbal")
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH sess AS (
+        SELECT user_id, min(ts) AS s_start,
+               max(ts) + INTERVAL 5 MINUTES AS s_end
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    maint AS (
+        SELECT d AS m_start, d + INTERVAL 4 HOURS AS m_end,
+               row_number() OVER (ORDER BY d) AS window_id
+        FROM (SELECT DISTINCT date_trunc('day', ts) + INTERVAL 11 HOURS AS d
+              FROM events WHERE dayofweek(ts) = 0)
+    )
+    SELECT s.user_id, m.window_id,
+           CAST(count(*) AS BIGINT) AS n_overlapping_sessions
+    FROM sess s JOIN maint m
+      ON s.s_start < m.m_end AND m.m_start < s.s_end
+    GROUP BY s.user_id, m.window_id
+    """,
+)
+def join_interval_overlap(t: Tables) -> DataFrame:
+    """Interval-overlap join (sessions × maintenance windows: the
+    'which activity was affected by which outage' query). The naive
+    overlap predicate (a.start < b.end AND b.start < a.end) has no equi
+    key and nested-loops at scale; shipped as the BUCKETIZED form: both
+    interval sets explode to the hour buckets they cover, equi-join on
+    bucket, then DISTINCT pairs + exact overlap re-check. Work is
+    O(intervals × buckets-per-interval) with an equi shuffle — the
+    standard time-grid decomposition (join_range_bucketized's pattern
+    lifted from scalars to intervals). Bucket width tunes the explode
+    factor vs bucket selectivity; 1 h matches the window durations here.
+    The oracle runs the naive predicate (fine at fixture scale); Spark
+    runs the bucketized plan, no nested loop (plan-asserted)."""
+    day = F.date_trunc("day", F.col("ts"))
+    sess = t.events.groupBy("user_id", day.alias("d")).agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 5 MINUTES")).alias("s_end"),
+    )
+    # Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday (oracle uses 0)
+    maint = (
+        t.events.filter(F.dayofweek("ts") == 1)
+        .select((day + F.expr("INTERVAL 11 HOURS")).alias("m_start"))
+        .distinct()
+        .withColumn("m_end", F.col("m_start") + F.expr("INTERVAL 4 HOURS"))
+        .withColumn(
+            "window_id",
+            F.row_number().over(Window.orderBy("m_start")),  # ≤ #sundays rows
+        )
+    )
+    hour_us = 3600 * 1_000_000
+
+    def buckets(lo, hi):
+        return F.sequence(
+            F.floor(F.unix_micros(lo) / hour_us).cast("long"),
+            F.floor((F.unix_micros(hi) - 1) / hour_us).cast("long"),
+        )
+
+    sb = sess.select(
+        "user_id", "s_start", "s_end", F.explode(buckets(F.col("s_start"), F.col("s_end"))).alias("bk")
+    )
+    mb = maint.select(
+        "window_id", "m_start", "m_end", F.explode(buckets(F.col("m_start"), F.col("m_end"))).alias("bk")
+    )
+    pairs = (
+        sb.join(F.broadcast(mb), "bk")
+        .filter((F.col("s_start") < F.col("m_end")) & (F.col("m_start") < F.col("s_end")))
+        .select("user_id", "window_id", "s_start", "s_end")
+        .distinct()
+    )
+    return pairs.groupBy("user_id", "window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlapping_sessions")
+    )
