@@ -7,7 +7,7 @@ rounded to 2dp on both sides (FIXTURES.md gotcha 2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from base_etl_spark.io import Tables
@@ -523,4 +523,40 @@ def agg_top_percentile_share(t: Tables) -> DataFrame:
             F.round(F.sum("rev"), 2).alias("top_revenue"),
             F.round(F.sum("rev") / F.max("total"), 6).alias("revenue_share"),
         )
+    )
+
+
+@query(
+    "agg_hhi",
+    oracle="""
+    WITH shares AS (
+        SELECT p_type, p_brand, sum(l_extendedprice) AS rev,
+               sum(sum(l_extendedprice)) OVER (PARTITION BY p_type) AS tot
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type, p_brand
+    )
+    SELECT p_type,
+           round(sum(pow(rev / tot, 2)), 6) AS hhi,
+           CAST(count(*) AS BIGINT) AS n_brands
+    FROM shares GROUP BY p_type
+    """,
+)
+def agg_hhi(t: Tables) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per part type: Σ(brand
+    market share)² — the antitrust-style concentration scalar next to
+    agg_gini's inequality curve (HHI→1 = monopoly, →1/n = fragmented).
+    Two chained hash aggs sharing the p_type key; the per-type total
+    rides a partition window over the small (type × brand) aggregate."""
+    shares = (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_type", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+        .withColumn("tot", F.sum("rev").over(Window.partitionBy("p_type")))
+    )
+    return shares.groupBy("p_type").agg(
+        F.round(F.sum(F.pow(F.col("rev") / F.col("tot"), 2)), 6).alias("hhi"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
     )

@@ -1280,3 +1280,117 @@ def orders_running_backlog(t: Tables) -> DataFrame:
             F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("long"),
         )
     )
+
+
+@query(
+    "events_churn_rate",
+    oracle="""
+    WITH uw AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS w
+                FROM events),
+         sizes AS (SELECT w, count(*) AS n_active FROM uw GROUP BY w),
+         retained AS (
+             SELECT a.w AS prev_w, count(*) AS n_retained
+             FROM uw a JOIN uw b ON a.user_id = b.user_id
+                                AND b.w = a.w + INTERVAL 7 DAYS
+             GROUP BY a.w
+         )
+    SELECT s.w AS week, s.n_active,
+           CAST(coalesce(r.n_retained, 0) AS BIGINT) AS n_retained_next,
+           round((s.n_active - coalesce(r.n_retained, 0)) * 1.0 / s.n_active, 6)
+               AS churn_rate
+    FROM sizes s LEFT JOIN retained r ON s.w = r.prev_w
+    """,
+)
+def events_churn_rate(t: Tables) -> DataFrame:
+    """Week-over-week churn: of each week's active users, the fraction
+    absent the following week — the growth metric cohort retention
+    (etl_cohort_retention) generalizes, reported as the simple rolling
+    series a dashboard wants. The membership self-join is keyed on
+    user_id (pair expansion bounded by weeks-per-user); week arithmetic
+    is date-exact on both sides."""
+    uw = t.events.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("w")
+    ).distinct()
+    sizes = uw.groupBy("w").agg(F.count(F.lit(1)).alias("n_active"))
+    a = uw.select(F.col("user_id").alias("ua"), F.col("w").alias("prev_w"))
+    b = uw.select(F.col("user_id").alias("ub"), F.col("w").alias("next_w"))
+    retained = (
+        a.join(
+            b,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("next_w") == F.date_add(F.col("prev_w"), 7)),
+        )
+        .groupBy("prev_w")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    return (
+        sizes.join(F.broadcast(retained), sizes.w == retained.prev_w, "left")
+        .select(
+            F.col("w").alias("week"),
+            "n_active",
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained_next"),
+            F.round(
+                (F.col("n_active") - F.coalesce("n_retained", F.lit(0)))
+                * 1.0
+                / F.col("n_active"),
+                6,
+            ).alias("churn_rate"),
+        )
+    )
+
+
+@query(
+    "events_active_users_rolling",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS DATE) AS d
+                FROM events),
+         bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+         dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+         support AS (
+             SELECT user_id, unnest(generate_series(d, least(d + 6,
+                        (SELECT hi FROM bounds)), INTERVAL 1 DAY)) AS cd
+             FROM ud
+         ),
+         wau AS (SELECT CAST(cd AS DATE) AS d, count(DISTINCT user_id) AS wau
+                 FROM support GROUP BY 1)
+    SELECT dau.d AS day, dau.dau, wau.wau
+    FROM dau JOIN wau ON dau.d = wau.d
+    WHERE dau.d >= (SELECT lo FROM bounds) + INTERVAL 6 DAYS
+    """,
+)
+def events_active_users_rolling(t: Tables) -> DataFrame:
+    """DAU and trailing-7-day WAU per day — the canonical engagement
+    pair. Rolling DISTINCT doesn't merge across days, so WAU uses the
+    support-explosion rewrite: each (user, day) membership emits the ≤7
+    future days it supports, then one distinct-count per day — shuffle
+    volume is 7× the membership table (compact: two int-ish columns),
+    never a per-day rescan. Days before a full 7-day history are
+    excluded (partial windows misread as drops). The HLL tier
+    (sketch_hll_rollup) is the wide-window/high-cardinality swap."""
+    ud = t.events.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    bounds = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    support = (
+        ud.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"), F.least(F.date_add(F.col("d"), 6), F.col("hi"))
+                )
+            ).alias("cd"),
+        )
+    )
+    wau = support.groupBy(F.col("cd").alias("d")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "d")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("d") >= F.date_add(F.col("lo"), 6))
+        .select(F.col("d").alias("day"), "dau", "wau")
+    )

@@ -176,6 +176,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "text_js_divergence",  # ~19-row distinct-sources broadcast
         "sim_hybrid_rrf",   # inherits text_bm25's 1-row stats scalar
         "agg_top_percentile_share",  # 1-row percentile-threshold scalar
+        "events_active_users_rolling",  # 1-row date-bounds scalar (x2)
     }
     bad = []
     for k, fn in _QS.items():
