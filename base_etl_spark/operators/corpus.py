@@ -437,3 +437,80 @@ def corpus_mix_weights(t: Tables) -> DataFrame:
         F.round(share, 6).alias("token_share"),
         F.round(F.lit(1.0) / F.col("n_sources") / share, 6).alias("mix_weight"),
     )
+
+
+@query(
+    "etl_split_leakage",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w || ' ' || lead(w) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    sh2 AS (SELECT doc_id, s FROM sh WHERE s IS NOT NULL),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    dup_pairs AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE common * 1.0 / (sa.n + sb.n - common) >= {{theta}}
+    ),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN (doc_id * {{knuth}}) % 100 < {{tr}} THEN 'train'
+                    WHEN (doc_id * {{knuth}}) % 100 < {{va}} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           CAST(count(*) AS BIGINT) AS n_leaky_pairs
+    FROM dup_pairs
+    JOIN sp sa ON doc_a = sa.doc_id
+    JOIN sp sb ON doc_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    GROUP BY sa.split, sb.split
+    """.format(theta="{theta}", knuth=_KNUTH, tr=_SPLIT_TRAIN, va=_SPLIT_VAL).replace(
+        "{theta}", "0.6"
+    ),
+)
+def etl_split_leakage(t: Tables) -> DataFrame:
+    """Train/test contamination via NEAR-duplicates: exact-dup leakage is
+    caught by hashing, but a train doc whose 0.6-Jaccard twin sits in
+    test leaks the answer anyway — this key counts near-dup pairs that
+    CROSS split boundaries, per boundary pair. The canonical training-
+    data audit that ties the dedup family to the split family: the fix
+    is split-by-cluster (dedup_clusters canonical id), not by doc.
+
+    Reuses the exact shingle-Jaccard pair lineage (inverted index — the
+    LSH tier applies at scale) and the deterministic multiplicative-hash
+    split; both sides are pure functions of doc_id/text, so the leakage
+    report is engine-reproducible."""
+    from base_etl_spark.operators.llm_dedup import _shingle_jaccard_pairs
+
+    pairs = _shingle_jaccard_pairs(t).select("doc_a", "doc_b")
+    bucket = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(100))
+    split = (
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    sp = t.documents.select("doc_id", split.alias("split"))
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_pairs"))
+    )
