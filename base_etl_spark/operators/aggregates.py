@@ -560,3 +560,58 @@ def agg_hhi(t: Tables) -> DataFrame:
         F.round(F.sum(F.pow(F.col("rev") / F.col("tot"), 2)), 6).alias("hhi"),
         F.count(F.lit(1)).cast("long").alias("n_brands"),
     )
+
+
+@query(
+    "agg_chi_square",
+    oracle="""
+    WITH obs AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+                        count(*) AS o
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 GROUP BY 1, 2),
+         margins AS (
+             SELECT seg, pri, o,
+                    sum(o) OVER (PARTITION BY seg) AS row_tot,
+                    sum(o) OVER (PARTITION BY pri) AS col_tot,
+                    sum(o) OVER () AS n
+             FROM obs
+         )
+    SELECT round(sum(pow(o - row_tot * col_tot / n, 2)
+                     / (row_tot * col_tot / n)), 6) AS chi2,
+           CAST((count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1) AS BIGINT)
+               AS dof
+    FROM margins
+    """,
+)
+def agg_chi_square(t: Tables) -> DataFrame:
+    """Chi-square independence statistic for the (market segment × order
+    priority) contingency table — the categorical-drift / A-B sanity
+    test. Expected counts come from the margins of the OBSERVED 25-cell
+    aggregate, so the windows run over 25 rows; the fact-sized work is
+    one hash agg. Emits the statistic + degrees of freedom (the p-value
+    lookup is a client-side table, deliberately not a UDF)."""
+    obs = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    m = obs.select(
+        "seg",
+        "pri",
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("pri")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return m.agg(
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+        ((F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1))
+        .cast("long")
+        .alias("dof"),
+    )

