@@ -814,3 +814,55 @@ def etl_impute_median(t: Tables) -> DataFrame:
         F.round(F.sum("filled"), 2).alias("total_imputed_price"),
         F.round(F.avg("filled"), 4).alias("avg_imputed_price"),
     )
+
+
+@query(
+    "etl_freshness_sla",
+    oracle="""
+    WITH marks AS (
+        SELECT 'events' AS table_name, max(ts) AS latest FROM events
+        UNION ALL
+        SELECT 'orders', max(o_orderdate) FROM orders
+        UNION ALL
+        SELECT 'lineitem', max(l_shipdate) FROM lineitem
+    ),
+    ref AS (SELECT max(latest) AS now_ts FROM marks)
+    SELECT table_name,
+           strftime(latest, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+           CAST(date_diff('day', latest, (SELECT now_ts FROM ref)) AS BIGINT)
+               AS staleness_days,
+           date_diff('day', latest, (SELECT now_ts FROM ref)) <= 9000
+               AS within_sla
+    FROM marks
+    """,
+)
+def etl_freshness_sla(t: Tables) -> DataFrame:
+    """Data-freshness report: each fact table's latest event-time mark,
+    staleness against the newest mark in the warehouse, and an SLA flag —
+    the first page of every pipeline-health dashboard (a stale upstream
+    is the most common silent ETL failure; the DQ gate catches bad rows,
+    this catches MISSING rows). One max() scan per table (min/max from
+    parquet footers at planning when statistics allow), a one-row
+    reference broadcast, and timestamps emitted as strings for
+    driver-safe comparison (the etl_scd2 ns-bounds lesson)."""
+    marks = (
+        t.events.agg(F.lit("events").alias("table_name"), F.max("ts").alias("latest"))
+        .unionByName(
+            t.orders.agg(
+                F.lit("orders").alias("table_name"), F.max("o_orderdate").alias("latest")
+            )
+        )
+        .unionByName(
+            t.lineitem.agg(
+                F.lit("lineitem").alias("table_name"), F.max("l_shipdate").alias("latest")
+            )
+        )
+    )
+    ref = marks.agg(F.max("latest").alias("now_ts"))
+    staleness = F.datediff(F.col("now_ts"), F.col("latest")).cast("long")
+    return marks.crossJoin(F.broadcast(ref)).select(
+        "table_name",
+        F.date_format("latest", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+        staleness.alias("staleness_days"),
+        (staleness <= 9000).alias("within_sla"),
+    )

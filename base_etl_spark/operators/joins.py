@@ -815,3 +815,59 @@ def join_interval_overlap(t: Tables) -> DataFrame:
     return pairs.groupBy("user_id", "window_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_overlapping_sessions")
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'click'    THEN event_id END AS click_id,
+               CASE WHEN event_type = 'purchase' THEN event_id END AS probe_id,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END    AS kind
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+        SELECT probe_id, user_id, ts,
+               first_value(click_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_click_id
+        FROM ev
+    )
+    SELECT probe_id AS purchase_id, user_id, next_click_id
+    FROM w WHERE probe_id IS NOT NULL
+    """,
+)
+def join_asof_forward(t: Tables) -> DataFrame:
+    """FORWARD as-of join: for each purchase, the EARLIEST click at or
+    after it (per user) — the response-time direction (what did the user
+    do next), mirror of join_asof's lookup direction (what state held
+    then). Same union-then-carry plan, with the window frame flipped to
+    CURRENT ROW .. UNBOUNDED FOLLOWING and first_value(IGNORE NULLS).
+
+    Tie policy (pinned both sides): purchases sort BEFORE clicks at
+    equal ts (kind 0<1 — a same-instant click counts as the response);
+    among same-ts clicks the LOWEST event_id wins (first_value under
+    event_id order). NULL next_click_id = no later click, kept (left
+    semantics)."""
+    ev = t.events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("probe_id"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        ev.withColumn(
+            "next_click_id", F.first("click_id", ignorenulls=True).over(w)
+        )
+        .filter(F.col("probe_id").isNotNull())
+        .select(F.col("probe_id").alias("purchase_id"), "user_id", "next_click_id")
+    )

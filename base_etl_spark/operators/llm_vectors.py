@@ -762,3 +762,54 @@ def sim_topk_ip(t: Tables) -> DataFrame:
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("ip").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+
+
+@query(
+    "embedding_qa",
+    oracle="""
+    WITH per_vec AS (
+        SELECT vec_id, label,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+               len(list_filter(embedding, x -> x = 0.0)) AS n_zero,
+               len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+                                               OR NOT isfinite(CAST(x AS DOUBLE))))
+                   AS n_bad
+        FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(nrm), 6) AS avg_norm,
+           round(min(nrm), 6) AS min_norm,
+           CAST(sum(CASE WHEN nrm < 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_degenerate,
+           CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonfinite,
+           CAST(sum(n_zero) AS BIGINT) AS total_zero_dims
+    FROM per_vec GROUP BY label
+    """,
+)
+def embedding_qa(t: Tables) -> DataFrame:
+    """Embedding-table QA gate: per label, norm distribution plus counts
+    of degenerate (near-zero norm), non-finite, and zeroed dimensions —
+    the checks that catch a broken encoder batch BEFORE it poisons a
+    similarity index (a zero vector is 'similar' to nothing and
+    everything). Pure projection over array lambdas + one hash agg;
+    double-cast before arithmetic for cross-engine bit-parity (the
+    array_hof rule)."""
+    e = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    nrm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + dbl(x) * dbl(x)))
+    n_zero = F.size(F.filter(e, lambda x: x == 0.0))
+    n_bad = F.size(F.filter(e, lambda x: F.isnan(dbl(x)) | ~F.isnotnull(dbl(x)) | dbl(x).isin(float("inf"), float("-inf"))))
+    per = t.embeddings.select(
+        "label", nrm.alias("nrm"), n_zero.alias("n_zero"), n_bad.alias("n_bad")
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.sum(F.when(F.col("nrm") < 0.1, 1).otherwise(0)).cast("long").alias("n_degenerate"),
+        F.sum(F.when(F.col("n_bad") > 0, 1).otherwise(0)).cast("long").alias("n_nonfinite"),
+        F.sum("n_zero").cast("long").alias("total_zero_dims"),
+    )

@@ -177,6 +177,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "sim_hybrid_rrf",   # inherits text_bm25's 1-row stats scalar
         "agg_top_percentile_share",  # 1-row percentile-threshold scalar
         "events_active_users_rolling",  # 1-row date-bounds scalar (x2)
+        "etl_freshness_sla",  # 1-row newest-mark scalar over a 3-row union
     }
     bad = []
     for k, fn in _QS.items():
