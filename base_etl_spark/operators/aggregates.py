@@ -615,3 +615,46 @@ def agg_chi_square(t: Tables) -> DataFrame:
         .cast("long")
         .alias("dof"),
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH th AS (
+        SELECT o_orderstatus AS st,
+               quantile_cont(o_totalprice, 0.05) AS lo,
+               quantile_cont(o_totalprice, 0.95) AS hi
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           round(avg(o_totalprice), 4) AS plain_mean,
+           round(avg(CASE WHEN o_totalprice >= th.lo AND o_totalprice <= th.hi
+                          THEN o_totalprice END), 4) AS trimmed_mean,
+           CAST(sum(CASE WHEN o_totalprice < th.lo OR o_totalprice > th.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed
+    FROM orders JOIN th ON o_orderstatus = th.st
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_trimmed_mean(t: Tables) -> DataFrame:
+    """5%-trimmed mean per group next to the plain mean — the robust
+    location estimate that survives fat tails without the median's
+    information loss. Two passes: per-group exact 5/95 percentiles
+    (broadcast ~3 rows), then a conditional re-aggregation — the
+    win_mad_outliers plan family. Rows outside the band average as NULL
+    (CASE without ELSE), identical NULL-skipping avg semantics on both
+    engines."""
+    th = t.orders.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    inband = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") <= F.col("hi"))
+    return (
+        t.orders.join(F.broadcast(th), F.col("o_orderstatus") == F.col("st"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.avg("o_totalprice"), 4).alias("plain_mean"),
+            F.round(F.avg(F.when(inband, F.col("o_totalprice"))), 4).alias("trimmed_mean"),
+            F.sum(F.when(~inband, 1).otherwise(0)).cast("long").alias("n_trimmed"),
+        )
+    )

@@ -1394,3 +1394,86 @@ def events_active_users_rolling(t: Tables) -> DataFrame:
         .filter(F.col("d") >= F.date_add(F.col("lo"), 6))
         .select(F.col("d").alias("day"), "dau", "wau")
     )
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH assign AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN (user_id * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END
+                   AS variant
+        FROM events
+    ),
+    conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    rates AS (
+        SELECT variant,
+               count(*) AS n_users,
+               CAST(sum(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted
+        FROM assign LEFT JOIN conv ON assign.user_id = conv.user_id
+        GROUP BY variant
+    )
+    SELECT a.n_users AS n_users_a, a.n_converted AS n_conv_a,
+           b.n_users AS n_users_b, b.n_converted AS n_conv_b,
+           round(a.n_converted * 1.0 / a.n_users, 6) AS rate_a,
+           round(b.n_converted * 1.0 / b.n_users, 6) AS rate_b,
+           round((b.n_converted * 1.0 / b.n_users)
+                 / (a.n_converted * 1.0 / a.n_users) - 1.0, 6) AS lift_b_vs_a
+    FROM (SELECT * FROM rates WHERE variant = 'A') a
+    CROSS JOIN (SELECT * FROM rates WHERE variant = 'B') b
+    """,
+)
+def events_ab_test(t: Tables) -> DataFrame:
+    """A/B experiment readout: deterministic 50/50 variant assignment by
+    multiplicative user-id hash (the sample_stratified arithmetic — NO
+    rand(): assignment is reproducible across engines, runs, and late
+    re-analysis), purchase-conversion rates per arm, and relative lift.
+    The two one-row arms cross-join into the single comparison row a
+    decision memo quotes. Significance testing is a client-side lookup
+    on these sufficient statistics (n, conversions per arm) — the
+    engine's job ends at exact counts."""
+    assign = (
+        t.events.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(100)) < 50, "A"
+            )
+            .otherwise("B")
+            .alias("variant"),
+        )
+    )
+    conv = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("cu"))
+        .distinct()
+    )
+    rates = (
+        assign.join(F.broadcast(conv), assign.user_id == conv.cu, "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.when(F.col("cu").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_converted"),
+        )
+    )
+    a = rates.filter(F.col("variant") == "A").select(
+        F.col("n_users").alias("n_users_a"), F.col("n_converted").alias("n_conv_a")
+    )
+    b = rates.filter(F.col("variant") == "B").select(
+        F.col("n_users").alias("n_users_b"), F.col("n_converted").alias("n_conv_b")
+    )
+    ra = F.col("n_conv_a") * 1.0 / F.col("n_users_a")
+    rb = F.col("n_conv_b") * 1.0 / F.col("n_users_b")
+    return a.crossJoin(b).select(
+        "n_users_a",
+        "n_conv_a",
+        "n_users_b",
+        "n_conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(rb / ra - 1.0, 6).alias("lift_b_vs_a"),
+    )
