@@ -631,7 +631,7 @@ _BM25_QUERY = ("merge", "hash", "scan")
              GROUP BY tf.doc_id
          )
     SELECT doc_id, round(s, 6) AS bm25
-    FROM scored ORDER BY s DESC, doc_id LIMIT 20
+    FROM scored ORDER BY round(s, 6) DESC, doc_id LIMIT 20
     """,
 )
 def text_bm25(t: Tables) -> DataFrame:
@@ -649,9 +649,9 @@ def text_bm25(t: Tables) -> DataFrame:
     the oracle."""
     return (
         bm25_scores(t)
-        .orderBy(F.col("s").desc(), F.col("doc_id"))
-        .limit(20)
         .select("doc_id", F.round("s", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))  # round-then-rank
+        .limit(20)
     )
 
 

@@ -640,7 +640,8 @@ def cluster_kmeans(t: Tables) -> DataFrame:
              JOIN dl ON tf.doc_id = dl.doc_id
              CROSS JOIN stats GROUP BY tf.doc_id
          ),
-         trank AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS tr
+         trank AS (SELECT doc_id, row_number() OVER (ORDER BY round(s, 6) DESC,
+                                                         doc_id) AS tr
                    FROM bm25 QUALIFY tr <= 100),
          vsc AS (SELECT vec_id AS doc_id,
                         round(list_cosine_similarity(
@@ -676,12 +677,16 @@ def sim_hybrid_rrf(t: Tables) -> DataFrame:
     join of two 100-row frames (a doc can be in either leg alone)."""
     from base_etl_spark.operators.llm_text import bm25_scores
 
+    # round-then-rank (the key's contract): raw scores differ across
+    # engines in the last ulp, and a noise-flipped pair straddling the
+    # top-100 boundary changes membership — caught by the sf0.001 gate
     t100 = (
         bm25_scores(t)
-        .orderBy(F.col("s").desc(), F.col("doc_id"))
+        .select("doc_id", F.round("s", 6).alias("s6"))
+        .orderBy(F.col("s6").desc(), F.col("doc_id"))
         .limit(100)
     )
-    tw = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    tw = Window.orderBy(F.col("s6").desc(), F.col("doc_id"))
     trank = t100.select("doc_id", F.row_number().over(tw).alias("text_rank"))
 
     probe = F.broadcast(

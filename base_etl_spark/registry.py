@@ -74,6 +74,12 @@ def _ensure_loaded() -> None:
 # driver-checkable source keys. Round-3 keys added beyond these four fall
 # after the window and rotate in next round (locally they are held to the
 # same strict gate via tools/check.py + pytest).
+#
+# ROUND-4 ROTATION PLAN: ~165 keys now sit outside the window with only
+# local-gate rows. Rotate in the 50 round-3 keys with the highest user
+# value first (the TPC-H composites, the scale-I/O keys, the retrieval
+# stack), then continue in batches of 50 per round; keys keep their
+# local-gate coverage between driver checks.
 DRIVER_PRIORITY: list[str] = [
     # -- round-2 FAIL fixes, must re-verify
     "json_extract",  # sum_k pinned to BIGINT on both sides
