@@ -529,7 +529,9 @@ def embedding_quantize(t: Tables) -> DataFrame:
 
 
 _KMEANS_K = 8
-_KMEANS_MAX_ROUNDS = 25  # runaway guard only; fixture converges in ~5
+_KMEANS_MAX_ROUNDS = 120  # runaway guard only: Lloyd converges (finite
+# partitions, monotone inertia) but round count grows with corpus size —
+# sf0.001 ~5 rounds, sf0.1 needs >25 (measured; the 25 cap tripped there)
 _KMEANS_TOL = 1e-6  # max centroid coordinate shift to declare converged
 
 
