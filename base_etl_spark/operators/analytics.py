@@ -1477,3 +1477,66 @@ def events_ab_test(t: Tables) -> DataFrame:
         F.round(rb, 6).alias("rate_b"),
         F.round(rb / ra - 1.0, 6).alias("lift_b_vs_a"),
     )
+
+
+@query(
+    "events_pattern_match",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s2 AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS sess
+           FROM s),
+    paths AS (SELECT user_id, sess,
+                     string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              FROM s2 GROUP BY user_id, sess)
+    SELECT regexp_matches(path, 'view(>|$)')
+             AND regexp_matches(path, 'view.*click')
+             AND regexp_matches(path, 'view.*click.*purchase') AS full_funnel,
+           regexp_matches(path, '(^|>)error(>|$)') AS saw_error,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY full_funnel, saw_error
+    """,
+)
+def events_pattern_match(t: Tables) -> DataFrame:
+    """Sequence-pattern matching over session paths — MATCH_RECOGNIZE-
+    lite: sessionized event sequences rendered as path strings, then
+    ordinary regexes classify them (ordered funnel completion, error
+    presence). Spark lacks MATCH_RECOGNIZE; path-string + regex covers
+    the ordered-containment class of patterns at the cost of one
+    in-row string build per session (events_session_paths' plan), with
+    the regex running in codegen. Patterns needing quantified time
+    constraints escalate to events_funnel's explicit min-ts joins."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    s = t.events.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("sess", F.sum("new_s").over(w))
+    paths = (
+        s.groupBy("user_id", "sess")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(">", F.transform(F.col("evs"), lambda x: x.event_type)).alias(
+                "path"
+            )
+        )
+    )
+    full_funnel = (
+        F.col("path").rlike("view(>|$)")
+        & F.col("path").rlike("view.*click")
+        & F.col("path").rlike("view.*click.*purchase")
+    )
+    saw_error = F.col("path").rlike("(^|>)error(>|$)")
+    return paths.groupBy(
+        full_funnel.alias("full_funnel"), saw_error.alias("saw_error")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))

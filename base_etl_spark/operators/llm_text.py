@@ -833,3 +833,50 @@ def text_entropy_char(t: Tables) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(-F.sum(pr * F.log(pr)), 6).alias("char_entropy"))
     )
+
+
+@query(
+    "text_keywords_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n  AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                   AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def text_keywords_topk(t: Tables) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — the extractive keyword/tag
+    stage built on text_tfidf's formula, reduced per doc. The rank
+    window is doc-partitioned (bounded by document vocabulary) and ranks
+    the ROUNDED score with a term tie-break, so both engines agree on
+    every keyword (the round-then-rank rule)."""
+    tok = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
