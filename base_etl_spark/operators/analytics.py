@@ -1540,3 +1540,51 @@ def events_pattern_match(t: Tables) -> DataFrame:
     return paths.groupBy(
         full_funnel.alias("full_funnel"), saw_error.alias("saw_error")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+
+
+@query(
+    "events_peak_detection",
+    oracle="""
+    WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2),
+         flanked AS (
+             SELECT event_type, hr, n,
+                    lag(n)  OVER w AS prev_n,
+                    lead(n) OVER w AS next_n
+             FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+         )
+    SELECT event_type, hr AS peak_hour, CAST(n AS BIGINT) AS n_events
+    FROM flanked
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n > prev_n AND n > next_n AND n >= 7
+    """,
+)
+def events_peak_detection(t: Tables) -> DataFrame:
+    """Local-maximum peak detection over the hourly series per type
+    (strictly above both neighbors, above an absolute floor) — the
+    traffic-spike detector feeding capacity alerts. The lag/lead window
+    walks the PRE-AGGREGATED hourly series (≤720 rows per type — the
+    grain-reduce-first rule), endpoints excluded (undefined neighbors
+    are not peaks)."""
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    flanked = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return (
+        flanked.filter(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n") > F.col("prev_n"))
+            & (F.col("n") > F.col("next_n"))
+            & (F.col("n") >= 7)
+        )
+        .select("event_type", F.col("hr").alias("peak_hour"), F.col("n").cast("long").alias("n_events"))
+    )

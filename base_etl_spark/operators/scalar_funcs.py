@@ -617,3 +617,63 @@ def str_mask_pii(t: Tables) -> DataFrame:
         masked.alias("masked"),
         (~masked.rlike(r"@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")).alias("is_clean"),
     )
+
+
+@query(
+    "date_business_days",
+    oracle="""
+    WITH joined AS (
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE) AS d1, CAST(l_shipdate AS DATE) AS d2
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 60 DAYS
+    ),
+    bd AS (
+        SELECT o_orderpriority,
+               len(list_filter(generate_series(d1, d2 - INTERVAL 1 DAY,
+                                               INTERVAL 1 DAY),
+                               d -> dayofweek(d) NOT IN (0, 6))) AS bdays
+        FROM joined
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(bdays), 4) AS avg_business_days,
+           CAST(max(bdays) AS BIGINT) AS max_business_days
+    FROM bd GROUP BY o_orderpriority
+    """,
+)
+def date_business_days(t: Tables) -> DataFrame:
+    """Business-day lead time (order → ship, weekends excluded) per
+    priority — the SLA arithmetic every fulfillment dashboard needs and
+    no engine ships as a builtin. Computed IN-ROW: a bounded date
+    sequence filtered by weekday (the 60-day theta bound caps the array;
+    at wider spans switch to the closed-form full-weeks + remainder
+    formula). Day-of-week conventions pinned AGAIN (Spark 1=Sun/7=Sat,
+    DuckDB 0=Sun/6=Sat — the join_interval_overlap lesson)."""
+    joined = (
+        t.lineitem.select("l_orderkey", F.to_date("l_shipdate").alias("d2"))
+        .join(
+            t.orders.select(
+                "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("d1")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            (F.col("d2") >= F.col("d1")) & (F.col("d2") < F.date_add(F.col("d1"), 60))
+        )
+    )
+    # Spark sequence(start, stop) with stop < start yields a DESCENDING
+    # sequence (never empty) — the d2 == d1 same-day rows must be guarded
+    # or they count phantom days; DuckDB's generate_series yields empty.
+    days = F.sequence(F.col("d1"), F.date_sub(F.col("d2"), 1))
+    bdays = F.when(
+        F.col("d2") > F.col("d1"),
+        F.size(F.filter(days, lambda d: ~F.dayofweek(d).isin(1, 7))),
+    ).otherwise(0)
+    bd = joined.select("o_orderpriority", bdays.alias("bdays"))
+    return bd.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.avg("bdays"), 4).alias("avg_business_days"),
+        F.max("bdays").cast("long").alias("max_business_days"),
+    )
