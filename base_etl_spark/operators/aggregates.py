@@ -658,3 +658,53 @@ def agg_trimmed_mean(t: Tables) -> DataFrame:
             F.sum(F.when(~inband, 1).otherwise(0)).cast("long").alias("n_trimmed"),
         )
     )
+
+
+@query(
+    "agg_boxplot_stats",
+    oracle="""
+    WITH q AS (
+        SELECT c_mktsegment AS seg,
+               quantile_cont(c_acctbal, 0.25) AS q1,
+               quantile_cont(c_acctbal, 0.50) AS q2,
+               quantile_cont(c_acctbal, 0.75) AS q3
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           round(q1, 4) AS q1, round(q2, 4) AS q2, round(q3, 4) AS q3,
+           round(q3 - q1, 4) AS iqr,
+           CAST(sum(CASE WHEN c_acctbal < q1 - 1.5 * (q3 - q1)
+                           OR c_acctbal > q3 + 1.5 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM customer JOIN q ON c_mktsegment = q.seg
+    GROUP BY c_mktsegment, q1, q2, q3
+    """,
+)
+def agg_boxplot_stats(t: Tables) -> DataFrame:
+    """Tukey boxplot statistics per segment: quartiles, IQR, and the
+    count outside the 1.5·IQR fences — the third robust-outlier method
+    beside z-score (parametric) and MAD (rank spread), and the one every
+    BI tool draws. Quartile broadcast + conditional re-aggregation (the
+    trimmed-mean plan family)."""
+    q = t.customer.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.percentile("c_acctbal", F.lit(0.25)).alias("q1"),
+        F.percentile("c_acctbal", F.lit(0.50)).alias("q2"),
+        F.percentile("c_acctbal", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("c_acctbal") < F.col("q1") - 1.5 * iqr) | (
+        F.col("c_acctbal") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        t.customer.join(F.broadcast(q), F.col("c_mktsegment") == F.col("seg"))
+        .groupBy("c_mktsegment", "q1", "q2", "q3")
+        .agg(F.sum(F.when(out, 1).otherwise(0)).cast("long").alias("n_outliers"))
+        .select(
+            "c_mktsegment",
+            F.round("q1", 4).alias("q1"),
+            F.round("q2", 4).alias("q2"),
+            F.round("q3", 4).alias("q3"),
+            F.round(F.col("q3") - F.col("q1"), 4).alias("iqr"),
+            "n_outliers",
+        )
+    )

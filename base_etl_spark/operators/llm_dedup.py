@@ -535,3 +535,52 @@ def dedup_containment(t: Tables) -> DataFrame:
         .filter(cont >= 0.8)
         .select("doc_inner", "doc_outer", F.round(cont, 6).alias("containment"))
     )
+
+
+@query("dedup_minhash_estimate", oracle=None)  # R: estimates are hash-seed-specific
+def dedup_minhash_estimate(t: Tables) -> DataFrame:
+    """Estimator-quality report for the MinHash tier: per LSH candidate
+    pair, the signature-agreement Jaccard ESTIMATE (matching minhash
+    positions / 32) next to the EXACT shingle Jaccard — the measurement
+    that justifies (or indicts) the sketch parameters before anyone
+    trusts the scale tier. Rows-only (estimates depend on the hash
+    seeds); the self-check holds every estimate within the binomial
+    bound of its exact value (se = sqrt(j(1-j)/32), |est-exact| < 4·se
+    + rounding) and the mean signed error near zero.
+
+    One signature computation feeds both banding (candidates) and the
+    estimate (position agreement via zip_with); the exact side reuses
+    the inverted-index pair lineage."""
+    sigs = minhash_signatures(t.documents)
+    cands = lsh_candidate_pairs(sigs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                        lambda b: b,
+                    )
+                )
+                / F.lit(float(_N_HASHES))
+            ).alias("jaccard_est"),
+        )
+    )
+    exact = _shingle_jaccard_pairs(t).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("jaccard_exact")
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard_est", 6).alias("jaccard_est"),
+            "jaccard_exact",
+        )
+    )

@@ -880,3 +880,50 @@ def text_keywords_topk(t: Tables) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_vgroups,
+               len(list_filter(string_split(text, ' '), w -> len(w) >= 8))
+                   AS n_long_words
+        FROM documents
+    )
+    SELECT doc_id,
+           round(n_vgroups * 1.0 / n_words, 6)    AS syllables_per_word,
+           round(n_long_words * 1.0 / n_words, 6) AS long_word_ratio,
+           CASE WHEN n_vgroups * 1.0 / n_words >= 1.6 THEN 'dense'
+                WHEN n_vgroups * 1.0 / n_words >= 1.3 THEN 'medium'
+                ELSE 'simple' END AS readability_band
+    FROM m WHERE n_words > 0
+    """,
+)
+def text_readability(t: Tables) -> DataFrame:
+    """Readability proxy per document: vowel-group count stands in for
+    syllables (the standard cheap approximation), long-word ratio, and a
+    syllable-density readability band — the
+    human-readability axis of quality scoring next to entropy (structure)
+    and zlib ratio (redundancy). Pure codegen projection: two regex/array
+    passes, zero shuffles."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_vgroups = F.regexp_count(F.col("text"), F.lit("[aeiouyAEIOUY]+"))
+    n_long = F.size(F.filter(words, lambda w: F.length(w) >= 8))
+    spw = n_vgroups * 1.0 / n_words
+    return t.documents.filter(n_words > 0).select(
+        "doc_id",
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(n_long * 1.0 / n_words, 6).alias("long_word_ratio"),
+        # a Flesch-style float composite was tried and dropped: power-of-2
+        # word counts make the raw value land EXACTLY on .xxxx5 rounding
+        # boundaries where engines' last-ulp arithmetic disagrees even
+        # under the floor recipe — banding the exact rational (one int
+        # division, bit-identical) is the stable contract
+        F.when(spw >= 1.6, "dense").when(spw >= 1.3, "medium").otherwise("simple").alias(
+            "readability_band"
+        ),
+    )

@@ -594,3 +594,21 @@ def test_binary_files_cover_all_tables(spark):
     names = [r.file_name for r in rows]
     assert sorted(names) == sorted(f"{n}.parquet" for n in TABLE_NAMES)
     assert all(r.n_bytes > 0 for r in rows)
+
+
+def test_minhash_estimates_within_binomial_bound(spark):
+    import math
+
+    from base_etl_spark import queries
+
+    rows = queries()["dedup_minhash_estimate"](spark, SF_TEST).collect()
+    assert rows
+    errs = []
+    for r in rows:
+        if r.jaccard_exact is None:
+            continue  # candidate below the exact-pair threshold — fine
+        j = r.jaccard_exact
+        se = math.sqrt(max(j * (1 - j), 1e-9) / 32)
+        assert abs(r.jaccard_est - j) <= 4 * se + 1 / 32 + 1e-6, (r, se)
+        errs.append(r.jaccard_est - j)
+    assert errs and abs(sum(errs) / len(errs)) < 0.1
