@@ -866,3 +866,88 @@ def etl_freshness_sla(t: Tables) -> DataFrame:
         staleness.alias("staleness_days"),
         (staleness <= 9000).alias("within_sla"),
     )
+
+
+@query(
+    "etl_id_gap_audit",
+    oracle="""
+    WITH holed AS (
+        SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    b AS (SELECT id, id // 1000 AS bucket FROM holed),
+    within AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN next_id IS NOT NULL AND next_id - id > 1
+                             THEN next_id - id - 1 ELSE 0 END) AS BIGINT)
+                   AS missing_inside
+        FROM (SELECT bucket, id,
+                     lead(id) OVER (PARTITION BY bucket ORDER BY id) AS next_id
+              FROM b)
+        GROUP BY bucket
+    ),
+    edges AS (
+        SELECT bucket, min(id) AS lo, max(id) AS hi FROM b GROUP BY bucket
+    ),
+    boundary AS (
+        SELECT e.bucket,
+               CAST(e.lo - lag(e.hi) OVER (ORDER BY e.bucket) - 1 AS BIGINT)
+                   AS missing_before
+        FROM edges e
+    )
+    SELECT CAST(sum(w.missing_inside) AS BIGINT)
+               + CAST(sum(coalesce(bd.missing_before, 0)) AS BIGINT)
+               AS n_missing_ids,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM within w JOIN boundary bd ON w.bucket = bd.bucket
+    """,
+)
+def etl_id_gap_audit(t: Tables) -> DataFrame:
+    """Sequence-gap audit over a dense id column (every 97th order id
+    deterministically punched out to stand in for lost records): counts
+    missing ids WITHOUT a global-order window — ids bucket by id/1000,
+    gaps inside a bucket come from a bucket-partitioned lead(), and gaps
+    ACROSS bucket boundaries from a lag over the tiny per-bucket
+    min/max table (the two-phase global-rank discipline applied to
+    sequence integrity). The audited totals pin both gap classes; a
+    wrong boundary term (the classic off-by-one) flips the hash.
+
+    This is the completeness check ingestion pipelines run on
+    monotonically-assigned upstream keys (kafka offsets, db sequences) —
+    dropped batches appear as id gaps long before anyone reads the
+    data."""
+    holed = t.orders.select(F.col("o_orderkey").alias("id")).filter(
+        F.col("o_orderkey") % 97 != 0
+    )
+    b = holed.withColumn("bucket", (F.col("id") / 1000).cast("long"))
+    wlead = Window.partitionBy("bucket").orderBy("id")
+    within = (
+        b.withColumn("next_id", F.lead("id").over(wlead))
+        .groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("next_id").isNotNull() & (F.col("next_id") - F.col("id") > 1),
+                    F.col("next_id") - F.col("id") - 1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("missing_inside")
+        )
+    )
+    edges = b.groupBy("bucket").agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+    wb = Window.orderBy("bucket")  # bounded: one row per 1000-id bucket
+    boundary = edges.select(
+        "bucket",
+        (F.col("lo") - F.lag("hi").over(wb) - 1).cast("long").alias("missing_before"),
+    )
+    return (
+        within.join(boundary, "bucket")
+        .agg(
+            (
+                F.sum("missing_inside") + F.sum(F.coalesce("missing_before", F.lit(0)))
+            )
+            .cast("long")
+            .alias("n_missing_ids"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+    )
