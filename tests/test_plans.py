@@ -157,6 +157,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
     allowed_nested = {
         "join_cross",       # intentional cross join
         "text_tfidf",       # 1-row corpus-size scalar
+        "text_keywords_topk",  # same 1-row corpus-size scalar as text_tfidf
         "win_distribution", # 1-row global-count scalar
         "stream_late_data", # 1-row max-ts watermark scalar
         "text_unigram_nll", # 1-row total-token-count scalar
