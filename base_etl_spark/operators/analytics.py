@@ -1588,3 +1588,60 @@ def events_peak_detection(t: Tables) -> DataFrame:
         )
         .select("event_type", F.col("hr").alias("peak_hour"), F.col("n").cast("long").alias("n_events"))
     )
+
+
+@query(
+    "orders_seasonality_strength",
+    oracle="""
+    WITH monthly AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    g AS (SELECT avg(rev) AS grand_mean FROM monthly),
+    cm AS (SELECT mon, avg(rev) AS mon_mean, count(*) AS n_m
+           FROM monthly GROUP BY mon)
+    SELECT round(sum(cm.n_m * pow(cm.mon_mean - g.grand_mean, 2))
+                 / max(sum_tot.ss_total), 6) AS eta_squared,
+           CAST(max(sum_tot.n_months) AS BIGINT) AS n_months
+    FROM cm
+    CROSS JOIN g
+    CROSS JOIN (SELECT sum(pow(rev - (SELECT grand_mean FROM g), 2)) AS ss_total,
+                       count(*) AS n_months
+                FROM monthly) sum_tot
+    """,
+)
+def orders_seasonality_strength(t: Tables) -> DataFrame:
+    """Seasonality strength as variance explained (η² = between-month-of-
+    year sum of squares / total sum of squares over the monthly revenue
+    series): one number answering "does month-of-year matter here" —
+    η²→0 means the calendar is noise, →1 means it dominates. The ANOVA
+    decomposition runs entirely over the ~80-row monthly aggregate
+    (grand mean and SS_total are one-row scalars); the fact-sized work
+    is the single monthly hash agg."""
+    monthly = t.orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    g = monthly.agg(F.avg("rev").alias("grand_mean"))
+    cm = monthly.groupBy("mon").agg(
+        F.avg("rev").alias("mon_mean"), F.count(F.lit(1)).alias("n_m")
+    )
+    tot = (
+        monthly.crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(F.pow(F.col("rev") - F.col("grand_mean"), 2)).alias("ss_total"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+    )
+    return (
+        cm.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(F.col("n_m") * F.pow(F.col("mon_mean") - F.col("grand_mean"), 2))
+                / F.max("ss_total"),
+                6,
+            ).alias("eta_squared"),
+            F.max("n_months").cast("long").alias("n_months"),
+        )
+    )

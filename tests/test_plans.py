@@ -180,6 +180,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "events_active_users_rolling",  # 1-row date-bounds scalar (x2)
         "etl_freshness_sla",  # 1-row newest-mark scalar over a 3-row union
         "events_ab_test",   # two 1-row arm summaries cross-joined
+        "orders_seasonality_strength",  # 1-row grand-mean/SS scalars
     }
     bad = []
     for k, fn in _QS.items():
