@@ -1645,3 +1645,52 @@ def orders_seasonality_strength(t: Tables) -> DataFrame:
             F.max("n_months").cast("long").alias("n_months"),
         )
     )
+
+
+@query(
+    "supplier_scorecard",
+    oracle="""
+    WITH per AS (
+        SELECT l_suppkey,
+               count(*) AS n_lines,
+               sum(l_extendedprice * (1 - l_discount)) AS rev,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_name AS nation,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           round(rev, 2) AS revenue,
+           round(n_returned * 1.0 / n_lines, 6) AS return_rate
+    FROM per
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY round(rev, 2) DESC, s_suppkey LIMIT 20
+    """,
+)
+def supplier_scorecard(t: Tables) -> DataFrame:
+    """Supplier scorecard: top-20 suppliers by revenue with volume and
+    return-rate — the multi-metric vendor-management report that
+    composes a fact aggregate with two broadcast dims and a
+    TakeOrderedAndProject cut (round-then-rank on the ordering
+    revenue)."""
+    per = t.lineitem.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+    )
+    supp = t.supplier.join(
+        F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    return (
+        per.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "nation",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("n_returned") * 1.0 / F.col("n_lines"), 6).alias("return_rate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
+        .limit(20)
+    )
