@@ -1694,3 +1694,86 @@ def supplier_scorecard(t: Tables) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
         .limit(20)
     )
+
+
+@query(
+    "orders_size_histogram",
+    oracle="""
+    WITH per AS (SELECT l_orderkey, count(*) AS n_lines
+                 FROM lineitem GROUP BY l_orderkey)
+    SELECT CAST(n_lines AS BIGINT) AS lines_per_order,
+           count(*) AS n_orders
+    FROM per GROUP BY n_lines
+    """,
+)
+def orders_size_histogram(t: Tables) -> DataFrame:
+    """Order-size distribution (lines per order → order count): the
+    grain-of-the-fact sanity histogram every model of the data starts
+    from, and the two-level re-aggregation shape (first agg keyed on
+    orderkey, second on its result — no second fact scan)."""
+    per = t.lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return per.groupBy(F.col("n_lines").cast("long").alias("lines_per_order")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "win_rank_delta",
+    oracle="""
+    WITH monthly AS (
+        SELECT p_brand, year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+               sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '2000-03-01 00:00:00'
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT p_brand, mon,
+               row_number() OVER (PARTITION BY yr, mon
+                                  ORDER BY round(rev, 2) DESC, p_brand) AS rk
+        FROM monthly
+    )
+    SELECT a.p_brand,
+           CAST(a.rk AS BIGINT) AS rank_jan,
+           CAST(b.rk AS BIGINT) AS rank_feb,
+           CAST(a.rk - b.rk AS BIGINT) AS rank_gain
+    FROM (SELECT * FROM ranked WHERE mon = 1) a
+    JOIN (SELECT * FROM ranked WHERE mon = 2) b ON a.p_brand = b.p_brand
+    """,
+)
+def win_rank_delta(t: Tables) -> DataFrame:
+    """Leaderboard movement: brand revenue rank in February vs January
+    2000 and the gain — the rank-change tracking behind trending
+    reports. Ranks are month-partitioned (bounded by brand count) over
+    ROUNDED revenue with a brand tie-break (round-then-rank); the two
+    month slices self-join on brand."""
+    monthly = (
+        t.lineitem.join(t.orders.select("o_orderkey", "o_orderdate"),
+                        F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2000-03-01").cast("timestamp"))
+        )
+        .groupBy("p_brand", F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    w = Window.partitionBy("yr", "mon").orderBy(F.round("rev", 2).desc(), F.col("p_brand"))
+    ranked = monthly.withColumn("rk", F.row_number().over(w))
+    a = ranked.filter(F.col("mon") == 1).select("p_brand", F.col("rk").alias("rank_jan"))
+    b = ranked.filter(F.col("mon") == 2).select(
+        F.col("p_brand").alias("pb"), F.col("rk").alias("rank_feb")
+    )
+    return (
+        a.join(b, a.p_brand == b.pb)
+        .select(
+            "p_brand",
+            F.col("rank_jan").cast("long").alias("rank_jan"),
+            F.col("rank_feb").cast("long").alias("rank_feb"),
+            (F.col("rank_jan") - F.col("rank_feb")).cast("long").alias("rank_gain"),
+        )
+    )

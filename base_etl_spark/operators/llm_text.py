@@ -927,3 +927,54 @@ def text_readability(t: Tables) -> DataFrame:
             "readability_band"
         ),
     )
+
+
+@query(
+    "text_vocab_overlap",
+    oracle="""
+    WITH lw AS (SELECT DISTINCT lang, w
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                      FROM documents)),
+         sizes AS (SELECT lang AS l, count(*) AS n FROM lw GROUP BY lang),
+         inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS common
+                   FROM lw a JOIN lw b ON a.w = b.w AND a.lang < b.lang
+                   GROUP BY 1, 2)
+    SELECT lang_a, lang_b, CAST(common AS BIGINT) AS n_common_terms,
+           round(common * 1.0 / (sa.n + sb.n - common), 6) AS vocab_jaccard
+    FROM inter
+    JOIN sizes sa ON lang_a = sa.l
+    JOIN sizes sb ON lang_b = sb.l
+    """,
+)
+def text_vocab_overlap(t: Tables) -> DataFrame:
+    """Vocabulary overlap (Jaccard of distinct-term sets) between every
+    language-tag pair — on real corpora the language separator check (a
+    high overlap between supposedly-different langs means mislabeled
+    docs or a broken langid stage); on this word-salad fixture it
+    measures the shared synthetic vocabulary, which the langid keys
+    already document as language-agnostic. Inverted-index self-join on
+    the term (the events_type_overlap shape at word grain)."""
+    lw = t.documents.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    sizes = lw.groupBy(F.col("lang").alias("l")).agg(F.count(F.lit(1)).alias("n"))
+    a = lw.select(F.col("lang").alias("lang_a"), F.col("w").alias("wa"))
+    b = lw.select(F.col("lang").alias("lang_b"), F.col("w").alias("wb"))
+    inter = (
+        a.join(b, (F.col("wa") == F.col("wb")) & (F.col("lang_a") < F.col("lang_b")))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("l").alias("lang_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("l").alias("lang_b"), F.col("n").alias("nb"))
+    jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("common").cast("long").alias("n_common_terms"),
+            F.round(jac, 6).alias("vocab_jaccard"),
+        )
+    )
