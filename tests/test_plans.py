@@ -328,10 +328,15 @@ def test_q8_dual_nation_role_broadcasts(spark):
 
 
 def test_gapfill_grid_broadcasts(spark):
-    """Gap fill: the hour×type grid must broadcast into the left join —
-    the fact-sized side is only the hourly aggregate."""
+    """Gap fill: the preserved side of an outer join can never be the
+    broadcast build side, so the legal bounded broadcast is the hourly
+    AGGREGATE (cardinality ≤ grid) — assert it genuinely plans as the
+    BuildRight of a LeftOuter with the grid preserved, not as a
+    silently-ignored hint."""
     plan = _plan(_QS["events_gapfill"](spark, SF_TEST))
     assert "BroadcastHashJoin" in plan
+    assert "LeftOuter" in plan
+    assert "BuildRight" in plan
     assert "CartesianProduct" not in plan
 
 
