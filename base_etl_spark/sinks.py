@@ -139,6 +139,48 @@ def jdbc_delete_where(
         conn.close()
 
 
+def read_jdbc(
+    spark,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """JDBC source — the read twin of build_jdbc_writer, so the engine
+    surface covers both halves of the reference class's database leg
+    (BASELINE.json:7 'DataFrame batch transformations + JDBC').
+
+    ``table`` may be a bare table name or a pushdown subquery
+    ``"(SELECT ... ) t"``. Without a partition_column the read is ONE
+    connection on one executor — fine for dims, a bottleneck for facts;
+    with (partition_column, lower/upper bound, num_partitions) Spark
+    issues num_partitions range-bounded queries in parallel. At 100 TB
+    the bounds come from a cheap MIN/MAX probe and num_partitions is
+    sized to what the database can serve concurrently, not the cluster
+    size."""
+    r = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", "10000")
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower_bound and upper_bound")
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (properties or {}).items():
+        r = r.option(k, v)
+    return r.load()
+
+
 def read_csv(spark, path: str, schema) -> DataFrame:
     """CSV source with explicit schema (never inferSchema at scale — it
     costs a full extra pass)."""

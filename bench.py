@@ -29,6 +29,11 @@ HEADLINE = {
     "json_extract": "json_extract",
     "sim_topk": "sim_topk",
     "dedup_minhash": "dedup_near_minhash",
+    # heavier round-4 additions: multi-fact TPC-H composites + the
+    # two-leg retrieval fusion — regression tracking for the new surface
+    "q9_profit": "join_q9_profit",
+    "q21_waiting": "join_q21_waiting",
+    "hybrid_rrf": "sim_hybrid_rrf",
 }
 
 

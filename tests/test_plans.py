@@ -204,6 +204,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "udaf_entropy_pandas": "FlatMapGroupsInPandas",
         "sim_topk_blocked": "MapInPandas",
         "mm_frame_stats": "MapInPandas",  # codec plumbing IS the boundary
+        "mm_audio_decode": "MapInPandas",  # REAL WAV decode — the boundary is the point
         "udtf_python": "BatchEvalPython",  # Python-UDTF boundary (BatchEvalPythonUDTF node)
     }
     markers = (

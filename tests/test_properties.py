@@ -222,3 +222,111 @@ def test_snapshot_diff_matches_python_reference(spark, ids):
             continue
         ref[c] = ref.get(c, 0) + 1
     assert got == ref
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=24),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_bin_arithmetic(spark, counts):
+    """Packing placement == straight-Python exclusive prefix sum over
+    doc_id order, for any token-count sequence — independent of the
+    bucket decomposition the Spark plan uses. Budget-boundary docs
+    (start exactly on a multiple of the context budget) are forced into
+    every run: offset must wrap to 0, bin_id must advance."""
+    from base_etl_spark.operators.corpus import _PACK_BUDGET
+    from base_etl_spark.registry import REGISTRY
+
+    # force at least one doc whose start lands EXACTLY on a bin boundary:
+    # pad the first doc's count so the second doc starts at _PACK_BUDGET
+    if len(counts) > 1:
+        counts = [_PACK_BUDGET] + counts[1:]
+    # sparse, shuffled-magnitude ids: bucketing must not assume density
+    ids = [i * 7 + (3 if i % 2 else 0) for i in range(len(counts))]
+    rows = [
+        (ids[i], " ".join(["w"] * counts[i]), "en", "s", counts[i])
+        for i in range(len(counts))
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    class T:
+        documents = df
+
+    got = {r.doc_id: r for r in REGISTRY["pack_sequences"].fn.tables_fn(T).collect()}
+    start = 0
+    for i in sorted(range(len(counts)), key=lambda j: ids[j]):
+        r = got[ids[i]]
+        assert r.n_tokens == counts[i]
+        assert r.bin_id == start // _PACK_BUDGET
+        assert r.bin_offset == start % _PACK_BUDGET
+        start += counts[i]
+    if len(counts) > 1:  # the forced boundary doc wrapped exactly
+        second = got[ids[1]]
+        assert (second.bin_id, second.bin_offset) == (1, 0)
+
+
+@given(
+    # intervals in integer minutes over two days; generous overlap odds.
+    # Grid-edge shapes (start/end exactly on an hour, zero-length-ish,
+    # interval spanning many buckets) all arise from the raw ranges.
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=48 * 60),
+            st.integers(min_value=0, max_value=8 * 60),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_interval_bucketize_matches_naive_overlap(spark, spans):
+    """The hour-grid decomposition (explode to covered buckets, equi-join,
+    re-check) must find EXACTLY the pairs the naive O(n^2) predicate
+    finds — including intervals touching grid edges, where an off-by-one
+    in floor((end-1)/hour) would fabricate or drop a bucket."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    iv = []
+    for i, (start_min, dur_min) in enumerate(spans):
+        s = base + datetime.timedelta(minutes=start_min)
+        e = s + datetime.timedelta(minutes=dur_min + 1)  # non-degenerate
+        iv.append((i, s, e))
+    left = spark.createDataFrame(iv, "lid long, s timestamp, e timestamp")
+    # fixed right side: 4 maintenance-style windows incl. exact-hour edges
+    win = [
+        (0, base + datetime.timedelta(hours=1), base + datetime.timedelta(hours=2)),
+        (1, base + datetime.timedelta(hours=5), base + datetime.timedelta(hours=9)),
+        (2, base + datetime.timedelta(hours=26, minutes=30),
+            base + datetime.timedelta(hours=27, minutes=30)),
+        (3, base + datetime.timedelta(hours=40), base + datetime.timedelta(hours=40, minutes=1)),
+    ]
+    right = spark.createDataFrame(win, "rid long, ws timestamp, we timestamp")
+
+    hour_us = 3600 * 1_000_000
+
+    def buckets(lo, hi):
+        return F.sequence(
+            F.floor(F.unix_micros(lo) / hour_us).cast("long"),
+            F.floor((F.unix_micros(hi) - 1) / hour_us).cast("long"),
+        )
+
+    lb = left.select("lid", "s", "e", F.explode(buckets(F.col("s"), F.col("e"))).alias("bk"))
+    rb = right.select("rid", "ws", "we", F.explode(buckets(F.col("ws"), F.col("we"))).alias("bk"))
+    got = {
+        (r.lid, r.rid)
+        for r in lb.join(rb, "bk")
+        .filter((F.col("s") < F.col("we")) & (F.col("ws") < F.col("e")))
+        .select("lid", "rid")
+        .distinct()
+        .collect()
+    }
+    want = {
+        (i, j)
+        for i, s, e in iv
+        for j, ws, we in win
+        if s < we and ws < e
+    }
+    assert got == want

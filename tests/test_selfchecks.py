@@ -326,6 +326,44 @@ def test_audio_stub_waveform_shape():
         mm.decode_audio_stub(None)
 
 
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """The REAL WAV codec: encode→decode must be lossless; the parser
+    must walk chunks by declared size (extra LIST chunk tolerated, not
+    fixed offsets) and reject non-PCM16-mono or non-RIFF payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from base_etl_spark import multimodal as mm
+
+    smp = np.array([0, 1, -1, 32767, -32768, 256, -12345], dtype=np.int64)
+    payload = mm.encode_wav_pcm16(smp, sample_rate=22_050)
+    rate, wave = mm.decode_wav_pcm16(payload)
+    assert rate == 22_050
+    # float64 scaling by 2^15 is exact — recover the ints bit-perfectly
+    assert (np.rint(wave * 32768.0).astype(np.int64) == smp).all()
+    assert wave.min() >= -1.0 and wave.max() < 1.0
+
+    # insert a LIST chunk between fmt and data: a fixed-offset parser
+    # would read garbage; a chunk walker parses identically. Odd-sized
+    # chunk also exercises the word-alignment padding rule.
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    patched = payload[:fmt_end] + extra + payload[fmt_end:]
+    rate2, wave2 = mm.decode_wav_pcm16(patched)
+    assert rate2 == rate and (wave2 == wave).all()
+
+    with pytest.raises(ValueError):
+        mm.decode_wav_pcm16(b"OggS" + payload[4:])
+    stereo = bytearray(payload)
+    stereo[22] = 2  # channels field inside fmt
+    with pytest.raises(ValueError):
+        mm.decode_wav_pcm16(bytes(stereo))
+    with pytest.raises(ValueError):  # RIFF shell with no data chunk
+        mm.decode_wav_pcm16(payload[: 12 + 8 + 16])
+
+
 def test_pii_patterns_match_python_re(spark):
     """The Spark (Java regex) and declared-oracle (RE2) PII counts must
     agree with a plain Python `re` reference on constructed rows — the

@@ -87,23 +87,50 @@ def test_jdbc_roundtrip_derby(spark, tables):
         tables.nation, url, "nation_jdbc", mode="overwrite", properties=_DERBY
     )
     w.save()
-    back = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", "nation_jdbc")
-        .option("driver", _DERBY["driver"])
-        .load()
-    )
+    back = sinks.read_jdbc(spark, url, "nation_jdbc", properties=_DERBY)
     assert back.count() == 25
     assert {c.lower() for c in back.columns} == {c.lower() for c in tables.nation.columns}
     # append mode adds rows (the default daily-ETL load semantics)
     sinks.build_jdbc_writer(
         tables.nation.limit(5), url, "nation_jdbc", mode="append", properties=_DERBY
     ).save()
-    assert (
-        spark.read.format("jdbc").option("url", url).option("dbtable", "nation_jdbc")
-        .option("driver", _DERBY["driver"]).load().count() == 30
+    assert sinks.read_jdbc(spark, url, "nation_jdbc", properties=_DERBY).count() == 30
+
+
+def test_read_jdbc_partitioned_and_pushdown(spark, tables):
+    """The parallel-read leg: a range-partitioned read splits into
+    numPartitions range queries, and a subquery dbtable pushes the
+    filter/projection into the database."""
+    url = "jdbc:derby:memory:etlread;create=true"
+    sinks.build_jdbc_writer(
+        tables.customer.select("c_custkey", "c_nationkey", "c_acctbal"),
+        url, "customer_jdbc", mode="overwrite", properties=_DERBY,
+    ).save()
+    part = sinks.read_jdbc(
+        spark, url, "customer_jdbc", properties=_DERBY,
+        partition_column="c_custkey", lower_bound=1, upper_bound=1501,
+        num_partitions=4,
     )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == tables.customer.count()
+    # range partitioning must not drop or duplicate boundary rows
+    assert part.select("c_custkey").distinct().count() == tables.customer.count()
+    sub = sinks.read_jdbc(
+        spark, url,
+        # Derby uppercases unquoted identifiers; Spark created the table
+        # with quoted lowercase columns, so the pushdown query quotes too
+        '(SELECT "c_custkey", "c_acctbal" FROM customer_jdbc WHERE "c_acctbal" > 0) t',
+        properties=_DERBY,
+    )
+    assert set(c.lower() for c in sub.columns) == {"c_custkey", "c_acctbal"}
+    assert sub.count() == tables.customer.filter("c_acctbal > 0").count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sinks.read_jdbc(
+            spark, url, "customer_jdbc", properties=_DERBY,
+            partition_column="c_custkey",
+        )
 
 
 def test_run_daily_job_executes_jdbc_leg(spark, tmp_path):

