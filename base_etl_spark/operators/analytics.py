@@ -1782,3 +1782,52 @@ def win_rank_delta(t: Tables) -> DataFrame:
             (F.col("rank_jan") - F.col("rank_feb")).cast("long").alias("rank_gain"),
         )
     )
+
+
+@query(
+    "events_autocorr",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+           round((SELECT corr(a.n, b.n) FROM d a
+                  JOIN d b ON a.day = b.day + INTERVAL 1 DAY), 6) AS r_lag1,
+           round((SELECT corr(a.n, b.n) FROM d a
+                  JOIN d b ON a.day = b.day + INTERVAL 7 DAY), 6) AS r_lag7
+    """,
+)
+def events_autocorr(t: Tables) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lag 1 and lag
+    7 — the two numbers that say 'is traffic momentum-driven or
+    weekly-seasonal' (high r_lag7 + low r_lag1 = weekday pattern). Lag
+    pairs come from a DATE-SHIFT SELF-JOIN, not a row-offset window:
+    calendar gaps must break a pair, and lag()-over-rows would silently
+    pair Friday with Monday across a missing weekend.
+
+    100 TB shape: the fact table collapses to the tiny daily grain FIRST
+    (one partial/final hash agg — the only fact-sized work); the lag
+    joins and Pearson aggregates run over that day-count table (≤ a few
+    thousand rows at any horizon), and the three 1-row legs combine by
+    broadcast. Pearson corr is scale-invariant, so sample-vs-population
+    variance conventions cancel — safe cross-engine to 6dp."""
+    daily = t.events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+
+    def lag_corr(lag_days: int, out: str) -> DataFrame:
+        cur = daily.select(F.col("day").alias("d_cur"), F.col("n").alias("n_cur"))
+        prev = daily.select(
+            (F.col("day") + F.expr(f"INTERVAL {lag_days} DAYS")).alias("d_cur"),
+            F.col("n").alias("n_prev"),
+        )
+        return cur.join(prev, "d_cur").agg(
+            F.round(F.corr("n_cur", "n_prev"), 6).alias(out)
+        )
+
+    return (
+        n_days.crossJoin(F.broadcast(lag_corr(1, "r_lag1")))
+        .crossJoin(F.broadcast(lag_corr(7, "r_lag7")))
+    )

@@ -820,3 +820,59 @@ def embedding_qa(t: Tables) -> DataFrame:
         F.sum(F.when(F.col("n_bad") > 0, 1).otherwise(0)).cast("long").alias("n_nonfinite"),
         F.sum("n_zero").cast("long").alias("total_zero_dims"),
     )
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
+        WHERE vec_id < {N_PROBES}
+    )
+    SELECT probe_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(p_emb::DOUBLE[], e.embedding::DOUBLE[]), 6)
+               AS cos_sim
+    FROM probes CROSS JOIN embeddings e
+    WHERE e.vec_id <> probe_id
+      AND round(list_cosine_similarity(p_emb::DOUBLE[], e.embedding::DOUBLE[]), 6)
+          >= 0.25
+    """,
+)
+def sim_range_search(t: Tables) -> DataFrame:
+    """Cosine RANGE query (all neighbors with similarity >= τ), the
+    complement of top-k: top-k bounds the result size but not the
+    quality; a radius bounds quality but not size — dedup and recall
+    audits want the radius form. τ=0.25 is ~2σ for random 64-dim
+    directions (σ≈1/8), so the result is the genuinely-correlated tail.
+
+    Same 100 TB plan as sim_topk: the 10-row probe side broadcasts, the
+    corpus streams ONCE with per-side norms precomputed (never per
+    pair), and — unlike top-k — no rank window at all: the radius
+    filter is a pure codegen predicate, so the operator is a single
+    scan with no shuffle. The threshold compares the 6dp-ROUNDED
+    similarity (round-then-compare rule: raw-double boundary cases
+    would flip membership across engines)."""
+    probes = F.broadcast(
+        t.embeddings.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            norm(F.col("embedding")).alias("p_norm"),
+        )
+    )
+    corpus = t.embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("e_norm")
+    )
+    return (
+        probes.crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("p_emb"), F.col("embedding"))
+                / (F.col("p_norm") * F.col("e_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.25)
+    )

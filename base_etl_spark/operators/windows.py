@@ -291,3 +291,46 @@ def win_running_distinct(t: Tables) -> DataFrame:
         "ts",
         F.sum("is_first").over(run_w).cast("long").alias("n_types_seen"),
     )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT c_mktsegment, decile,
+           CAST(count(*) AS BIGINT)     AS n_customers,
+           round(min(c_acctbal), 2)     AS lo_bal,
+           round(max(c_acctbal), 2)     AS hi_bal
+    FROM (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(10) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer
+    )
+    GROUP BY c_mktsegment, decile
+    """,
+)
+def win_ntile(t: Tables) -> DataFrame:
+    """Equi-populated decile banding (ntile) per market segment — the
+    percentile-bucket assignment scorecards and monotonicity checks are
+    built on. ntile's bucket arithmetic is deterministic ONLY under a
+    total order, so ties on c_acctbal are pinned by c_custkey (both
+    engines place the same rows in the same bucket).
+
+    One shuffle on the segment key + in-partition sort, then the decile
+    re-agg reuses the same partitioning (no second exchange). Segments
+    are low-cardinality (5), so at 100 TB this exact shape would skew —
+    the documented upgrade is the two-phase rank discipline
+    (etl_id_gap_audit's bucketing) or approx_percentile banding; at
+    dimension-table cardinality the single window is the right plan."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        t.customer.select(
+            "c_mktsegment", "c_acctbal", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("lo_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("hi_bal"),
+        )
+    )

@@ -770,3 +770,50 @@ def scan_binary_files(t: Tables) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@query(
+    "scan_text_lines",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(len(replace(replace(text, chr(13), ' '), chr(10), ' ')))
+                AS BIGINT) AS total_chars,
+           CAST(max(len(text)) AS BIGINT) AS max_len,
+           CAST(sum(CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_the
+    FROM documents
+    """,
+)
+def scan_text_lines(t: Tables) -> DataFrame:
+    """Plain-text source (`spark.read.text`) checked end to end: the
+    documents corpus is newline-sanitized (each \\r / \\n becomes one
+    space, so lengths are preserved 1:1), written via the text sink —
+    one line per document — and read back as lines; the aggregate runs
+    over the RE-READ lines while the oracle computes the same stats from
+    the ORIGINAL parquet. Certifies the write→split-by-line→read round
+    trip loses and merges nothing.
+
+    At 100 TB: text is the rawest ingestion tier (crawl dumps, logs) —
+    line-splittable so reads parallelize, but schema-free, no pushdown,
+    no column pruning; convert to parquet at the lake edge. The
+    newline-sanitize step is the real-world contract: line-oriented
+    formats cannot carry embedded newlines without a framing protocol
+    (that upgrade path is JSON-lines, scan_json_agg)."""
+    path = _derived_path(t.sf_dir, "documents_txt")
+    sanitized = t.documents.select(
+        F.regexp_replace("text", "[\\r\\n]", " ").alias("value")
+    )
+    _ensure_derived(
+        path,
+        t.documents.count(),
+        lambda: sanitized.write.mode("overwrite").text(path),
+    )
+    lines = t.spark.read.text(path)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.max(F.length("value")).cast("bigint").alias("max_len"),
+        F.sum(F.when(F.col("value").contains("the"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_the"),
+    )

@@ -165,6 +165,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "sim_topk_ivf",     # 10-row probe broadcast x centroids
         "sim_knn_classify", # 10-row probe broadcast x corpus (sim_topk shape)
         "sim_topk_ip",      # 10-row probe broadcast x corpus (dot-product)
+        "sim_range_search", # 10-row probe broadcast x corpus (radius filter)
         "pack_sequences",   # 1-row max-doc-id bucketing scalar
         "corpus_mix_weights",  # 1-row corpus-totals scalar
         "cluster_kmeans",   # k-row (8) centroid broadcast x corpus scan
@@ -181,6 +182,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "etl_freshness_sla",  # 1-row newest-mark scalar over a 3-row union
         "events_ab_test",   # two 1-row arm summaries cross-joined
         "orders_seasonality_strength",  # 1-row grand-mean/SS scalars
+        "events_autocorr",  # three 1-row legs (n_days + two lag corrs) combined
     }
     bad = []
     for k, fn in _QS.items():
@@ -205,6 +207,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "sim_topk_blocked": "MapInPandas",
         "mm_frame_stats": "MapInPandas",  # codec plumbing IS the boundary
         "mm_audio_decode": "MapInPandas",  # REAL WAV decode — the boundary is the point
+        "mm_image_decode": "MapInPandas",  # REAL BMP decode — the boundary is the point
         "udtf_python": "BatchEvalPython",  # Python-UDTF boundary (BatchEvalPythonUDTF node)
     }
     markers = (

@@ -364,6 +364,42 @@ def test_wav_codec_roundtrip_and_chunk_walk():
         mm.decode_wav_pcm16(payload[: 12 + 8 + 16])
 
 
+def test_bmp_codec_roundtrip_and_stride_padding():
+    """The REAL BMP codec: encode→decode lossless for widths that do and
+    don't need stride padding; honors a non-standard pixel offset; and
+    rejects non-BMP / compressed / non-24-bit payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from base_etl_spark import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for w in (1, 2, 3, 4, 5, 8):  # w*3 % 4 cycles through all pad widths
+        px = rng.integers(0, 256, size=(3, w, 3), dtype=np.uint8)
+        assert (mm.decode_bmp24(mm.encode_bmp24(px)) == px).all(), w
+
+    # decoder must honor the DECLARED data offset, not assume 54
+    px = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    payload = mm.encode_bmp24(px)
+    gap = b"\xee" * 10
+    patched = bytearray(payload[:54] + gap + payload[54:])
+    patched[10:14] = struct.pack("<I", 64)
+    assert (mm.decode_bmp24(bytes(patched)) == px).all()
+
+    with pytest.raises(ValueError):
+        mm.decode_bmp24(b"PNG" + payload[3:])
+    comp = bytearray(payload)
+    comp[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(ValueError):
+        mm.decode_bmp24(bytes(comp))
+    bad_bits = bytearray(payload)
+    bad_bits[28:30] = struct.pack("<H", 8)
+    with pytest.raises(ValueError):
+        mm.decode_bmp24(bytes(bad_bits))
+
+
 def test_pii_patterns_match_python_re(spark):
     """The Spark (Java regex) and declared-oracle (RE2) PII counts must
     agree with a plain Python `re` reference on constructed rows — the
