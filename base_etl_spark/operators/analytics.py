@@ -1831,3 +1831,198 @@ def events_autocorr(t: Tables) -> DataFrame:
         n_days.crossJoin(F.broadcast(lag_corr(1, "r_lag1")))
         .crossJoin(F.broadcast(lag_corr(7, "r_lag7")))
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first_order AS (
+        SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    cohort_size AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+        FROM first_order GROUP BY cohort
+    ),
+    rev AS (
+        SELECT f.cohort,
+               CAST(date_diff('month', f.cohort,
+                              date_trunc('month', o.o_orderdate)) AS BIGINT) AS age,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS month_cents
+        FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT r.cohort, r.age, s.n_customers,
+           CAST((2 * sum(r.month_cents) OVER (
+               PARTITION BY r.cohort ORDER BY r.age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) + s.n_customers) // (2 * s.n_customers) AS BIGINT) AS ltv_cents
+    FROM rev r JOIN cohort_size s ON r.cohort = s.cohort
+    """,
+)
+def orders_cohort_ltv(t: Tables) -> DataFrame:
+    """Cumulative lifetime value curve per acquisition cohort: revenue
+    accrued by each first-order-month cohort through month N, divided by
+    cohort size — the money companion to etl_cohort_retention (reuses
+    its cohort derivation verbatim so the two reports can never disagree
+    on cohort membership).
+
+    Shape mirrors the retention matrix: the fact-sized work is the two
+    o_custkey-co-partitioned aggregates; the running sum's window
+    partitions by cohort over the tiny (cohort, age) matrix with an
+    explicit ROWS frame (ties impossible — age is unique per cohort
+    after the agg). Money accumulates as EXACT INTEGER CENTS (the
+    etl_cdc_apply rule) — a double cumsum drifts across engines and a
+    2dp round at the edge exposes it; with long cents every engine sees
+    the identical dividend, and the per-customer LTV leaves as EXACT
+    half-up integer cents (floor((2*cum + n) / 2n)) — a float division
+    plus 2dp round at the edge was measured to flip ties between
+    Spark's BigDecimal rounding and DuckDB's scaled-multiply rounding.
+    Display layers divide by 100."""
+    first_order = t.orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    size = first_order.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    rev = (
+        t.orders.join(first_order, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort")
+            ).cast("long").alias("age"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "month_cents"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(size), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_customers",
+            # exact long intdiv: (d - d % m) is an exact multiple of m,
+            # so the one double division is exact (quotient << 2^53) —
+            # floor(double-div) alone can misround near-integer quotients
+            (
+                (
+                    (2 * F.sum("month_cents").over(w) + F.col("n_customers"))
+                    - (2 * F.sum("month_cents").over(w) + F.col("n_customers"))
+                    % (2 * F.col("n_customers"))
+                )
+                / (2 * F.col("n_customers"))
+            ).cast("long").alias("ltv_cents"),
+        )
+    )
+
+
+@query(
+    "events_stickiness",
+    oracle="""
+    WITH dau AS (
+        SELECT date_trunc('month', ts) AS month, date_trunc('day', ts) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1, 2
+    ),
+    mau AS (
+        SELECT date_trunc('month', ts) AS month,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT d.month,
+           CAST(count(*) AS BIGINT)        AS n_days,
+           round(avg(d.dau), 4)            AS avg_dau,
+           m.mau,
+           round(avg(d.dau) / m.mau, 6)    AS stickiness
+    FROM dau d JOIN mau m ON d.month = m.month
+    GROUP BY d.month, m.mau
+    """,
+)
+def events_stickiness(t: Tables) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio every growth
+    dashboard leads with (1.0 = every monthly user shows up daily).
+    Distinct-user counts run at BOTH grains as separate exact
+    count-distinct aggregates: a single pass cannot produce both (a
+    user active 5 days is 5 DAU contributions but 1 MAU), and the two
+    shuffles both key on (date-grain, user) so they co-partition with
+    every other user-keyed stage.
+
+    At 100 TB exact count-distinct per (day, user) is the expensive
+    honest tier; the documented cheap tier is sketch_hll_rollup's HLL
+    union (DAU sketches union into MAU for free). Ratio rounded at
+    6dp from exact integer inputs (identical division operands both
+    engines)."""
+    dau = t.events.groupBy(
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.count_distinct("user_id").cast("long").alias("dau"))
+    mau = t.events.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg("dau"), 4).alias("avg_dau"),
+            F.round(F.avg("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .select("month", "n_days", "avg_dau", "mau", "stickiness")
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH tf AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+        SELECT w, freq,
+               row_number() OVER (ORDER BY freq DESC, w) AS rk
+        FROM tf
+        ORDER BY freq DESC, w LIMIT 1000
+    )
+    SELECT CAST(count(*) AS BIGINT)                    AS n_terms,
+           round(regr_slope(ln(freq), ln(rk)), 6)      AS zipf_slope,
+           round(regr_r2(ln(freq), ln(rk)), 6)         AS fit_r2
+    FROM ranked
+    """,
+)
+def text_zipf_fit(t: Tables) -> DataFrame:
+    """Zipf's-law fit over the top-1000 terms: OLS slope of log-freq vs
+    log-rank (natural text ≈ −1; a slope collapsing toward 0 or −3 is a
+    classic symptom of boilerplate floods or tokenizer breakage —
+    corpus-health canary material). Single-pass regr_* sufficient
+    statistics (the agg_regression rule), 6dp verified.
+
+    Plan: explode → term hash agg (the fact-sized work), then
+    TakeOrderedAndProject keeps exactly 1000 rows BEFORE the rank
+    window (round-then-rank discipline: the window is bounded and
+    tie-pinned by term, never a global sort of the vocabulary)."""
+    tf = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), F.asc("w")).limit(1000)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rk")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("freq"), F.log("rk")), 6).alias("fit_r2"),
+    )

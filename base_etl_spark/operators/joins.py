@@ -871,3 +871,102 @@ def join_asof_forward(t: Tables) -> DataFrame:
         .filter(F.col("probe_id").isNotNull())
         .select(F.col("probe_id").alias("purchase_id"), "user_id", "next_click_id")
     )
+
+
+@query(
+    "join_geo_radius",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               (c_custkey * 37 % 1200) / 10.0 - 60.0  AS lat,
+               (c_custkey * 73 % 3600) / 10.0 - 180.0 AS lon
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    s AS (
+        SELECT s_suppkey,
+               (s_suppkey * 41 % 1200) / 10.0 - 60.0  AS lat,
+               (s_suppkey * 79 % 3600) / 10.0 - 180.0 AS lon
+        FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           round(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(s.lat - c.lat) / 2), 2)
+               + cos(radians(c.lat)) * cos(radians(s.lat))
+                 * pow(sin(radians(s.lon - c.lon) / 2), 2)
+           )), 4) AS dist_km
+    FROM c JOIN s
+      ON abs(c.lat - s.lat) <= 2.0
+    WHERE round(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(s.lat - c.lat) / 2), 2)
+               + cos(radians(c.lat)) * cos(radians(s.lat))
+                 * pow(sin(radians(s.lon - c.lon) / 2), 2)
+           )), 4) <= 200.0
+    """,
+)
+def join_geo_radius(t: Tables) -> DataFrame:
+    """Spatial radius join (customers within 200 km of a supplier) —
+    the geo analog of join_interval_overlap's grid decomposition. The
+    naive haversine predicate has no equi key and nested-loops at
+    scale; shipped as the GRID-BUCKETED form: both point sets explode
+    to the 2°-latitude bands they could match in (a 200 km radius spans
+    < 2° of latitude ALWAYS — latitude degrees are great-circle, so the
+    band bound is exact regardless of longitude), equi-join on band,
+    then the exact haversine re-check. Longitude is deliberately NOT
+    bucketed here: a fixed lon-band is unsound near the poles without
+    cos(lat) widening — documented as the production refinement
+    (geohash / S2 cells), which changes pruning, never membership.
+
+    Coordinates are hash-derived from the keys (fixtures carry no geo
+    columns) with a 0.1° lattice — deterministic and identical in both
+    engines. Membership uses the 4dp-ROUNDED distance on both sides
+    (round-then-compare; raw trig ulps differ across libm
+    implementations). Customer side thinned 10× so the fixture result
+    stays audit-sized.
+
+    At 100 TB: work is O(points × bands-per-point) with ONE equi
+    shuffle; each side explodes to ≤ 3 bands (its own + both
+    neighbors)."""
+    def coords(df, key, a, b):
+        return df.select(
+            F.col(key),
+            ((F.col(key) * a % 1200) / 10.0 - 60.0).alias("lat"),
+            ((F.col(key) * b % 3600) / 10.0 - 180.0).alias("lon"),
+        )
+
+    cust = coords(
+        t.customer.filter(F.col("c_custkey") % 10 == 0), "c_custkey", 37, 73
+    )
+    supp = coords(t.supplier, "s_suppkey", 41, 79)
+    # 2° bands; each point also lands in both neighbor bands so any pair
+    # with |Δlat| <= 2° shares at least one band (then re-checked exact)
+    band = lambda lat: F.explode(  # noqa: E731
+        F.array(
+            F.floor(lat / 2.0).cast("long") - 1,
+            F.floor(lat / 2.0).cast("long"),
+            F.floor(lat / 2.0).cast("long") + 1,
+        )
+    )
+    cb = cust.withColumn("band", band(F.col("lat")))
+    sb = supp.withColumn("band", band(F.col("lat")))
+    rad = lambda x: F.radians(x)  # noqa: E731
+    dlat, dlon = rad(F.col("s_lat") - F.col("lat")), rad(F.col("s_lon") - F.col("lon"))
+    hav = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(rad(F.col("lat"))) * F.cos(rad(F.col("s_lat"))) * F.pow(F.sin(dlon / 2), 2)
+    )
+    dist = F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 4)
+    return (
+        cb.join(
+            sb.select(
+                "band",
+                "s_suppkey",
+                F.col("lat").alias("s_lat"),
+                F.col("lon").alias("s_lon"),
+            ),
+            "band",
+        )
+        .filter(F.abs(F.col("lat") - F.col("s_lat")) <= 2.0)
+        .select("c_custkey", "s_suppkey", dist.alias("dist_km"))
+        .filter(F.col("dist_km") <= 200.0)
+        .distinct()  # a pair can share up to 3 bands
+    )

@@ -649,13 +649,22 @@ def scan_csv_permissive(t: Tables) -> DataFrame:
     from pyspark.sql.types import StringType, StructField, StructType
 
     path = _derived_path(t.sf_dir, "customer_csv_dirty")
-    write_csv(t.customer, path)
-    bad = os.path.join(path, "zz_bad_lines.csv")
-    with open(bad, "w") as f:
-        f.write("c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment\n")  # per-file header
-        f.write("not_an_int,Broken Row 1,9,12.5,BUILDING\n")
-        f.write("42,Too,Few\n")
-        f.write("abc,def,ghi,jkl,mno\n")
+
+    def build() -> None:
+        write_csv(t.customer, path)
+        bad = os.path.join(path, "zz_bad_lines.csv")
+        with open(bad, "w") as f:
+            f.write("c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment\n")  # per-file header
+            f.write("not_an_int,Broken Row 1,9,12.5,BUILDING\n")
+            f.write("42,Too,Few\n")
+            f.write("abc,def,ghi,jkl,mno\n")
+
+    # write-once is CORRECTNESS here, not just cost: the .cache() below
+    # registers an InMemoryRelation keyed on this plan, and a re-overwrite
+    # from a later invocation deletes the part files the cached file
+    # index still points at (measured: plans-sweep then correctness run
+    # read an empty/partial layout)
+    _ensure_derived(path, t.customer.count(), build)
     schema = StructType(
         [*schemas.CUSTOMER.fields, StructField("_corrupt_record", StringType())]
     )
