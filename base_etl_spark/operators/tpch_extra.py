@@ -639,3 +639,110 @@ def agg_q6_forecast(t: Tables) -> DataFrame:
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
+
+
+@query(
+    "join_q11_important_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               sum(l_extendedprice * l_quantity) AS part_value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(part_value, 2) AS part_value
+    FROM pv
+    WHERE part_value > (SELECT 2.0 * avg(part_value) FROM pv)
+    """,
+)
+def join_q11_important_parts(t: Tables) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value within one
+    nation's suppliers, kept only where it exceeds a multiple of the
+    national AVERAGE part value — the group-vs-global scalar pattern.
+    (Q11's literal 0.0001/SF fraction is scale-dependent by design; the
+    2x-average form binds identically at every SF, same plan.)
+
+    Adaptation (documented): the fixture set carries no partsupp table,
+    so part value is traded value sum(extendedprice × quantity) from
+    lineitem — identical plan skeleton (dim-filtered fact agg reused
+    twice, once grouped, once collapsed to a scalar).
+
+    The threshold compares RAW doubles but the two sides are DIFFERENT
+    magnitudes (one part vs 2× the national average), so only a part
+    sitting within float-ulp of exactly twice the average could flip —
+    unlike q15's same-sum-vs-same-sum equality this is a strict
+    inequality on well-separated values; output still rounds at the
+    edge only.
+
+    At 100 TB: nation→supplier broadcasts into the fact scan, ONE
+    l_partkey hash agg, the total is a 1-row broadcast — the grouped
+    agg is never recomputed for the scalar (same cached lineage both
+    branches in DuckDB's CTE; Spark recomputes but both branches are
+    the same deterministic plan)."""
+    nat = F.broadcast(
+        t.supplier.join(
+            F.broadcast(t.nation.filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    pv = (
+        t.lineitem.join(nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
+        )
+    )
+    total = pv.agg((2.0 * F.avg("part_value")).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total), F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+@query(
+    "agg_q13_cust_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def agg_q13_cust_distribution(t: Tables) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of customers by how
+    many qualifying orders they placed — the LEFT join + count(col) +
+    re-aggregation shape whose whole point is that ZERO-order customers
+    must survive into the c_count=0 bucket (an inner join silently
+    erases the most interesting bar of the histogram). count(o_orderkey)
+    — not count(*) — is what maps an unmatched customer to 0.
+
+    Adaptation (documented): the fixture orders table has no o_comment,
+    so Q13's NOT LIKE '%special%requests%' exclusion becomes the
+    equivalent-cardinality predicate o_orderpriority <> '1-URGENT',
+    pushed into the JOIN CONDITION (not a WHERE — a post-join filter
+    would turn the outer join inner).
+
+    At 100 TB: one o_custkey shuffle for the join + per-customer count
+    (co-partitioned), then the histogram agg runs on the tiny c_count
+    domain (tens of values)."""
+    per_cust = (
+        t.customer.join(
+            t.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )

@@ -172,6 +172,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "events_gapfill",   # hour-grid (from a 1-row min/max agg) x 5 types
         "events_rfm",       # 1-row reference-timestamp scalar
         "join_q22_idle_customers",  # 1-row global-average scalar
+        "join_q11_important_parts",  # 1-row national-average threshold scalar
         "orders_market_basket",  # 1-row order-count scalar
         "events_time_decay_score",  # 1-row reference-timestamp scalar
         "text_bm25",        # 1-row corpus-stats scalar
