@@ -743,3 +743,25 @@ def agg_pivot_native(t: Tables) -> DataFrame:
         F.col("O").alias("o_total"),
         F.col("P").alias("p_total"),
     )
+
+
+@query("agg_freq_items", oracle=None)
+def agg_freq_items(t: Tables) -> DataFrame:
+    """Heavy hitters via Spark's native freqItems (the Karp-Papadimitriou
+    -Shenker counter sketch behind df.stat.freqItems): one JVM-side pass,
+    per-partition bounded counter maps merged at the driver — the
+    constant-memory answer to 'which values exceed s% of a 100 TB
+    column' without a full groupBy shuffle.
+
+    Sketch contract (why this is an R row): every item with relative
+    frequency > support is GUARANTEED present; items below support MAY
+    appear (false positives are allowed, false negatives are not). The
+    self-check test pins that superset guarantee against exact counts.
+    Output is exploded + sorted so the row set is deterministic for the
+    driver's rows-only check."""
+    fi = t.orders.stat.freqItems(["o_orderpriority"], support=0.15)
+    return fi.select(
+        F.explode(F.sort_array(F.col("o_orderpriority_freqItems"))).alias(
+            "frequent_item"
+        )
+    )

@@ -978,3 +978,94 @@ def text_vocab_overlap(t: Tables) -> DataFrame:
             F.round(jac, 6).alias("vocab_jaccard"),
         )
     )
+
+
+@query(
+    "text_boilerplate_spans",
+    oracle="""
+    WITH spans AS (
+        SELECT DISTINCT doc_id, substr(text, i, 30) AS span
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1, len(text) - 29, 10)) AS i) g
+    )
+    SELECT span, CAST(count(*) AS BIGINT) AS n_docs
+    FROM spans
+    GROUP BY span
+    HAVING count(*) >= 2
+    """,
+)
+def text_boilerplate_spans(t: Tables) -> DataFrame:
+    """Cross-document boilerplate detector: 30-char text spans (sampled
+    every 10 chars — stride < length, so any repeated region >= 40 chars
+    is guaranteed to contribute at least one aligned span) appearing
+    verbatim in 2+ DISTINCT documents — the C4/CCNet line-dedup signal
+    (navigation chrome, license footers, template prose repeat verbatim
+    across pages; organic text does not). The per-doc DISTINCT is
+    load-bearing: repetition INSIDE one doc is text_repetition's
+    business, not boilerplate.
+
+    At 100 TB: the span explode is ~len/10 rows per doc and the per-doc
+    dedup + doc-count agg share one span-keyed shuffle; in production
+    the span is replaced by xxhash64(span) so the shuffle moves 8-byte
+    keys (swap documented; kept as text here for the cross-engine
+    oracle). The HAVING prunes the giant unique-span tail before
+    anything returns."""
+    spans = (
+        t.documents.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - 29, F.lit(10))
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(text, i, 30)").alias("span"))
+        .distinct()
+    )
+    return (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "text_code_detect",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[{}();]')) AS BIGINT)
+               AS n_code_punct,
+           CAST(len(regexp_extract_all(text, '\\b(def|class|return|import|function|var|const)\\b'))
+               AS BIGINT) AS n_keywords,
+           round(len(regexp_extract_all(text, '[{}();=<>]'))
+                 / greatest(len(text), 1), 6) AS code_punct_ratio,
+           CASE WHEN len(regexp_extract_all(text, '[{}();=<>]'))
+                     / greatest(len(text), 1) > 0.02
+                  OR len(regexp_extract_all(text, '\\b(def|class|return|import|function|var|const)\\b')) >= 3
+                THEN 1 ELSE 0 END AS looks_like_code
+    FROM documents
+    """,
+)
+def text_code_detect(t: Tables) -> DataFrame:
+    """Code-likeness scoring per document — the pre-tokenizer routing
+    signal (code wants different tokenization, different quality
+    filters, and a different mix weight than prose). Signals: code
+    punctuation density ({};()=<>), programming-keyword hits, and a
+    combined verdict at measured prose-vs-code thresholds (prose sits
+    well under 2% code-punct; any real source file is far over).
+
+    Pure codegen projection — three regexp_count passes per row, zero
+    shuffles, zero Python. The integer-domain counts are exact on both
+    engines; only the ratio rounds."""
+    punct = F.regexp_count("text", F.lit("[{}();]")).cast("long")
+    punct_eq = F.regexp_count("text", F.lit("[{}();=<>]"))
+    kw = F.regexp_count(
+        "text", F.lit(r"\b(def|class|return|import|function|var|const)\b")
+    ).cast("long")
+    ratio = punct_eq / F.greatest(F.length("text"), F.lit(1))
+    return t.documents.select(
+        "doc_id",
+        punct.alias("n_code_punct"),
+        kw.alias("n_keywords"),
+        F.round(ratio, 6).alias("code_punct_ratio"),
+        F.when((ratio > 0.02) | (kw >= 3), 1).otherwise(0).alias("looks_like_code"),
+    )

@@ -686,3 +686,22 @@ def test_minhash_estimates_within_binomial_bound(spark):
         assert abs(r.jaccard_est - j) <= 4 * se + 1 / 32 + 1e-6, (r, se)
         errs.append(r.jaccard_est - j)
     assert errs and abs(sum(errs) / len(errs)) < 0.1
+
+
+def test_freq_items_superset_guarantee(spark):
+    """freqItems' sketch contract: every value whose exact relative
+    frequency exceeds the support threshold MUST appear (false negatives
+    forbidden; false positives tolerated)."""
+    from base_etl_spark import load_tables, queries
+    from tests.conftest import SF_TEST
+
+    t = load_tables(spark, SF_TEST)
+    got = {r.frequent_item for r in queries()["agg_freq_items"](spark, SF_TEST).collect()}
+    total = t.orders.count()
+    exact = {
+        r.o_orderpriority
+        for r in t.orders.groupBy("o_orderpriority").count().collect()
+        if r["count"] / total > 0.15
+    }
+    assert exact, "fixture must have at least one heavy hitter at 15%"
+    assert exact <= got
