@@ -951,3 +951,91 @@ def etl_id_gap_audit(t: Tables) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_buckets"),
         )
     )
+
+
+@query(
+    "etl_quarantine_rules",
+    oracle="""
+    WITH dirty AS (  -- deterministically punched violations (see docstring)
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 97 = 0 THEN -5000.0 ELSE c_acctbal END
+                   AS c_acctbal,
+               CASE WHEN c_custkey % 89 = 0 THEN 'CRYPTO' ELSE c_mktsegment END
+                   AS c_mktsegment,
+               CASE WHEN c_custkey % 83 = 0 THEN 'x' ELSE c_name END AS c_name,
+               CASE WHEN c_custkey % 79 = 0 THEN 99 ELSE c_nationkey END
+                   AS c_nationkey
+        FROM customer
+    )
+    SELECT CASE
+             WHEN c_acctbal < -999.99 THEN 'balance_below_floor'
+             WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE',
+                                       'HOUSEHOLD','MACHINERY') THEN 'unknown_segment'
+             WHEN len(c_name) < 5 THEN 'name_too_short'
+             WHEN c_nationkey < 0 OR c_nationkey > 24 THEN 'nation_out_of_range'
+             ELSE 'clean'
+           END AS verdict,
+           CAST(count(*) AS BIGINT)            AS n_rows,
+           CAST(min(c_custkey) AS BIGINT)      AS first_key
+    FROM dirty
+    GROUP BY 1
+    """,
+)
+def etl_quarantine_rules(t: Tables) -> DataFrame:
+    """Row-level rule quarantine: each row is tagged with the FIRST
+    failing rule from an ordered rule list (or 'clean') — the row-level
+    companion to etl_dq_checks' table-level gate, and the routing logic
+    in front of every quarantine sink (scan_csv_permissive handles rows
+    that don't PARSE; this handles rows that parse but VIOLATE the
+    contract). First-failure-wins keeps one verdict per row so the
+    quarantine split is a partition of the input, never a multiplication.
+
+    The fixture is valid by construction, so violations are PUNCHED
+    deterministically first (the etl_impute_median protocol — key-modulo
+    mangling, identical on both sides): %97 floors the balance, %89
+    fakes a segment, %83 truncates the name, %79 breaks the FK range.
+    Rule PRIORITY is part of the contract: a row mangled by two rules
+    must be counted once, under the earlier rule.
+
+    One CASE projection + one tiny hash agg — zero joins, zero Python;
+    at 100 TB the rule evaluation is free inside the ingest scan, and
+    the per-rule counts feed the same drift alarms as etl_profile.
+    first_key gives the auditor a deterministic example row per rule."""
+    dirty = t.customer.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 97 == 0, -5000.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 89 == 0, "CRYPTO")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 83 == 0, "x")
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(F.col("c_custkey") % 79 == 0, 99)
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nationkey"),
+    )
+    verdict = (
+        F.when(F.col("c_acctbal") < -999.99, "balance_below_floor")
+        .when(
+            ~F.col("c_mktsegment").isin(
+                "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"
+            ),
+            "unknown_segment",
+        )
+        .when(F.length("c_name") < 5, "name_too_short")
+        .when(
+            (F.col("c_nationkey") < 0) | (F.col("c_nationkey") > 24),
+            "nation_out_of_range",
+        )
+        .otherwise("clean")
+    )
+    return (
+        dirty.select(verdict.alias("verdict"), "c_custkey")
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("c_custkey").cast("long").alias("first_key"),
+        )
+    )

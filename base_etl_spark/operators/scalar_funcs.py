@@ -677,3 +677,123 @@ def date_business_days(t: Tables) -> DataFrame:
         F.round(F.avg("bdays"), 4).alias("avg_business_days"),
         F.max("bdays").cast("long").alias("max_business_days"),
     )
+
+
+@query(
+    "json_flatten_nested",
+    oracle="""
+    SELECT l_orderkey % 10                                   AS bucket,
+           CAST(count(*) AS BIGINT)                          AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)   AS total_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM lineitem
+    GROUP BY l_orderkey % 10
+    """,
+)
+def json_flatten_nested(t: Tables) -> DataFrame:
+    """Nested-JSON flatten round trip: line items are nested into a JSON
+    array-of-objects per order (collect_list + to_json — the event
+    payload shape every API emits), then parsed back with an EXPLICIT
+    from_json schema and exploded two levels down to rows. The oracle
+    computes the same aggregate from the RELATIONAL truth, so the hash
+    certifies the nest→serialize→parse→flatten cycle loses, duplicates,
+    and corrupts nothing (shortest-repr double printing included —
+    quantities and prices survive bit-exact through the JSON text).
+
+    collect_list order is partition-dependent; the round trip is
+    deliberately checked through an ORDER-INSENSITIVE aggregate (the
+    explode washes the order out), never through array equality.
+
+    At 100 TB: one l_orderkey shuffle to nest; parse+explode are pure
+    projections. An explicit from_json schema is non-negotiable at scale
+    — schema inference on a JSON column is a full extra pass, and a
+    schemaless parse degrades to strings."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    item = StructType(
+        [
+            StructField("ln", LongType()),
+            StructField("qty", DoubleType()),
+            StructField("price", DoubleType()),
+        ]
+    )
+    nested = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_extendedprice").alias("price"),
+                )
+            ).alias("items")
+        )
+        .select("l_orderkey", F.to_json("items").alias("payload"))
+    )
+    flat = nested.select(
+        "l_orderkey",
+        F.explode(F.from_json("payload", ArrayType(item))).alias("it"),
+    )
+    return flat.groupBy((F.col("l_orderkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("it.qty").cast("long")).cast("long").alias("total_qty"),
+        F.sum(F.round(F.col("it.price") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+@query(
+    "json_variant_get",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(sum(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def json_variant_get(t: Tables) -> DataFrame:
+    """VARIANT ingestion path (Spark 4's semi-structured type): each
+    order is serialized to a JSON document, parsed with parse_json into
+    a VARIANT column — no schema declared at parse time — and the typed
+    fields are pulled back out with variant_get paths ($.status,
+    $.total, $.year). The aggregate over the extracted columns must
+    equal the relational truth, certifying the
+    serialize→variant-encode→path-extract cycle end to end.
+
+    VARIANT vs from_json (json_flatten_nested's path): from_json needs
+    the full schema up front and pays a text re-parse per access;
+    variant parses ONCE into a binary encoding, then every
+    variant_get is a cheap binary path walk — the right default for
+    schema-drifting event payloads at 100 TB. Extraction casts are
+    explicit ('long'/'double') so drifting payloads fail loudly, not
+    silently as strings."""
+    js = t.orders.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("total"),
+                F.year("o_orderdate").alias("year"),
+            )
+        ).alias("doc")
+    )
+    v = js.select(F.parse_json("doc").alias("v"))
+    extracted = v.select(
+        F.variant_get("v", "$.status", "string").alias("status"),
+        F.variant_get("v", "$.total", "double").alias("total"),
+        F.variant_get("v", "$.year", "long").alias("yr"),
+    )
+    return extracted.groupBy(F.col("status").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("total") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+        F.sum(F.when(F.col("yr") >= 1998, 1).otherwise(0))
+        .cast("long")
+        .alias("n_recent"),
+    )

@@ -219,3 +219,58 @@ def udtf_python(t: Tables) -> DataFrame:
         FROM documents, LATERAL chunk_doc(text, 16) AS c
         """
     )
+
+
+def _type_stats_arrow(key, tbl):
+    """Arrow-native grouped kernel: exact integer-cent revenue stats per
+    event type, computed entirely in pyarrow.compute (no pandas
+    conversion, no Python per-row loop)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cents = pc.cast(pc.round(pc.multiply(tbl.column("value"), 100.0)), pa.int64())
+    return pa.table(
+        {
+            "event_type": pa.array([key[0]], pa.string()),
+            "n_events": pa.array([tbl.num_rows], pa.int64()),
+            "total_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+            "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+        }
+    )
+
+
+@query(
+    "udaf_arrow_group",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udaf_arrow_group(t: Tables) -> DataFrame:
+    """Grouped-map UDAF through applyInArrow (Spark 4's rawest Python
+    boundary): each group arrives as a pyarrow.Table — no pandas
+    materialization at all — and the kernel runs in pyarrow.compute.
+    This is the tier below applyInPandas (udaf_entropy_pandas): no
+    index/dtype conversion overhead, columnar end to end, the shape to
+    use when the kernel is expressible in Arrow compute but not in SQL.
+
+    Stats stay in exact integer cents so the Arrow kernel is held to
+    the full driver hash check against the relational oracle — the
+    boundary itself is what's being certified, not float luck.
+
+    At 100 TB the usual grouped-map caveat applies doubly: one group
+    must fit in one task's memory; event_type is low-cardinality, so
+    the production variant pre-aggregates per (type, salt) first. Like
+    every UDF-surface key, this exists to pin the API; the JVM
+    expression twin is strictly faster."""
+    return (
+        t.events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInArrow(_type_stats_arrow, schema="event_type string, n_events long, total_cents long, max_cents long")
+    )

@@ -334,3 +334,47 @@ def win_ntile(t: Tables) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("hi_bal"),
         )
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT day,
+           round(rev_cents / 100.0, 2) AS revenue,
+           round(quantile_cont(rev_cents, 0.5) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) / 100.0, 2) AS rolling_median_7d
+    FROM daily
+    """,
+)
+def win_rolling_median(t: Tables) -> DataFrame:
+    """7-day rolling MEDIAN of daily revenue — the robust trend line
+    (a single flash-sale day drags a rolling mean for a week; the
+    median shrugs it off). percentile() is a full aggregate usable over
+    a window frame, so this stays one JVM window pass — no UDF, no
+    collect_list.
+
+    Median inputs are EXACT INTEGER CENTS (the orders_cohort_ltv
+    lesson): the daily sums are then identical longs on both engines,
+    and the 7-value interpolated median of integers divides by at most
+    2 — exact in double — so the 2dp edge round cannot straddle.
+
+    The window is a bare orderBy over the DAILY grain — bounded by the
+    calendar (one row per day, ~2.4k rows at any SF), the documented
+    exception class; the fact-sized work is the daily hash agg."""
+    daily = t.orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("rev_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.expr("percentile(rev_cents, 0.5)").over(w) / 100.0, 2
+        ).alias("rolling_median_7d"),
+    )

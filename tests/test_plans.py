@@ -205,6 +205,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "udf_arrow": "ArrowEvalPython",  # Arrow-optimized scalar UDF tier
         "text_compress_ratio": "ArrowEvalPython",  # zlib quality signal
         "udaf_entropy_pandas": "FlatMapGroupsInPandas",
+        "udaf_arrow_group": "FlatMapGroupsInArrow",  # Spark 4 Arrow-native grouped map
         "sim_topk_blocked": "MapInPandas",
         "mm_frame_stats": "MapInPandas",  # codec plumbing IS the boundary
         "mm_audio_decode": "MapInPandas",  # REAL WAV decode — the boundary is the point
@@ -214,6 +215,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
     markers = (
         "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
         "MapInPandas", "FlatMapGroupsWithStateInPandas",
+        "FlatMapGroupsInArrow",
     )
     bad = []
     for k, fn in _QS.items():
