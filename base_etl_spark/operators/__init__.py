@@ -19,3 +19,4 @@ importlib.import_module("base_etl_spark.sinks")
 importlib.import_module("base_etl_spark.multimodal")
 importlib.import_module("base_etl_spark.profiling")
 importlib.import_module("base_etl_spark.etl")
+importlib.import_module("base_etl_spark.pysource")
