@@ -388,6 +388,18 @@ def test_bmp_codec_roundtrip_and_stride_padding():
     patched[10:14] = struct.pack("<I", 64)
     assert (mm.decode_bmp24(bytes(patched)) == px).all()
 
+    # real resize: identity resize is lossless; downsample picks the
+    # canonical nearest-neighbor pixels; upsample replicates them
+    px5 = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    blob = mm.encode_bmp24(px5)
+    assert (mm.decode_bmp24(mm.resize_bmp_nearest(blob, 5, 4)) == px5).all()
+    down = mm.decode_bmp24(mm.resize_bmp_nearest(blob, 2, 2))
+    want = px5[[(y * 4) // 2 for y in range(2)]][:, [(x * 5) // 2 for x in range(2)]]
+    assert (down == want).all()
+    up = mm.decode_bmp24(mm.resize_bmp_nearest(blob, 10, 8))
+    assert up.shape == (8, 10, 3)
+    assert (up[::2, ::2] == px5[[(y * 4) // 8 for y in range(0, 8, 2)]][:, [(x * 5) // 10 for x in range(0, 10, 2)]]).all()
+
     with pytest.raises(ValueError):
         mm.decode_bmp24(b"PNG" + payload[3:])
     comp = bytearray(payload)
