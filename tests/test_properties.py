@@ -330,3 +330,71 @@ def test_interval_bucketize_matches_naive_overlap(spark, spans):
         if s < we and ws < e
     }
     assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=-600, max_value=600),   # lat tenths: ±60°
+            st.integers(min_value=-1800, max_value=1800), # lon tenths
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+)
+@settings(**_SETTINGS)
+def test_geo_band_join_matches_naive_haversine(spark, pts):
+    """The latitude-band decomposition (explode to own+neighbor 2°
+    bands, equi-join, exact re-check) must find EXACTLY the pairs the
+    naive all-pairs haversine predicate finds — including points sitting
+    right on band boundaries and antimeridian-adjacent longitudes."""
+    import math
+
+    rows = [(i, lat / 10.0, lon / 10.0) for i, (lat, lon) in enumerate(pts)]
+    left = spark.createDataFrame(rows, "lid long, lat double, lon double")
+    right = spark.createDataFrame(
+        [(i + 100, la, lo) for i, la, lo in rows], "rid long, lat double, lon double"
+    )
+
+    def band(lat):
+        b = F.floor(lat / 2.0).cast("long")
+        return F.explode(F.array(b - 1, b, b + 1))
+
+    lb = left.select("lid", F.col("lat").alias("a_lat"), F.col("lon").alias("a_lon"),
+                     band(F.col("lat")).alias("band"))
+    rb = right.select("rid", F.col("lat").alias("b_lat"), F.col("lon").alias("b_lon"),
+                      band(F.col("lat")).alias("band"))
+    rad = F.radians
+    dlat = rad(F.col("b_lat") - F.col("a_lat"))
+    dlon = rad(F.col("b_lon") - F.col("a_lon"))
+    hav = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(rad(F.col("a_lat"))) * F.cos(rad(F.col("b_lat"))) * F.pow(F.sin(dlon / 2), 2)
+    )
+    dist = F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 4)
+    got = {
+        (r.lid, r.rid)
+        for r in lb.join(rb, "band")
+        .filter(F.abs(F.col("a_lat") - F.col("b_lat")) <= 2.0)
+        .select("lid", "rid", dist.alias("d"))
+        .filter(F.col("d") <= 200.0)
+        .distinct()
+        .collect()
+    }
+
+    def hav_py(a_lat, a_lon, b_lat, b_lon):
+        p = math.pi / 180.0
+        h = (
+            math.sin((b_lat - a_lat) * p / 2) ** 2
+            + math.cos(a_lat * p) * math.cos(b_lat * p)
+            * math.sin((b_lon - a_lon) * p / 2) ** 2
+        )
+        return round(2 * 6371.0 * math.asin(math.sqrt(h)), 4)
+
+    want = {
+        (i, j + 100)
+        for i, a_lat, a_lon in rows
+        for j, b_lat, b_lon in rows
+        if abs(a_lat - b_lat) <= 2.0 and hav_py(a_lat, a_lon, b_lat, b_lon) <= 200.0
+    }
+    assert got == want

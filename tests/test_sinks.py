@@ -179,3 +179,25 @@ def test_compaction_file_count_contract(spark):
     comp = glob.glob(os.path.join(_derived_path(SF_TEST, "lineitem_compacted"), "*.parquet"))
     assert len(frag) == 64
     assert len(comp) == 4
+
+
+def test_python_datasource_partition_plumbing(spark):
+    """The custom source must genuinely parallelize: 8 driver-planned
+    partitions, round-robin striping so every partition carries an even
+    share, and options flow through (a smaller total/parts override)."""
+    from base_etl_spark.pysource import SynthSource
+
+    try:
+        spark.dataSource.register(SynthSource)
+    except Exception:
+        pass
+    df = spark.read.format("synthrange").load()
+    assert df.rdd.getNumPartitions() == 8
+    sizes = [len(p) for p in df.rdd.glom().collect()]
+    assert sizes == [10_000 // 8] * 8
+    small = spark.read.format("synthrange").option("total", "100").option("parts", "4").load()
+    assert small.count() == 100
+    assert small.rdd.getNumPartitions() == 4
+    # ids cover the exact range with no dupes or gaps
+    assert small.agg({"id": "min"}).first()[0] == 0
+    assert small.select("id").distinct().count() == 100
