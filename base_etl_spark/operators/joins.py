@@ -970,3 +970,125 @@ def join_geo_radius(t: Tables) -> DataFrame:
         .filter(F.col("dist_km") <= 200.0)
         .distinct()  # a pair can share up to 3 bands
     )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH dirty AS (  -- deterministically mangled twin (see docstring)
+        SELECT s_suppkey AS key,
+               CASE WHEN s_suppkey % 3 = 0 THEN s_name || 'x'
+                    WHEN s_suppkey % 3 = 1
+                    THEN substr(s_name, 1, len(s_name) - 1) || 'z'
+                    ELSE s_name || substr(s_name, len(s_name), 1) END AS name,
+               1 AS is_dirty
+        FROM supplier
+    ),
+    uni AS (
+        SELECT s_suppkey AS key, s_name AS name, 0 AS is_dirty FROM supplier
+        UNION ALL SELECT key, name, is_dirty FROM dirty
+    ),
+    ranked AS (
+        SELECT key, name, is_dirty,
+               row_number() OVER (ORDER BY name, is_dirty, key) AS rk
+        FROM uni
+    )
+    SELECT a.key                                   AS clean_key,
+           b.key                                   AS dirty_key,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+    FROM ranked a JOIN ranked b
+      ON a.is_dirty = 0 AND b.is_dirty = 1
+     AND abs(a.rk - b.rk) <= 24
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def join_fuzzy_blocked(t: Tables) -> DataFrame:
+    """Entity-resolution fuzzy join via SORTED NEIGHBORHOOD (SNM): match
+    a clean name table against a dirty twin (typos punched
+    deterministically: trailing junk, last-char substitution, doubled
+    final char — one class per key mod 3) WITHOUT all-pairs
+    levenshtein AND without key-based blocking — which degenerates to
+    one giant block on serial-numbered names like this fixture's
+    `Supplier#00000NNN` (a shared 4-char prefix puts every row in one
+    block; measured before this redesign). SNM instead sorts the union
+    by name and compares only rows within w=24 sorted neighbors: the
+    work is O(n·w) BY CONSTRUCTION, independent of how skewed the key
+    distribution is.
+
+    Recall is the declared tradeoff: a typo that teleports a name far
+    across the sort order (first-character damage) escapes the window —
+    production runs a second pass sorted on the reversed name, each
+    pass this same plan. The oracle applies the identical window, so
+    the contract is exact.
+
+    Scale shape: the global rank is TWO-PHASE, never a global sort
+    window — repartitionByRange gives range-ordered partitions, ranks
+    are local row_numbers plus broadcast per-partition offsets (the
+    pack_sequences prefix-sum discipline keyed by name; result
+    invariant to partition boundaries), and the neighbor comparison is
+    a band-bucket equi join (rank div w, own+neighbor bands — the geo
+    band pattern on rank space) with the exact |Δrank| and edit-
+    distance re-checks inside blocks."""
+    w = 24
+    last = F.expr("substring(s_name, length(s_name), 1)")
+    dirty = t.supplier.select(
+        F.col("s_suppkey").alias("key"),
+        F.when(F.col("s_suppkey") % 3 == 0, F.concat(F.col("s_name"), F.lit("x")))
+        .when(
+            F.col("s_suppkey") % 3 == 1,
+            F.concat(F.expr("substring(s_name, 1, length(s_name) - 1)"), F.lit("z")),
+        )
+        .otherwise(F.concat(F.col("s_name"), last))
+        .alias("name"),
+        F.lit(1).alias("is_dirty"),
+    )
+    clean = t.supplier.select(
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.lit(0).alias("is_dirty"),
+    )
+    uni = clean.unionByName(dirty)
+    nb = t.spark.sparkContext.defaultParallelism
+    by_range = uni.repartitionByRange(nb, "name", "is_dirty", "key").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("pid").orderBy("name", "is_dirty", "key")
+    local = by_range.withColumn("lrn", F.row_number().over(local_w))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        by_range.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "pid", F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("off")
+        )  # <= parallelism rows: the bounded single-partition leg
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "key", "name", "is_dirty", (F.col("off") + F.col("lrn")).alias("rk")
+    )
+    band = (F.col("rk") / w).cast("long")
+    a = (
+        ranked.filter(F.col("is_dirty") == 0)
+        .select(
+            F.col("key").alias("clean_key"),
+            F.col("name").alias("a_name"),
+            F.col("rk").alias("a_rk"),
+            F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+        )
+    )
+    b = ranked.filter(F.col("is_dirty") == 1).select(
+        F.col("key").alias("dirty_key"),
+        F.col("name").alias("b_name"),
+        F.col("rk").alias("b_rk"),
+        band.alias("band"),
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.abs(F.col("a_rk") - F.col("b_rk")) <= w)
+        .select(
+            "clean_key",
+            "dirty_key",
+            F.levenshtein("a_name", "b_name").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .distinct()
+    )

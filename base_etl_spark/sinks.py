@@ -826,3 +826,47 @@ def scan_text_lines(t: Tables) -> DataFrame:
         .cast("bigint")
         .alias("n_with_the"),
     )
+
+
+@query("etl_file_stats", oracle=None)
+def etl_file_stats(t: Tables) -> DataFrame:
+    """Per-file scan statistics through the hidden `_metadata` column —
+    the data-skipping audit (file count, rows per file, bytes, per-file
+    key ranges) that tells an operator whether a table needs compaction
+    or re-clustering WITHOUT a filesystem walk: the stats ride along the
+    normal parquet scan as a struct column.
+
+    Rows-only by necessity (file names/sizes are layout properties no
+    SQL oracle can see); the invariants that make it trustworthy are
+    pinned in tests: per-file rows sum to the table count, every file
+    row count is positive, and the min/max key ranges bound the true
+    global range. Output keys are (file ordinal by name, not path) so
+    the result is stable across checkout locations."""
+    df = t.spark.read.parquet(f"{t.sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("_metadata.file_name").alias("fname"),
+        F.col("_metadata.file_size").alias("fsize"),
+    )
+    from pyspark.sql import Window
+
+    per_file = df.groupBy("fname", "fsize").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+    w = Window.orderBy("fname")  # ≤ #files rows — bounded
+    return (
+        per_file.withColumn("file_ord", F.row_number().over(w))
+        .select(
+            "file_ord",
+            F.col("fsize").cast("long").alias("file_bytes"),
+            "n_rows",
+            "min_key",
+            "max_key",
+            "min_date",
+            "max_date",
+        )
+    )

@@ -717,3 +717,18 @@ def test_freq_items_superset_guarantee(spark):
     }
     assert exact, "fixture must have at least one heavy hitter at 15%"
     assert exact <= got
+
+
+def test_file_stats_invariants(spark, tables):
+    """etl_file_stats (R): per-file rows sum to the table count, every
+    file is non-empty, and the per-file key ranges bound the global."""
+    from tests.conftest import SF_TEST
+
+    rows = _QS["etl_file_stats"](spark, SF_TEST).collect()
+    assert rows and all(r.n_rows > 0 and r.file_bytes > 0 for r in rows)
+    assert sum(r.n_rows for r in rows) == tables.orders.count()
+    lo = tables.orders.agg(F.min("o_orderkey")).first()[0]
+    hi = tables.orders.agg(F.max("o_orderkey")).first()[0]
+    assert min(r.min_key for r in rows) == lo
+    assert max(r.max_key for r in rows) == hi
+    assert {r.file_ord for r in rows} == set(range(1, len(rows) + 1))
