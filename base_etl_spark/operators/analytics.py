@@ -2026,3 +2026,110 @@ def text_zipf_fit(t: Tables) -> DataFrame:
         F.round(F.regr_slope(F.log("freq"), F.log("rk")), 6).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("freq"), F.log("rk")), 6).alias("fit_r2"),
     )
+
+
+@query(
+    "events_ab_cuped",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               user_id % 2 AS arm,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT)  AS sx,
+               CAST(sum(y) AS BIGINT)  AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM per_user
+    ),
+    th AS (
+        SELECT n, sx,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS theta
+        FROM g
+    )
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(y) / 100.0 / count(*), 4) AS mean_post,
+           round((sum(y) * 1.0 / count(*)
+                  - theta * (sum(x) * 1.0 / count(*)
+                             - CAST(th.sx AS DOUBLE) / th.n)) / 100.0, 4)
+               AS mean_post_cuped,
+           round(theta, 6) AS theta
+    FROM per_user CROSS JOIN th
+    GROUP BY arm, theta, th.sx, th.n
+    """,
+)
+def events_ab_cuped(t: Tables) -> DataFrame:
+    """CUPED variance reduction for A/B readouts (Deng et al. 2013, the
+    industry-standard trick): adjust each user's experiment-period
+    metric Y by their PRE-period covariate X — Y' = Y − θ(X − X̄) with
+    θ = cov(X,Y)/var(X) — removing the between-user variance X already
+    explains, so the same experiment detects smaller effects. Arms are
+    the user_id parity split (deterministic); the pre/post boundary is
+    mid-fixture.
+
+    Cross-engine discipline (the orders_cohort_ltv lesson extended to
+    second moments): per-user X, Y are EXACT integer cents, and θ is
+    derived from exact integer sufficient statistics (n, Σx, Σy, Σxx,
+    Σxy — int64 sums) through the IDENTICAL arithmetic expression on
+    both sides, so every engine computes bit-identical doubles before
+    the single edge round. covar_samp/var_samp built-ins were
+    deliberately avoided: their internal accumulation orders differ
+    between engines.
+
+    Plan: one user-keyed hash agg (the only fact-sized work), a 1-row
+    sufficient-statistics broadcast, and a 2-row arm agg."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = t.events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(F.lit(0))).alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    th = g.select(
+        "n",
+        "sx",
+        (
+            (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("theta"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(th))
+        .groupBy("arm", "theta", "sx", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (F.sum("y") / 100.0 / F.count(F.lit(1))).alias("_mp"),
+            (
+                (
+                    F.sum("y") * F.lit(1.0) / F.count(F.lit(1))
+                    - F.col("theta")
+                    * (
+                        F.sum("x") * F.lit(1.0) / F.count(F.lit(1))
+                        - F.col("sx").cast("double") / F.col("n")
+                    )
+                )
+                / 100.0
+            ).alias("_mpc"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            F.round("_mp", 4).alias("mean_post"),
+            F.round("_mpc", 4).alias("mean_post_cuped"),
+            F.round("theta", 6).alias("theta"),
+        )
+    )

@@ -1069,3 +1069,76 @@ def text_code_detect(t: Tables) -> DataFrame:
         F.round(ratio, 6).alias("code_punct_ratio"),
         F.when((ratio > 0.02) | (kw >= 3), 1).otherwise(0).alias("looks_like_code"),
     )
+
+
+@query(
+    "text_bigram_nll",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, i, w
+        FROM (SELECT doc_id,
+                     generate_subscripts(string_split(text, ' '), 1) AS i,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents)
+    ),
+    bg AS (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    bfreq AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    ufreq AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                            AS n_bigrams,
+           round(avg(-ln((cb + 1.0) / (cu + v))), 6)           AS avg_nll
+    FROM bg JOIN bfreq USING (w1, w2) JOIN ufreq USING (w1) CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_nll(t: Tables) -> DataFrame:
+    """Bigram language-model quality score with add-one smoothing: per
+    document, mean −ln P(w2|w1) where P = (C(w1w2)+1)/(C(w1·)+V) — one
+    rung up the LM ladder from text_unigram_nll, and the rung that
+    actually separates scrambled text from fluent text (unigram NLL is
+    permutation-invariant; bigram NLL is exactly what falls apart when
+    word ORDER is broken — shuffle a document and its unigram score is
+    unchanged while its bigram score collapses to the smoothing floor).
+
+    Plan: bigrams are built IN-ROW (transform over the token array —
+    the text_repetition rule, no positional self-join on Spark's side;
+    the oracle spells the same pairs via a subscript join, cheap at
+    oracle scale). The bigram frequency table joins back on the
+    (w1, w2) key — co-partitioned with its own construction — the
+    unigram-context counts derive from the SAME bigram stream (C(w1·)
+    = Σ_w2 C(w1 w2), no second corpus pass), and V is a 1-row
+    broadcast. Docs with < 2 tokens drop out on both sides (no
+    bigrams)."""
+    from base_etl_spark.operators.llm_dedup import _spread
+
+    toks = F.split("text", " ")
+    bg = _spread(t.documents).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+                " (w, i) -> struct(w AS w1, element_at(split(text, ' '), i + 2) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bfreq = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ufreq = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = (
+        t.documents.select(F.explode(toks).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    nll = -F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v")))
+    return (
+        bg.join(bfreq, ["w1", "w2"])
+        .join(F.broadcast(ufreq), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )

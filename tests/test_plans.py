@@ -161,6 +161,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "win_distribution", # 1-row global-count scalar
         "stream_late_data", # 1-row max-ts watermark scalar
         "text_unigram_nll", # 1-row total-token-count scalar
+        "text_bigram_nll",  # 1-row vocabulary-size scalar
         "sim_topk",         # 10-row probe broadcast x corpus
         "sim_topk_ivf",     # 10-row probe broadcast x centroids
         "sim_knn_classify", # 10-row probe broadcast x corpus (sim_topk shape)
@@ -182,6 +183,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "events_active_users_rolling",  # 1-row date-bounds scalar (x2)
         "etl_freshness_sla",  # 1-row newest-mark scalar over a 3-row union
         "events_ab_test",   # two 1-row arm summaries cross-joined
+        "events_ab_cuped",  # 1-row sufficient-statistics (theta) broadcast
         "orders_seasonality_strength",  # 1-row grand-mean/SS scalars
         "events_autocorr",  # three 1-row legs (n_days + two lag corrs) combined
     }
