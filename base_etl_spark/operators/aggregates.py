@@ -765,3 +765,35 @@ def agg_freq_items(t: Tables) -> DataFrame:
             "frequent_item"
         )
     )
+
+
+@query(
+    "agg_crosstab",
+    oracle="""
+    SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_crosstab(t: Tables) -> DataFrame:
+    """Contingency table through the first-class `df.stat.crosstab`
+    API — the pair-frequency matrix behind chi-square checks
+    (agg_chi_square computes the statistic; this is the raw table via
+    the dedicated surface). Output columns are re-selected explicitly
+    (F/O/P) because crosstab derives column NAMES from data values —
+    fine for a bounded categorical, an anti-pattern for anything
+    high-cardinality, where the pivoted width explodes (same contract
+    note as agg_pivot_native).
+
+    Plan-wise crosstab compiles to the same single partial/final count
+    aggregate as the hand-written CASE form."""
+    ct = t.orders.stat.crosstab("o_orderpriority", "o_orderstatus")
+    return ct.select(
+        "o_orderpriority_o_orderstatus",
+        F.col("F").cast("long").alias("f"),
+        F.col("O").cast("long").alias("o"),
+        F.col("P").cast("long").alias("p"),
+    )

@@ -514,3 +514,85 @@ def etl_split_leakage(t: Tables) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_pairs"))
     )
+
+
+@query(
+    "corpus_pipeline_report",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    near_drops AS (SELECT DISTINCT doc_b FROM pairs),
+    s AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' '))  AS n_tok,
+               len(list_filter(string_split(text, ' '), w -> w IN {_STOP_SQL})) AS n_stop,
+               len(list_filter(string_split(text, ' '), w -> len(w) >= 8))      AS n_long,
+               len(regexp_extract_all(text, '[0-9]'))                           AS n_digit,
+               row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id)    AS rn
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, n_tok, rn,
+               n_stop * 1.0 / n_tok AS stop_ratio,
+               round(least(n_tok / 50.0, 1.0) * 0.4
+                     + least(n_stop * 1.0 / n_tok / 0.1, 1.0) * 0.3
+                     + (1.0 - n_digit * 1.0 / n_chars) * 0.2
+                     + least(n_long * 1.0 / n_tok / 0.2, 1.0) * 0.1, 6) AS quality
+        FROM s
+    ),
+    v AS (
+        SELECT CASE WHEN stop_ratio < {_STOP_MIN} THEN 'lang'
+                    WHEN quality < {_Q_MIN}       THEN 'quality'
+                    WHEN rn > 1                   THEN 'exact_dup'
+                    WHEN doc_id IN (SELECT doc_b FROM near_drops) THEN 'near_dup'
+                    ELSE 'keep' END AS verdict
+        FROM q
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN verdict = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+               CAST(sum(CASE WHEN verdict = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS nq,
+               CAST(sum(CASE WHEN verdict = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+               CAST(sum(CASE WHEN verdict = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        FROM v
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage_ord, 'lang_filter' AS stage,
+               total AS docs_in, nl AS docs_dropped, total - nl AS docs_out FROM c
+        UNION ALL SELECT 2, 'quality_filter', total - nl, nq, total - nl - nq FROM c
+        UNION ALL SELECT 3, 'exact_dedup', total - nl - nq, nx,
+                          total - nl - nq - nx FROM c
+        UNION ALL SELECT 4, 'near_dedup', total - nl - nq - nx, nn,
+                          total - nl - nq - nx - nn FROM c
+    )
+    """,
+)
+def corpus_pipeline_report(t: Tables) -> DataFrame:
+    """Capstone funnel report for the training-data pipeline: one row
+    per cleaning stage (language filter → quality filter → exact dedup
+    → near dedup) with docs in / dropped / surviving — the dashboard
+    row every corpus build publishes, and the sanity contract that the
+    stages PARTITION the corpus (docs_out of stage k == docs_in of
+    stage k+1; final docs_out == keep count). Reuses etl_corpus_clean's
+    verdict lineage verbatim, so this report can never disagree with
+    the per-document verdicts.
+
+    The heavy work is the verdict computation (one sha256 shuffle +
+    shingle key joins, unchanged); the funnel itself is a 1-row
+    aggregate unstacked to 4 rows with pure arithmetic — nothing new
+    shuffles."""
+    v = etl_corpus_clean.tables_fn(t).select("verdict")
+    c = v.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum(F.when(F.col("verdict") == "lang", 1).otherwise(0)).cast("long").alias("nl"),
+        F.sum(F.when(F.col("verdict") == "quality", 1).otherwise(0)).cast("long").alias("nq"),
+        F.sum(F.when(F.col("verdict") == "exact_dup", 1).otherwise(0)).cast("long").alias("nx"),
+        F.sum(F.when(F.col("verdict") == "near_dup", 1).otherwise(0)).cast("long").alias("nn"),
+    )
+    return c.selectExpr(
+        """stack(4,
+            1, 'lang_filter',    total,                nl,                total - nl,
+            2, 'quality_filter', total - nl,           nq,                total - nl - nq,
+            3, 'exact_dedup',    total - nl - nq,      nx,                total - nl - nq - nx,
+            4, 'near_dedup',     total - nl - nq - nx, nn,                total - nl - nq - nx - nn
+        ) AS (stage_ord, stage, docs_in, docs_dropped, docs_out)"""
+    )
