@@ -876,3 +876,90 @@ def sim_range_search(t: Tables) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.25)
     )
+
+
+_MMR_SCHEMA = "probe_id bigint, rank int, neighbor_id bigint, mmr_score double"
+
+
+def _mmr_kernel(pdf):
+    """Greedy MMR over one probe's candidate set (numpy, bounded ≤20
+    rows): pick argmax of λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), ties
+    by lowest neighbor_id (scores 6dp-rounded BEFORE comparison so the
+    greedy path is platform-deterministic)."""
+    import numpy as np
+    import pandas as pd
+
+    lam, k = 0.7, 5
+    pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+    emb = np.stack(pdf["embedding"].map(np.asarray))
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qsim = pdf["cos_sim"].to_numpy()
+    cand_sim = np.round(emb @ emb.T, 6)
+    chosen: list[int] = []
+    out = {"probe_id": [], "rank": [], "neighbor_id": [], "mmr_score": []}
+    for r in range(1, min(k, len(pdf)) + 1):
+        best_i, best_s = -1, None
+        for i in range(len(pdf)):
+            if i in chosen:
+                continue
+            div = max(cand_sim[i, j] for j in chosen) if chosen else 0.0
+            s = round(lam * qsim[i] - (1 - lam) * div, 6)
+            if best_s is None or s > best_s:  # first index wins ties (id-sorted)
+                best_i, best_s = i, s
+        chosen.append(best_i)
+        out["probe_id"].append(int(pdf["probe_id"].iloc[best_i]))
+        out["rank"].append(r)
+        out["neighbor_id"].append(int(pdf["neighbor_id"].iloc[best_i]))
+        out["mmr_score"].append(float(best_s))
+    return pd.DataFrame(out)
+
+
+@query("sim_mmr_rerank", oracle=None)
+def sim_mmr_rerank(t: Tables) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversity stage that
+    completes the retrieval stack (recall tiers: brute/IVF/blocked;
+    fusion: RRF; THIS: result-set de-redundancy). From each probe's
+    top-20 cosine candidates, greedily keep 5 maximizing
+    λ·sim(query,d) − (1−λ)·max_{s∈picked} sim(d,s) with λ=0.7 — near-
+    duplicate hits (which embedding corpora are full of; see
+    dedup_embedding) stop crowding out genuinely different results.
+
+    MMR is inherently sequential in k, so it is deliberately a Pandas
+    boundary key — but over a BOUNDED relation: 10 probes × 20
+    candidates. All corpus-sized work (scoring + top-20 selection)
+    happens JVM-side first; the greedy kernel touches 200 rows total
+    regardless of corpus size, grouped per probe so each group is one
+    tiny Arrow batch. Rows-only by design (greedy argmax chains are not
+    SQL-expressible); the self-check test replays the greedy path in
+    independent Python over the same candidates and pins equality."""
+    probes = F.broadcast(
+        t.embeddings.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            norm(F.col("embedding")).alias("p_norm"),
+        )
+    )
+    corpus = t.embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("e_norm")
+    )
+    scored = (
+        probes.crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "embedding",
+            F.round(
+                dot(F.col("p_emb"), F.col("embedding"))
+                / (F.col("p_norm") * F.col("e_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    top20 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    return (
+        top20.select("probe_id", "neighbor_id", "embedding", "cos_sim")
+        .groupBy("probe_id")
+        .applyInPandas(_mmr_kernel, schema=_MMR_SCHEMA)
+    )

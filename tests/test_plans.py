@@ -167,6 +167,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "sim_knn_classify", # 10-row probe broadcast x corpus (sim_topk shape)
         "sim_topk_ip",      # 10-row probe broadcast x corpus (dot-product)
         "sim_range_search", # 10-row probe broadcast x corpus (radius filter)
+        "sim_mmr_rerank",   # 10-row probe broadcast x corpus (top-20 feed)
         "pack_sequences",   # 1-row max-doc-id bucketing scalar
         "corpus_mix_weights",  # 1-row corpus-totals scalar
         "cluster_kmeans",   # k-row (8) centroid broadcast x corpus scan
@@ -208,6 +209,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "text_compress_ratio": "ArrowEvalPython",  # zlib quality signal
         "udaf_entropy_pandas": "FlatMapGroupsInPandas",
         "udaf_arrow_group": "FlatMapGroupsInArrow",  # Spark 4 Arrow-native grouped map
+        "sim_mmr_rerank": "FlatMapGroupsInPandas",  # bounded greedy MMR (10x20 rows)
         "sim_topk_blocked": "MapInPandas",
         "mm_frame_stats": "MapInPandas",  # codec plumbing IS the boundary
         "mm_audio_decode": "MapInPandas",  # REAL WAV decode — the boundary is the point

@@ -732,3 +732,60 @@ def test_file_stats_invariants(spark, tables):
     assert min(r.min_key for r in rows) == lo
     assert max(r.max_key for r in rows) == hi
     assert {r.file_ord for r in rows} == set(range(1, len(rows) + 1))
+
+
+def test_mmr_kernel_prefers_diversity():
+    """Unit-test the greedy MMR kernel on a constructed case: candidate
+    B is a near-clone of top hit A, candidate C is orthogonal with a
+    slightly lower query sim — MMR must rank C above B at position 2."""
+    import numpy as np
+    import pandas as pd
+
+    from base_etl_spark.operators.llm_vectors import _mmr_kernel
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.999, 0.01, 0.0, 0.0]   # near-duplicate of a
+    c = [0.0, 1.0, 0.0, 0.0]      # orthogonal
+    d = [0.0, 0.0, 1.0, 0.0]
+    pdf = pd.DataFrame(
+        {
+            "probe_id": [0, 0, 0, 0],
+            "neighbor_id": [10, 11, 12, 13],
+            "embedding": [np.array(a), np.array(b), np.array(c), np.array(d)],
+            # query sims: a best, clone b second, diverse c close behind
+            "cos_sim": [0.95, 0.94, 0.90, 0.40],
+        }
+    )
+    out = _mmr_kernel(pdf).sort_values("rank")
+    # clone 11 (query sim 0.94) is demoted below diverse 12 (0.90):
+    # 0.7*0.94 - 0.3*cos(a,b)~=0.358 < 0.7*0.90 - 0 = 0.63
+    assert list(out["neighbor_id"])[:2] == [10, 12]
+    assert list(out["rank"]) == [1, 2, 3, 4]
+    by_id = {int(r.neighbor_id): float(r.mmr_score) for r in out.itertuples()}
+    assert abs(by_id[12] - 0.63) < 1e-9
+    assert by_id[11] < 0.40  # the diversity penalty genuinely bit
+
+
+def test_mmr_integration_invariants(spark):
+    """sim_mmr_rerank over the fixture: 5 distinct ranks per probe,
+    rank-1 equals the cosine top-1 (first greedy pick has no diversity
+    penalty), every pick comes from that probe's top-20 candidates, and
+    scores never increase with rank (the greedy objective is
+    assert rank-1 max)."""
+    got = {}
+    for r in _QS["sim_mmr_rerank"](spark, SF_TEST).collect():
+        got.setdefault(r.probe_id, []).append(r)
+    top = {}
+    for r in _QS["sim_topk"](spark, SF_TEST).collect():
+        top.setdefault(r.probe_id, []).append((r.rn, r.neighbor_id))
+    assert set(got) == set(top)
+    for p, rows in got.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        ids = [r.neighbor_id for r in rows]
+        assert len(set(ids)) == 5
+        rank1 = next(r.neighbor_id for r in rows if r.rank == 1)
+        top1 = next(i for rn, i in top[p] if rn == 1)
+        assert rank1 == top1
+        s1 = next(r.mmr_score for r in rows if r.rank == 1)
+        assert all(s1 >= r.mmr_score for r in rows)
