@@ -1039,3 +1039,69 @@ def etl_quarantine_rules(t: Tables) -> DataFrame:
             F.min("c_custkey").cast("long").alias("first_key"),
         )
     )
+
+
+@query(
+    "etl_na_policies",
+    oracle="""
+    WITH punched AS (  -- deterministically punched nulls (see docstring)
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END
+                   AS c_acctbal,
+               CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END
+                   AS c_mktsegment,
+               CASE WHEN c_custkey % 13 = 0 THEN NULL
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer
+    ),
+    cleaned AS (
+        -- policy: DROP rows missing the FK (can't be repaired),
+        -- FILL numeric nulls with 0.0, fill segment with 'UNKNOWN'
+        SELECT c_custkey,
+               coalesce(c_acctbal, 0.0)        AS c_acctbal,
+               coalesce(c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+               c_nationkey
+        FROM punched
+        WHERE c_nationkey IS NOT NULL
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)           AS n_rows,
+           round(sum(c_acctbal), 2)           AS total_bal,
+           CAST(sum(CASE WHEN c_acctbal = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_filled_bal
+    FROM cleaned
+    GROUP BY c_mktsegment
+    """,
+)
+def etl_na_policies(t: Tables) -> DataFrame:
+    """The df.na policy surface (drop / fill) as an explicit per-column
+    contract — the decision every silver-layer load writes down: rows
+    missing an IRREPARABLE column (the FK) are dropped; repairable
+    numeric nulls fill with a sentinel 0.0; categorical nulls fill with
+    an explicit 'UNKNOWN' level (never silently imputed — the honest
+    companion to etl_impute_median, which REPAIRS with a statistic and
+    audits the repair). Nulls are punched deterministically (%7 balance,
+    %11 segment, %13 FK) so every policy genuinely fires.
+
+    Exercises the first-class API — na.drop(subset), na.fill(map) — not
+    hand-rolled coalesce, so the key pins Spark's own null-policy
+    semantics (drop BEFORE fill: a dropped row must not be resurrected
+    by the fill). One projection + one hash agg; the UNKNOWN group
+    surfaces in the output as its own audit row."""
+    punched = t.customer.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None)).otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None)).otherwise(F.col("c_nationkey")).alias("c_nationkey"),
+    )
+    cleaned = (
+        punched.na.drop(subset=["c_nationkey"])
+        .na.fill({"c_acctbal": 0.0, "c_mktsegment": "UNKNOWN"})
+    )
+    return cleaned.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.sum(F.when(F.col("c_acctbal") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_filled_bal"),
+    )

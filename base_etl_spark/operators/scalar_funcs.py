@@ -797,3 +797,54 @@ def json_variant_get(t: Tables) -> DataFrame:
         .cast("long")
         .alias("n_recent"),
     )
+
+
+@query(
+    "array_explode_outer",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN []
+                    ELSE string_split(o_orderpriority, '-') END AS parts
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT)                          AS n_rows,
+           CAST(sum(CASE WHEN part IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_rows,
+           CAST(count(DISTINCT part) AS BIGINT)              AS n_distinct_parts
+    FROM (
+        SELECT s.o_orderkey, u.part
+        FROM src s LEFT JOIN (
+            SELECT o_orderkey, unnest(parts) AS part FROM src
+        ) u USING (o_orderkey)
+    )
+    """,
+)
+def array_explode_outer(t: Tables) -> DataFrame:
+    """explode_outer vs explode — the silent-row-loss trap: plain
+    explode DROPS rows whose array is empty or NULL, so a fan-out over
+    a sparsely-populated array column quietly deletes the very entities
+    with nothing to fan out (every 5th order's array is emptied here to
+    force the case). explode_outer keeps them as a single NULL-element
+    row — the LEFT-JOIN-shaped semantics the oracle spells out with an
+    actual left join against unnest (DuckDB's unnest drops empties just
+    like explode).
+
+    The aggregate pins all three facts: total row count (empties
+    preserved), the count of NULL placeholder rows (== the emptied
+    population), and the distinct element count (real elements
+    unchanged)."""
+    src = t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.array().cast("array<string>"))
+        .otherwise(F.split("o_orderpriority", "-"))
+        .alias("parts"),
+    )
+    ex = src.select("o_orderkey", F.explode_outer("parts").alias("part"))
+    return ex.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("part").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_rows"),
+        F.count_distinct("part").cast("long").alias("n_distinct_parts"),
+    )
