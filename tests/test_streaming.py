@@ -268,3 +268,95 @@ def test_streaming_outer_interval_join_semantics(spark, events_stream):
     horizon = max_ts - dt.timedelta(hours=2)
     assert all(r.purchase_ts <= horizon for r in got_rows)
     assert len(got_unmatched) > 0  # the fixture exercises the outer leg
+
+
+def test_foreach_batch_jdbc_sink_idempotent(spark, tmp_path):
+    """Stream → WAREHOUSE TABLE: foreachBatch loads each micro-batch's
+    hourly rollup into embedded Derby with the delete+append replay
+    discipline (jdbc_delete_where per epoch-touched hour, then append) —
+    the production 'stream into a database the sink can't upsert'
+    pattern. Final DB state must equal the batch aggregate, and a full
+    fresh-checkpoint replay must leave the table unchanged (no
+    double-loads)."""
+    from base_etl_spark import sinks
+    from base_etl_spark.io import load_tables
+
+    t = load_tables(spark, SF_TEST)
+    src = str(tmp_path / "ev")
+    t.events.repartitionByRange(3, "ts").write.mode("overwrite").parquet(src)
+    url = "jdbc:derby:memory:etlstream;create=true"
+    derby = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    def run(ckpt: str) -> None:
+        stream = spark.readStream.schema(t.events.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "35 days")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+        def sink(batch_df, epoch_id):
+            rows = batch_df.cache()
+            # delete at the FULL key grain (hr, event_type): an hr-only
+            # delete wipes sibling event types loaded by earlier epochs
+            # that this update-mode batch does not re-emit (measured —
+            # one silent row loss per shared hour)
+            keys = [(r.hr, r.event_type) for r in
+                    rows.select("hr", "event_type").distinct().collect()]
+            if keys:
+                pred = " OR ".join(
+                    f"(\"hr\" = '{h}' AND \"event_type\" = '{e}')" for h, e in keys
+                )
+                sinks.jdbc_delete_where(
+                    spark, url, "hourly_rollup", pred, properties=derby
+                )
+            sinks.build_jdbc_writer(
+                rows, url, "hourly_rollup", mode="append", num_partitions=2,
+                # Spark maps StringType to Derby CLOB, which can't be
+                # compared in the delete predicate — pin VARCHAR ddl
+                properties={
+                    **derby,
+                    "createTableColumnTypes": "hr VARCHAR(32), event_type VARCHAR(32)",
+                },
+            ).save()
+            rows.unpersist()
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    got = {
+        (r[0], r[1]): r[2]
+        for r in sinks.read_jdbc(spark, url, "hourly_rollup", properties=derby).collect()
+    }
+    batch = (
+        t.events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+            "event_type",
+            "n",
+        )
+    )
+    want = {(r.hr, r.event_type): r.n for r in batch.collect()}
+    assert got == want
+
+    run(str(tmp_path / "ck2"))  # full replay, fresh checkpoint
+    again = {
+        (r[0], r[1]): r[2]
+        for r in sinks.read_jdbc(spark, url, "hourly_rollup", properties=derby).collect()
+    }
+    assert again == want  # delete+append made the replay a no-op
