@@ -1105,3 +1105,89 @@ def etl_na_policies(t: Tables) -> DataFrame:
         .cast("long")
         .alias("n_filled_bal"),
     )
+
+
+@query(
+    "etl_time_travel",
+    oracle="""
+    WITH cls AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 31 = 0 THEN 'd'
+                    WHEN c_custkey % 7 = 0  THEN 'u'
+                    ELSE 'k' END AS cls
+        FROM customer
+    )
+    SELECT CAST((SELECT count(*) FROM cls) AS BIGINT)          AS n_asof1,
+           CAST((SELECT count(*) FROM cls WHERE cls <> 'd') AS BIGINT)
+               AS n_asof2,
+           CAST((SELECT count(*) FROM cls WHERE cls = 'd') AS BIGINT)
+               AS n_deleted,
+           CAST((SELECT count(*) FROM cls WHERE cls = 'u') AS BIGINT)
+               AS n_updated
+    """,
+)
+def etl_time_travel(t: Tables) -> DataFrame:
+    """Merge-on-read time travel over a version-partitioned changelog —
+    the lakehouse pattern (Delta/Iceberg snapshots) built from plain
+    parquet: version 1 is the full dim snapshot; version 2 is a DELTA
+    (updated rows + 'd' tombstones, derived deterministically: %31
+    deletes — tombstone wins — %7 updates). ``read_asof(v)`` filters
+    version <= v (STATIC partition pruning on the version directory —
+    only the needed snapshots are ever opened), resolves last-writer-
+    wins per key, and drops tombstones. The returned stats compare the
+    as-of-1 and as-of-2 states; the oracle recomputes them in closed
+    form from the same modular classes, fully independent of the
+    file layout.
+
+    At 100 TB the delta layout is why this scales: each version adds
+    only its changed rows, reads merge k small deltas against one base,
+    and compaction (etl_compaction) periodically rewrites a new full
+    base. The LWW merge is the etl_cdc_apply window on (key, version)."""
+    from pyspark.sql import Window as W
+
+    from base_etl_spark.sinks import _derived_path, _ensure_derived, write_parquet
+
+    path = _derived_path(t.sf_dir, "customer_versions")
+    base = t.customer.select(
+        "c_custkey", "c_acctbal", F.lit(1).alias("version"), F.lit("u").alias("op")
+    )
+    delta = (
+        t.customer.filter((F.col("c_custkey") % 31 == 0) | (F.col("c_custkey") % 7 == 0))
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            F.lit(2).alias("version"),
+            F.when(F.col("c_custkey") % 31 == 0, "d").otherwise("u").alias("op"),
+        )
+    )
+    _ensure_derived(
+        path,
+        t.customer.count(),
+        lambda: write_parquet(base.unionByName(delta), path, partition_by=["version"]),
+    )
+
+    def read_asof(v: int):
+        hist = t.spark.read.parquet(path).filter(F.col("version") <= v)
+        w = W.partitionBy("c_custkey").orderBy(F.desc("version"))
+        return (
+            hist.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        )
+
+    s1, s2 = read_asof(1), read_asof(2)
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_asof1"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_asof2"))
+    deleted = s1.join(
+        s2.select("c_custkey"), "c_custkey", "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+    updated = (
+        s1.select("c_custkey", F.col("c_acctbal").alias("b1"))
+        .join(s2.select("c_custkey", F.col("c_acctbal").alias("b2")), "c_custkey")
+        .filter(F.col("b1") != F.col("b2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_updated"))
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(deleted))
+        .crossJoin(F.broadcast(updated))
+    )

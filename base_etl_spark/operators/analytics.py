@@ -2133,3 +2133,106 @@ def events_ab_cuped(t: Tables) -> DataFrame:
             F.round("theta", 6).alias("theta"),
         )
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, event_type, ts AS c_ts
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    attributed AS (
+        SELECT purchase_id, event_type AS touch_type, c_ts,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY c_ts DESC, event_type) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.c_ts <= p.p_ts
+                     AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM attributed WHERE rn = 1
+    GROUP BY touch_type
+    """,
+)
+def events_attribution(t: Tables) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    non-purchase event by the same user within a 1-hour lookback — the
+    marketing-analytics join that decides budget allocation. This is an
+    as-of join (join_asof's machinery) with an aggregation on the
+    attributed touch type; ties at the same timestamp break by
+    event_type so credit assignment is total-ordered.
+
+    At 100 TB: the purchase↔touch pairing shuffles both sides on
+    user_id once (co-partitioned with every other user-keyed stage);
+    the lookback bound keeps per-purchase candidate sets small, and the
+    rank window partitions by purchase_id — high cardinality, never
+    global. The 1-hour window is the state bound that makes the
+    streaming twin (streaming_interval_join) expirable."""
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = t.events.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(F.desc("c_ts"), F.asc("touch_type"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+
+
+@query(
+    "orders_repeat_rate",
+    oracle="""
+    WITH fo AS (
+        SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderdate > first_dt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeat,
+           round(sum(CASE WHEN o_orderdate > first_dt THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS repeat_rate
+    FROM orders JOIN fo USING (o_custkey)
+    GROUP BY 1
+    """,
+)
+def orders_repeat_rate(t: Tables) -> DataFrame:
+    """Monthly repeat-purchase rate: share of each month's orders placed
+    by customers past their first order date — the loyalty KPI between
+    the cohort matrix (who comes back) and LTV (what they're worth).
+    An order ties the first-order date it EXCEEDS, so a customer's
+    first-ever order counts as new and every later one as repeat,
+    including more orders in the first month.
+
+    One o_custkey-co-partitioned first-date aggregate joined back on
+    the same key (no second shuffle), then a tiny month agg. Ratio from
+    exact integer counts, rounded once."""
+    fo = t.orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    rep = F.when(F.col("o_orderdate") > F.col("first_dt"), 1).otherwise(0)
+    return (
+        t.orders.join(fo, "o_custkey")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(rep).cast("long").alias("n_repeat"),
+            F.round(F.sum(rep) * F.lit(1.0) / F.count(F.lit(1)), 6).alias("repeat_rate"),
+        )
+    )

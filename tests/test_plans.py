@@ -185,6 +185,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "etl_freshness_sla",  # 1-row newest-mark scalar over a 3-row union
         "events_ab_test",   # two 1-row arm summaries cross-joined
         "events_ab_cuped",  # 1-row sufficient-statistics (theta) broadcast
+        "etl_time_travel",  # four 1-row state-count summaries combined
         "orders_seasonality_strength",  # 1-row grand-mean/SS scalars
         "events_autocorr",  # three 1-row legs (n_days + two lag corrs) combined
     }
