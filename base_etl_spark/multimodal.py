@@ -242,6 +242,72 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
 
 
+_FRAME_ENERGY_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+@query(
+    "mm_audio_frame_energy",
+    oracle="""
+    WITH d AS (SELECT doc_id, 50 + doc_id % 50 AS n,
+                      (50 + doc_id % 50) // 4 AS flen
+               FROM documents),
+         s AS (
+             SELECT doc_id, flen, i // flen AS frame_no,
+                    ((doc_id * 31 + i * 7) % 65536) - 32768 AS smp
+             FROM d, LATERAL (SELECT unnest(generate_series(0,
+                      CAST(4 * flen - 1 AS INT))) AS i) g
+         )
+    SELECT doc_id                          AS asset_id,
+           CAST(frame_no AS INT)           AS frame_no,
+           CAST(flen AS BIGINT)            AS n_samples,
+           CAST(sum(smp * smp) AS BIGINT)  AS energy
+    FROM s GROUP BY doc_id, frame_no, flen
+    """,
+)
+def mm_audio_frame_energy(t: Tables) -> DataFrame:
+    """Frame-level energy over the REAL audio decode path: the same
+    deterministic WAV payloads as mm_audio_decode are decoded through
+    the chunk-walking parser, the waveform splits into 4 equal frames
+    of n//4 samples (tail beyond 4·(n//4) dropped — the closed-form
+    framing every feature extractor uses before FFTs), and per-frame
+    energy (Σ sample², exact integer domain) is hash-checked against
+    DuckDB's generate_series recomputation. This is the 1→N row shape
+    of real audio featurization (one asset, one row per frame) driven
+    by genuine decoded bytes, not the identity stub — the decode +
+    framing + per-frame-reduce pipeline a spectrogram build reuses
+    unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_no": [], "n_samples": [], "energy": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 50 + doc_id % 50
+                i = np.arange(n, dtype=np.int64)
+                smp = ((doc_id * 31 + i * 7) % 65536) - 32768
+                _, wave = decode_wav_pcm16(encode_wav_pcm16(smp))
+                rec = np.rint(wave * 32768.0).astype(np.int64)
+                flen = n // 4
+                for f in range(4):
+                    fr = rec[f * flen : (f + 1) * flen]
+                    out["asset_id"].append(doc_id)
+                    out["frame_no"].append(f)
+                    out["n_samples"].append(flen)
+                    out["energy"].append(int(np.sum(fr * fr)))
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    return docs.mapInPandas(run, schema=_FRAME_ENERGY_SCHEMA)
+
+
 _AUDIO_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),

@@ -214,6 +214,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "sim_topk_blocked": "MapInPandas",
         "mm_frame_stats": "MapInPandas",  # codec plumbing IS the boundary
         "mm_audio_decode": "MapInPandas",  # REAL WAV decode — the boundary is the point
+        "mm_audio_frame_energy": "MapInPandas",  # REAL WAV decode + framing
         "mm_image_decode": "MapInPandas",  # REAL BMP decode — the boundary is the point
         "mm_image_resize": "MapInPandas",  # REAL BMP resize — two codec trips
         "udtf_python": "BatchEvalPython",  # Python-UDTF boundary (BatchEvalPythonUDTF node)
