@@ -74,9 +74,25 @@ def _ensure_loaded() -> None:
 # r3 VERDICT: TPC-H composites first, then the scale-I/O layout keys,
 # the retrieval stack, join variants, and the ETL governance suite.
 # Keys rotated OUT (the r1–r3 driver-green set) keep their local-gate
-# coverage; after this round the driver-verified union is ≥148/229.
-# Remaining never-checked keys (~81, mostly analytics.py + text suite)
-# rotate in at round 5 in the next batch of 50.
+# coverage; after this round the driver-verified union is ≥148.
+#
+# ROUND-5 ROTATION PLAN (execute at the start of round 5): 117 keys
+# remain never-driver-checked after this window lands (the round-4
+# additions included). Replace the list below with the next 50, in this
+# priority order:
+#   1. the new TPC-H completions + round-4 D keys a user is likeliest to
+#      lean on: join_q11_important_parts, agg_q13_cust_distribution,
+#      mm_audio_decode, mm_image_decode, mm_image_resize,
+#      mm_audio_frame_energy, mm_frame_stats, scan_python_datasource,
+#      scan_text_lines, json_variant_get, json_flatten_nested,
+#      join_geo_radius, join_fuzzy_blocked, etl_time_travel,
+#      etl_quarantine_rules, etl_na_policies, corpus_pipeline_report;
+#   2. the analytics.py suite (events_*/orders_*/win_* keys, ~35 —
+#      oldest local-gate-only evidence in the repo);
+#   3. the text quality stack (text_unigram_nll, text_bigram_nll,
+#      text_repetition, text_zipf_fit, text_boilerplate_spans, ...).
+# Round 6 takes the remaining ~17 (scalar-func variants, set-ops, UDF
+# surface, sketches) — at which point every key has a driver row.
 DRIVER_PRIORITY: list[str] = [
     # -- TPC-H composites (tpch_extra.py)
     "join_q2_min_supplier",
