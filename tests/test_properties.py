@@ -398,3 +398,43 @@ def test_geo_band_join_matches_naive_haversine(spark, pts):
         if abs(a_lat - b_lat) <= 2.0 and hav_py(a_lat, a_lon, b_lat, b_lon) <= 200.0
     }
     assert got == want
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=5), min_size=1, max_size=20
+    ),
+)
+@settings(**_SETTINGS)
+def test_two_phase_rank_equals_global_row_number(spark, names):
+    """The SNM two-phase global rank (range partitions + local
+    row_number + broadcast offsets) must equal a straight global
+    row_number for ANY input — duplicates included (ties break on the
+    key column)."""
+    from pyspark.sql import Window
+
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "key long, name string")
+    nb = 4
+    by_range = df.repartitionByRange(nb, "name", "key").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("pid").orderBy("name", "key")
+    local = by_range.withColumn("lrn", F.row_number().over(local_w))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        by_range.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("pid", F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("off"))
+    )
+    got = {
+        r.key: r.rk
+        for r in local.join(F.broadcast(offsets), "pid")
+        .select("key", (F.col("off") + F.col("lrn")).alias("rk"))
+        .collect()
+    }
+    want = {
+        k: i + 1
+        for i, (k, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want

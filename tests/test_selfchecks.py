@@ -789,3 +789,20 @@ def test_mmr_integration_invariants(spark):
         assert rank1 == top1
         s1 = next(r.mmr_score for r in rows if r.rank == 1)
         assert all(s1 >= r.mmr_score for r in rows)
+
+
+def test_fuzzy_join_finds_every_planted_twin(spark):
+    """join_fuzzy_blocked recall on its own construction: every mangle
+    class is sort-local by design (trailing junk / last-char sub /
+    doubled final char), so EVERY dirty twin must pair with its source
+    clean key inside the w=24 neighborhood — zero planted misses."""
+    from base_etl_spark import load_tables
+
+    t = load_tables(spark, SF_TEST)
+    pairs = {
+        (r.clean_key, r.dirty_key)
+        for r in _QS["join_fuzzy_blocked"](spark, SF_TEST).collect()
+    }
+    keys = [r.s_suppkey for r in t.supplier.select("s_suppkey").collect()]
+    missing = [k for k in keys if (k, k) not in pairs]
+    assert missing == []
