@@ -171,3 +171,44 @@ def test_dedup_clusters_consistent_with_pairs(spark):
         members[c].add(n)
     for c, ms in members.items():
         assert c == min(ms) and c in lab
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew-join split — the engine-level answer that
+    complements the manual salting operators in skew.py: a join where
+    ~75% of rows share one key must re-plan at runtime with the skewed
+    partition split across tasks (SortMergeJoin(skew=true)).
+
+    Two operational lessons are pinned here because getting the marker
+    to appear at fixture scale required both: (1) skew detection is
+    BYTE-based on the COMPRESSED shuffle — an all-constant or monotone
+    synthetic column compresses so well the skewed partition stays under
+    threshold and AQE sees nothing (measured: the same shape with a
+    compressible payload column never splits), so the payload here is
+    rand-incompressible; (2) broadcast must be off — a broadcast join
+    has no shuffled partitions to split."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 4 != 3, 0).otherwise(F.col("id") % 50).alias("k"),
+            (F.rand(7) * 1000).alias("v"),  # incompressible: skew visible in bytes
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select("k")
+        assert len(j.collect()) == 400_000  # correctness unaffected by the split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
