@@ -475,3 +475,25 @@ def test_disjunctive_key_join_has_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Union" in plan
+
+
+def test_max_partition_bytes_governs_scan_parallelism(spark, tables, tmp_path):
+    """spark.sql.files.maxPartitionBytes is THE scan-parallelism knob at
+    scale: the same parquet layout must split into more input partitions
+    when the cap shrinks (and collapse toward file count when it grows).
+    Pinned here because partition sizing is the first thing to retune
+    when moving from local fixtures to a 1000-executor cluster."""
+    path = str(tmp_path / "li")
+    tables.lineitem.repartition(2).write.mode("overwrite").parquet(path)
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # fixture files are ~55 KB each — the cap must sit well below
+        # one file's size to force intra-file splits
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8KB")
+        small_cap = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "512MB")
+        big_cap = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+    assert small_cap > big_cap
+    assert big_cap <= 4  # ~file count (+ slack for openCostInBytes packing)
