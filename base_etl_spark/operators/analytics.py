@@ -2236,3 +2236,124 @@ def orders_repeat_rate(t: Tables) -> DataFrame:
             F.round(F.sum(rep) * F.lit(1.0) / F.count(F.lit(1)), 6).alias("repeat_rate"),
         )
     )
+
+
+@query(
+    "events_session_stats",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s2 AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS sess
+           FROM s),
+    per_session AS (
+        SELECT user_id, sess,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+                   AS duration_s
+        FROM s2 GROUP BY user_id, sess
+    )
+    SELECT CAST(count(*) AS BIGINT)                      AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT)       AS n_users,
+           round(avg(n_events), 4)                       AS avg_events,
+           CAST(max(n_events) AS BIGINT)                 AS max_events,
+           round(avg(duration_s), 4)                     AS avg_duration_s,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce
+    FROM per_session
+    """,
+)
+def events_session_stats(t: Tables) -> DataFrame:
+    """Session-level summary over 30-minute-gap sessionization: count,
+    users, mean size/duration, and the bounce count (single-event
+    sessions — THE engagement red flag) — the stats dashboard next to
+    events_session_paths' path ranking, sharing the identical
+    gaps-and-islands session derivation so the two reports agree on
+    what a session IS.
+
+    Same shape as every sessionization here: ONE user-keyed shuffle
+    feeds both windows (the island-id window partitions by a prefix of
+    the lag window's key — no second exchange), the per-session agg
+    co-partitions, and the final summary is a 1-row reduce. Durations
+    in exact integer seconds; only the means round."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s2 = s.withColumn(
+        "sess",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = s2.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .cast("long")
+        .alias("duration_s"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.max("n_events").cast("long").alias("max_events"),
+        F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounce"),
+    )
+
+
+@query(
+    "orders_fulfillment_lag",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(date_diff('day', o_orderdate, l_shipdate)), 4)
+               AS avg_lag_days,
+           CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+               AS max_lag_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def orders_fulfillment_lag(t: Tables) -> DataFrame:
+    """Order-to-ship fulfillment lag by month and priority — the ops
+    SLA view (is URGENT actually shipping faster, and is lag drifting
+    month over month?). Day diffs are exact integers (date_diff on
+    date-truncated timestamps); only the mean rounds.
+
+    One orderkey join (the usual fact-fact shuffle; bucketed layout
+    from join_bucketed_colocated removes it where this runs daily) into
+    a tiny (month, priority) hash agg."""
+    lag_days = F.datediff(
+        F.to_date("l_shipdate"), F.to_date("o_orderdate")
+    ).cast("long")
+    return (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.avg(lag_days), 4).alias("avg_lag_days"),
+            F.max(lag_days).cast("long").alias("max_lag_days"),
+        )
+    )

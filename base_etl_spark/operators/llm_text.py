@@ -1142,3 +1142,48 @@ def text_bigram_nll(t: Tables) -> DataFrame:
             F.round(F.avg(nll), 6).alias("avg_nll"),
         )
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         w -> w IN {_STOP_SQL})) * 1.0
+                         / len(string_split(text, ' ')) >= 0.05
+                    THEN 'en' ELSE 'other' END AS pred_lang
+        FROM documents
+    )
+    SELECT lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY lang, pred_lang
+    """,
+)
+def text_langid_confusion(t: Tables) -> DataFrame:
+    """Confusion matrix of the language detector against the labeled
+    lang column — the evaluation artifact that turns a classifier from
+    'deployed' into 'measured' (per-cell counts feed precision/recall
+    directly; a drifting off-diagonal is the retrain alarm). Reuses
+    text_langid's exact prediction expression, so the matrix can never
+    disagree with the per-document predictions.
+
+    Fixture caveat (same as text_langid_ngram): the synthetic corpus
+    text is language-agnostic, so off-diagonal mass here reflects the
+    fixture, not detector quality — the OPERATOR contract (shared
+    prediction lineage + exact cell counts) is what's checked. Pure
+    projection + one tiny hash agg over the label×pred domain."""
+    toks = F.split("text", " ")
+    ratio = (
+        F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+        * F.lit(1.0)
+        / F.size(toks)
+    )
+    return (
+        t.documents.select(
+            "lang",
+            F.when(ratio >= 0.05, "en").otherwise("other").alias("pred_lang"),
+        )
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
