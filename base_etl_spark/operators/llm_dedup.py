@@ -584,3 +584,52 @@ def dedup_minhash_estimate(t: Tables) -> DataFrame:
             "jaccard_exact",
         )
     )
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS canonical_id FROM reach GROUP BY node),
+    sizes AS (SELECT canonical_id, count(*) AS cluster_size
+              FROM comp GROUP BY canonical_id)
+    SELECT CAST(cluster_size AS BIGINT)  AS cluster_size,
+           CAST(count(*) AS BIGINT)      AS n_clusters,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS docs_dropped
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(t: Tables) -> DataFrame:
+    """Cluster-size histogram over the near-dup components — the dedup
+    REPORT row a corpus build publishes: how many pair-clusters vs
+    long-chain clusters exist, and how many documents the keep-one-per-
+    cluster policy drops at each size (a sudden fat tail of giant
+    clusters means a template flood, not organic duplication). Reuses
+    dedup_clusters' converged component labels verbatim, so the report
+    and the keep/drop list always agree.
+
+    Cost on top of the propagation: one groupBy on canonical_id (tiny —
+    clustered docs only) plus a histogram agg over the size domain."""
+    comp = dedup_clusters.tables_fn(t)
+    sizes = comp.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("docs_dropped"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "docs_dropped",
+    )
