@@ -76,9 +76,9 @@ def _ensure_loaded() -> None:
 # Keys rotated OUT (the r1–r3 driver-green set) keep their local-gate
 # coverage; after this round the driver-verified union is ≥148.
 #
-# ROUND-5 ROTATION PLAN (execute at the start of round 5): 117 keys
-# remain never-driver-checked after this window lands (the round-4
-# additions included). Replace the list below with the next 50, in this
+# ROUND-5 ROTATION PLAN (execute at the start of round 5): 121 keys
+# remain never-driver-checked after this window lands (every round-4
+# addition included; recount at round-5 start). Replace the list below with the next 50, in this
 # priority order:
 #   1. the new TPC-H completions + round-4 D keys a user is likeliest to
 #      lean on: join_q11_important_parts, agg_q13_cust_distribution,
@@ -90,8 +90,9 @@ def _ensure_loaded() -> None:
 #   2. the analytics.py suite (events_*/orders_*/win_* keys, ~35 —
 #      oldest local-gate-only evidence in the repo);
 #   3. the text quality stack (text_unigram_nll, text_bigram_nll,
-#      text_repetition, text_zipf_fit, text_boilerplate_spans, ...).
-# Round 6 takes the remaining ~17 (scalar-func variants, set-ops, UDF
+#      text_repetition, text_zipf_fit, text_boilerplate_spans,
+#      text_langid_confusion, ...).
+# Round 6 takes the remaining ~21 (scalar-func variants, set-ops, UDF
 # surface, sketches) — at which point every key has a driver row.
 DRIVER_PRIORITY: list[str] = [
     # -- TPC-H composites (tpch_extra.py)
