@@ -67,90 +67,102 @@ def _ensure_loaded() -> None:
 # externally-visible order is pinned here instead. Keys listed below come
 # first (in list order); anything unlisted follows in registration order.
 #
-# Round-4 window (exactly 50): executes the rotation plan as written in
-# round 3 — all 50 keys below have NEVER had a driver CORRECTNESS row
-# (they carry only local strict-gate evidence: sf0.001 pytest hash checks
-# + the sf0.01/sf0.1 tools/check.py sweeps). Priority order follows the
-# r3 VERDICT: TPC-H composites first, then the scale-I/O layout keys,
-# the retrieval stack, join variants, and the ETL governance suite.
-# Keys rotated OUT (the r1–r3 driver-green set) keep their local-gate
-# coverage; after this round the driver-verified union is ≥148.
+# Round-5 window (exactly 50): executes the rotation plan written in
+# round 4 — all 50 keys below have NEVER had a driver CORRECTNESS row
+# (cumulative driver union after r4: 148/269; each key below carries only
+# local strict-gate evidence: sf0.001 pytest hash checks + the
+# sf0.01/sf0.1 tools/check.py sweeps). Priority order follows the r4
+# VERDICT: the round-4 additions a user is likeliest to lean on first
+# (TPC-H completions, media codecs, Python datasource, JSON/variant,
+# geo/fuzzy joins, ETL governance, the corpus capstone), then the
+# analytics.py suite — the oldest local-gate-only evidence in the repo.
+# The two analytics R keys (sketch_hll_rollup/overlap) are deferred to
+# round 6 so every slot this round buys a full hash-verified row where
+# one exists. Keys rotated OUT keep their local-gate coverage; after
+# this round the driver-verified union is >=198/269.
 #
-# ROUND-5 ROTATION PLAN (execute at the start of round 5): 121 keys
-# remain never-driver-checked after this window lands (every round-4
-# addition included; recount at round-5 start). Replace the list below with the next 50, in this
-# priority order:
-#   1. the new TPC-H completions + round-4 D keys a user is likeliest to
-#      lean on: join_q11_important_parts, agg_q13_cust_distribution,
-#      mm_audio_decode, mm_image_decode, mm_image_resize,
-#      mm_audio_frame_energy, mm_frame_stats, scan_python_datasource,
-#      scan_text_lines, json_variant_get, json_flatten_nested,
-#      join_geo_radius, join_fuzzy_blocked, etl_time_travel,
-#      etl_quarantine_rules, etl_na_policies, corpus_pipeline_report;
-#   2. the analytics.py suite (events_*/orders_*/win_* keys, ~35 —
-#      oldest local-gate-only evidence in the repo);
-#   3. the text quality stack (text_unigram_nll, text_bigram_nll,
-#      text_repetition, text_zipf_fit, text_boilerplate_spans,
-#      text_langid_confusion, ...).
-# Round 6 takes the remaining ~21 (scalar-func variants, set-ops, UDF
-# surface, sketches) — at which point every key has a driver row.
+# ROUND-6 ROTATION PLAN (execute at the start of round 6): ~71 keys
+# remain never-driver-checked after this window lands (recount at
+# round-6 start). Replace the list below with the next 50:
+#   1. remaining analytics.py keys (orders_size_histogram,
+#      win_rank_delta, events_autocorr, orders_cohort_ltv,
+#      events_stickiness, text_zipf_fit, events_ab_cuped,
+#      events_attribution, orders_repeat_rate, events_session_stats,
+#      orders_fulfillment_lag) + sketch_hll_rollup, sketch_hll_overlap;
+#   2. the text quality stack (llm_text.py: text_unigram_nll,
+#      text_bigram_nll, text_repetition, text_pii_scrub, text_ngram_topk,
+#      text_compress_ratio, text_js_divergence, text_entropy_char,
+#      text_keywords_topk, text_readability, text_vocab_overlap,
+#      text_boilerplate_spans, text_code_detect, text_langid_confusion);
+#   3. the aggregates.py tail (agg_mode, agg_filter_clause,
+#      agg_regression, agg_mean_family, agg_top_percentile_share,
+#      agg_hhi, agg_chi_square, agg_trimmed_mean, agg_boxplot_stats,
+#      agg_pivot_native, agg_freq_items, agg_crosstab);
+#   4. scalar_funcs variants (array_hof, str_try_parse, date_timezone,
+#      json_struct_roundtrip, str_mask_pii, date_business_days,
+#      array_explode_outer) + win_ntile, win_rolling_median, udf_arrow,
+#      udtf_python.
+# Round 7 takes the remaining ~21 (corpus tail, llm_vectors tail,
+# dedup estimators, set-op ALL variants, streaming top-k, udaf_arrow,
+# graph_pagerank, events_histogram, etl_file_stats) — at which point
+# every key has a driver row.
 DRIVER_PRIORITY: list[str] = [
-    # -- TPC-H composites (tpch_extra.py)
-    "join_q2_min_supplier",
-    "join_q4_priority_exists",
-    "agg_q6_forecast",
-    "join_q7_volume",
-    "join_q8_market_share",
-    "join_q9_profit",
-    "join_q10_returns",
-    "agg_q12_priority_class",
-    "agg_q14_promo_ratio",
-    "join_q15_top_supplier",
-    "agg_q16_part_variety",
-    "join_q17_small_qty",
-    "join_q18_large_orders",
-    "filter_q19_disjunctive",
-    "join_q20_excess_share",
-    "join_q21_waiting",
-    "join_q22_idle_customers",
-    # -- scale I/O + lake layout (sinks.py)
-    "scan_partitioned_pruned",
-    "join_bucketed_colocated",
-    "join_dpp_runtime",
-    "etl_compaction",
-    "scan_schema_evolution",
-    "etl_cluster_by_date",
-    "scan_csv_permissive",
-    "scan_nested_struct",
-    "scan_orc_agg",
-    "scan_binary_files",
-    # -- retrieval stack
-    "text_bm25",
-    "sim_hybrid_rrf",
-    "sim_topk_ip",
-    "sim_knn_classify",
-    # -- join variants
-    "join_skew_salted",
-    "join_asof_tolerance",
-    "join_asof_forward",
-    "join_null_safe",
-    "join_lateral_topn",
-    "join_shuffle_hash_hint",
-    "join_disjunctive_keys",
-    "join_interval_overlap",
-    "join_point_in_time",
-    # -- ETL governance / warehouse maintenance (etl.py)
-    "etl_forget_users",
-    "etl_surrogate_keys",
-    "etl_k_anonymity",
-    "etl_cdc_apply",
-    "etl_impute_median",
-    "etl_freshness_sla",
-    "etl_id_gap_audit",
-    "etl_upsert_merge",
-    "etl_snapshot_diff",
-    # -- dedup lineage
-    "dedup_containment",
+    # -- round-4 additions, highest user-leverage first
+    "join_q11_important_parts",
+    "agg_q13_cust_distribution",
+    "mm_audio_decode",
+    "mm_image_decode",
+    "mm_image_resize",
+    "mm_audio_frame_energy",
+    "mm_frame_stats",
+    "mm_video_frames",
+    "scan_python_datasource",
+    "scan_text_lines",
+    "json_variant_get",
+    "json_flatten_nested",
+    "join_geo_radius",
+    "join_fuzzy_blocked",
+    "etl_time_travel",
+    "etl_quarantine_rules",
+    "etl_na_policies",
+    "corpus_pipeline_report",
+    # -- analytics suite (registration order, D keys only)
+    "agg_stats_moments",
+    "agg_bool_bit",
+    "events_gapfill",
+    "events_transition_matrix",
+    "events_rfm",
+    "events_anomaly",
+    "events_conversion_lag",
+    "win_streaks",
+    "agg_weighted",
+    "win_mad_outliers",
+    "events_share_of_day",
+    "orders_market_basket",
+    "events_session_paths",
+    "win_time_range_moving",
+    "events_cumulative_users",
+    "events_heatmap_dow_hour",
+    "win_yoy_growth",
+    "win_pareto_abc",
+    "events_bot_detection",
+    "events_time_decay_score",
+    "events_max_gap",
+    "events_type_overlap",
+    "win_zscore_rolling",
+    "agg_gini",
+    "win_ema_fold",
+    "orders_running_backlog",
+    "events_churn_rate",
+    "events_active_users_rolling",
+    "events_ab_test",
+    "events_pattern_match",
+    "events_peak_detection",
+    "orders_seasonality_strength",
+    # hedge: if mm_video_frames is present the window is the 50 keys
+    # above; if not, this never-driver-seen key fills slot 50 instead of
+    # letting an already-checked key slide in from registration order.
+    "supplier_scorecard",
 ]
 
 
