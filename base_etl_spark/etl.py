@@ -1145,7 +1145,12 @@ def etl_time_travel(t: Tables) -> DataFrame:
     base. The LWW merge is the etl_cdc_apply window on (key, version)."""
     from pyspark.sql import Window as W
 
-    from base_etl_spark.sinks import _derived_path, _ensure_derived, write_parquet
+    from base_etl_spark.sinks import (
+        _derived_path,
+        _ensure_derived,
+        _source_fingerprint,
+        write_parquet,
+    )
 
     path = _derived_path(t.sf_dir, "customer_versions")
     base = t.customer.select(
@@ -1162,8 +1167,8 @@ def etl_time_travel(t: Tables) -> DataFrame:
     )
     _ensure_derived(
         path,
-        t.customer.count(),
-        lambda: write_parquet(base.unionByName(delta), path, partition_by=["version"]),
+        _source_fingerprint(t.sf_dir, "customer"),
+        lambda p: write_parquet(base.unionByName(delta), p, partition_by=["version"]),
     )
 
     def read_asof(v: int):

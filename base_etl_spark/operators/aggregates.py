@@ -728,20 +728,26 @@ def agg_pivot_native(t: Tables) -> DataFrame:
     it makes Spark run a hidden distinct-collect job over the pivot
     column (a full extra pass, unbounded width) before it can even plan;
     with the list the plan is ONE partial/final hash agg, identical to
-    the case-when form. coalesce(0) because a (priority, status) cell
-    can legitimately be empty.
+    the case-when form.
+
+    The empty-cell coalesce(0) must be applied AFTER the pivot, in the
+    final select: Spark's PivotFirst path emits NULL for any (group,
+    value) cell with zero rows REGARDLESS of a coalesce inside the pivot
+    aggregate (verified empirically), while the oracle's CASE-WHEN sum
+    yields 0 — an inner coalesce alone would hash-mismatch on any
+    dataset with an empty cell.
 
     At 100 TB: same contract as agg_pivot_casewhen — pivot column must
     be low-cardinality (each value becomes a column); high-cardinality
     rotation is a different operator (maps / explode back)."""
     p = t.orders.groupBy("o_orderpriority").pivot(
         "o_orderstatus", ["F", "O", "P"]
-    ).agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
+    ).agg(F.round(F.sum("o_totalprice"), 2))
     return p.select(
         "o_orderpriority",
-        F.col("F").alias("f_total"),
-        F.col("O").alias("o_total"),
-        F.col("P").alias("p_total"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("f_total"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("o_total"),
+        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("p_total"),
     )
 
 

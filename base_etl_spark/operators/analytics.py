@@ -655,10 +655,12 @@ def events_session_paths(t: Tables) -> DataFrame:
     strings are bounded by session length; a runaway session would need
     the same cap a streaming session window puts on duration."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # exact-microsecond gap to match the oracle's INTERVAL comparison —
+    # floor-second casts would disagree on gaps within ~1 s of the edge
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     s = t.events.withColumn(
         "new_s",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
     ).withColumn("sess", F.sum("new_s").over(w))
     paths = (
         s.groupBy("user_id", "sess")
@@ -1519,9 +1521,10 @@ def events_pattern_match(t: Tables) -> DataFrame:
     the regex running in codegen. Patterns needing quantified time
     constraints escalate to events_funnel's explicit min-ts joins."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # exact-microsecond gap to match the oracle's INTERVAL comparison
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     s = t.events.withColumn(
-        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "new_s", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     ).withColumn("sess", F.sum("new_s").over(w))
     paths = (
         s.groupBy("user_id", "sess")
@@ -2280,7 +2283,13 @@ def events_session_stats(t: Tables) -> DataFrame:
     feeds both windows (the island-id window partitions by a prefix of
     the lag window's key — no second exchange), the per-session agg
     co-partitions, and the final summary is a 1-row reduce. Durations
-    in exact integer seconds; only the means round."""
+    in exact integer seconds; only the means round.
+
+    The 30-min gap compares EXACT microseconds (unix_micros diff >
+    1_800_000_000) to match the oracle's `ts - lag(ts) > INTERVAL 30
+    MINUTES` — a floor-second cast diff would split sessions differently
+    from the oracle whenever a gap lands within ~1 s of the boundary,
+    since every fixture timestamp carries sub-second precision."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = t.events.select(
         "user_id",
@@ -2288,7 +2297,10 @@ def events_session_stats(t: Tables) -> DataFrame:
         "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
             1,
         )
         .otherwise(0)

@@ -1009,9 +1009,16 @@ def text_boilerplate_spans(t: Tables) -> DataFrame:
     the span is replaced by xxhash64(span) so the shuffle moves 8-byte
     keys (swap documented; kept as text here for the cross-engine
     oracle). The HAVING prunes the giant unique-span tail before
-    anything returns."""
+    anything returns.
+
+    Docs shorter than 30 chars produce no spans: DuckDB's
+    generate_series(1, len-29, 10) returns empty for them, but Spark's
+    sequence() throws 'Illegal sequence boundaries' when the upper bound
+    drops below the start — so they must be filtered out BEFORE the
+    explode, not handled by it."""
     spans = (
-        t.documents.select(
+        t.documents.filter(F.length("text") >= 30)
+        .select(
             "doc_id",
             "text",
             F.explode(

@@ -226,3 +226,88 @@ def test_bucket_pairs_empty_and_singleton_buckets(spark):
     assert bucket_pairs(single, "id", "a", "b").count() == 0
     empty = spark.createDataFrame([], "id long, band int, bh long")
     assert bucket_pairs(empty, "id", "a", "b").count() == 0
+
+
+# ---- ADVICE r4 regressions: boundary semantics that fixtures never hit.
+
+
+def test_boilerplate_spans_short_docs(spark):
+    """Docs shorter than 30 chars must yield no spans, not crash: Spark's
+    sequence(1, len-29, 10) throws 'Illegal sequence boundaries' when the
+    upper bound drops below the start unless they are filtered first."""
+    from base_etl_spark import queries
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny"),
+            (2, "x" * 29),
+            (3, "All rights reserved. " * 5),
+            (4, "All rights reserved. " * 5),
+        ],
+        "doc_id long, text string",
+    )
+
+    class _T:
+        documents = docs
+
+    rows = queries()["text_boilerplate_spans"].tables_fn(_T()).collect()
+    assert rows, "shared 100-char boilerplate must surface"
+    assert all(r.n_docs == 2 for r in rows)  # only docs 3+4 share spans
+
+
+def test_session_gap_exact_microsecond_boundary(spark):
+    """The 30-min session gap compares exact microseconds (oracle:
+    ts - lag(ts) > INTERVAL 30 MINUTES). A gap of 1800.000001 s starts a
+    new session; 1800.0 s exactly and 1799.5 s do not. The old
+    floor-second cast called 1800.000001 a 1800 s gap (same session)."""
+    import datetime as dt
+
+    from base_etl_spark import queries
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, 10, "click", t0, 1.0),
+        (2, 10, "click", t0 + 1799.5 * s, 1.0),  # same session
+        (3, 10, "click", t0 + 3599.5 * s, 1.0),  # gap exactly 1800 s: same
+        (4, 10, "click", t0 + 5399.500001 * s, 1.0),  # > 1800 s: NEW session
+    ]
+    ev = spark.createDataFrame(rows, _EV_SCHEMA)
+
+    class _T:
+        events = ev
+
+    (out,) = queries()["events_session_stats"].tables_fn(_T()).collect()
+    assert out.n_sessions == 2
+    assert out.max_events == 3
+    assert out.n_bounce == 1
+
+
+def test_pivot_native_empty_cell_is_zero(spark):
+    """A (priority, status) cell with zero rows must surface as 0.0 like
+    the oracle's CASE-WHEN sum, not the NULL that Spark's PivotFirst
+    emits regardless of any coalesce inside the pivot aggregate."""
+    from base_etl_spark import queries
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1-URGENT", "F", 10.0),
+            (2, "1-URGENT", "O", 20.5),
+            # no 'P' row for 1-URGENT; no rows at all for 5-LOW except P
+            (3, "5-LOW", "P", 7.25),
+        ],
+        "o_orderkey long, o_orderpriority string, o_orderstatus string,"
+        " o_totalprice double",
+    )
+
+    class _T:
+        pass
+
+    _T.orders = orders
+    got = {
+        r.o_orderpriority: r
+        for r in queries()["agg_pivot_native"].tables_fn(_T()).collect()
+    }
+    assert got["1-URGENT"].p_total == 0.0
+    assert got["5-LOW"].f_total == 0.0 and got["5-LOW"].o_total == 0.0
+    assert got["1-URGENT"].f_total == 10.0 and got["5-LOW"].p_total == 7.25

@@ -201,3 +201,41 @@ def test_python_datasource_partition_plumbing(spark):
     # ids cover the exact range with no dupes or gaps
     assert small.agg({"id": "min"}).first()[0] == 0
     assert small.select("id").distinct().count() == 100
+
+
+def test_ensure_derived_rebuilds_on_source_change(tmp_path):
+    """The reuse marker is keyed on the source files' size+mtime
+    fingerprint, so a regenerated fixture that preserves row count still
+    triggers a rebuild — and the data lands via tmp-dir + atomic rename."""
+    import os
+
+    from base_etl_spark.sinks import _ensure_derived, _source_fingerprint
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    (src / "customer.parquet").write_bytes(b"v1-bytes")
+    target = str(tmp_path / "derived" / "layout")
+
+    builds = []
+
+    def build(p):
+        os.makedirs(p)
+        with open(os.path.join(p, "part-0"), "w") as f:
+            f.write(f"build{len(builds)}")
+        builds.append(p)
+
+    key1 = _source_fingerprint(str(src), "customer")
+    _ensure_derived(target, key1, build)
+    _ensure_derived(target, key1, build)  # cached: no second build
+    assert len(builds) == 1
+    assert os.path.isdir(target)  # tmp dir was renamed over the target
+    assert not os.path.exists(target + ".lock")
+
+    # same byte length, same row count story — only mtime moves
+    os.utime(src / "customer.parquet", ns=(1, 1))
+    key2 = _source_fingerprint(str(src), "customer")
+    assert key2 != key1
+    _ensure_derived(target, key2, build)
+    assert len(builds) == 2
+    with open(os.path.join(target, "part-0")) as f:
+        assert f.read() == "build1"
