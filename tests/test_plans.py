@@ -217,6 +217,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "mm_audio_frame_energy": "MapInPandas",  # REAL WAV decode + framing
         "mm_image_decode": "MapInPandas",  # REAL BMP decode — the boundary is the point
         "mm_image_resize": "MapInPandas",  # REAL BMP resize — two codec trips
+        "mm_video_frames": "MapInPandas",  # REAL AVI demux — the boundary is the point
         "udtf_python": "BatchEvalPython",  # Python-UDTF boundary (BatchEvalPythonUDTF node)
     }
     markers = (

@@ -438,3 +438,87 @@ def test_two_phase_rank_equals_global_row_number(spark, names):
         for i, (k, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
     }
     assert got == want
+
+
+# ---- codec round-trip laws (VERDICT r4 task 4): the fixture-derived mm_*
+# keys exercise one deterministic pixel/sample family; these pin the
+# codecs themselves against refactors over ARBITRARY payloads.
+
+_pcm16 = st.integers(min_value=-32768, max_value=32767)
+
+
+@given(samples=st.lists(_pcm16, min_size=1, max_size=400),
+       rate=st.sampled_from([8_000, 16_000, 44_100]))
+@settings(deadline=None, max_examples=30)
+def test_wav_pcm16_roundtrip_identity(samples, rate):
+    """encode_wav_pcm16 → decode_wav_pcm16 is the identity on int16
+    sample arrays (and preserves the declared sample rate): ×32768 of the
+    decoded float waveform recovers every sample exactly."""
+    import numpy as np
+
+    from base_etl_spark.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+    arr = np.asarray(samples, dtype=np.int16)
+    got_rate, wave = decode_wav_pcm16(encode_wav_pcm16(arr, rate))
+    assert got_rate == rate
+    rec = np.rint(wave * 32768.0).astype(np.int64)
+    assert np.array_equal(rec, arr.astype(np.int64))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),  # covers all w*3 % 4 stride pads
+    h=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(deadline=None, max_examples=30)
+def test_bmp24_roundtrip_identity(w, h, seed):
+    """encode_bmp24 → decode_bmp24 is the identity on arbitrary (h, w, 3)
+    uint8 arrays across every 4-byte stride-padding width class."""
+    import numpy as np
+
+    from base_etl_spark.multimodal import decode_bmp24, encode_bmp24
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp24(encode_bmp24(px)), px)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=7),
+    h=st.integers(min_value=1, max_value=5),
+    nf=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(deadline=None, max_examples=30)
+def test_avi_rgb24_roundtrip_identity(w, h, nf, seed):
+    """encode_avi_rgb24 → decode_avi_rgb24 is the identity on arbitrary
+    frame lists: every frame, in order, across stride-padding widths and
+    frame counts — and the demuxer must skip the JUNK/idx1 chunks the
+    muxer emits."""
+    import numpy as np
+
+    from base_etl_spark.multimodal import decode_avi_rgb24, encode_avi_rgb24
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(nf)]
+    dec = decode_avi_rgb24(encode_avi_rgb24(frames))
+    assert len(dec) == nf
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
+
+
+def test_avi_decoder_rejects_malformed():
+    """The demuxer fails loudly on the corruptions a lazy walker would
+    silently accept: wrong magic, frame-count mismatch, truncated frame."""
+    import numpy as np
+    import pytest as _pytest
+
+    from base_etl_spark.multimodal import decode_avi_rgb24, encode_avi_rgb24
+
+    frames = [np.zeros((2, 3, 3), dtype=np.uint8) for _ in range(2)]
+    good = encode_avi_rgb24(frames)
+    with _pytest.raises(ValueError):
+        decode_avi_rgb24(b"RIFF" + good[4:8] + b"WAVE" + good[12:])
+    # header claims 2 frames; drop the movi list's second chunk by
+    # truncating the file right after the first frame chunk
+    with _pytest.raises(ValueError):
+        decode_avi_rgb24(good[: len(good) // 2])
