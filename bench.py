@@ -43,7 +43,12 @@ HEADLINE = {
 def main() -> None:
     from base_etl_spark import build_session, queries
 
-    spark = build_session("bench")
+    spark = build_session(
+        "bench",
+        # keep stderr to the per-query lines: the stage progress bar
+        # interleaves with them and reads like stalls in recorded logs
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     # ERROR-only logs: the RRF/zipf rank legs run `WindowExec: No
     # Partition Defined` WARNs that are benign here (every such window
     # sits on a top-100/top-1000 bounded frame — inputs are capped by
