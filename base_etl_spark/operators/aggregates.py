@@ -742,7 +742,7 @@ def agg_pivot_native(t: Tables) -> DataFrame:
     rotation is a different operator (maps / explode back)."""
     p = t.orders.groupBy("o_orderpriority").pivot(
         "o_orderstatus", ["F", "O", "P"]
-    ).agg(F.round(F.sum("o_totalprice"), 2))
+    ).agg(F.sum("o_totalprice"))
     return p.select(
         "o_orderpriority",
         F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("f_total"),

@@ -69,7 +69,8 @@ def _ensure_loaded() -> None:
 #
 # Round-5 window (exactly 50): executes the rotation plan written in
 # round 4 — all 50 keys below have NEVER had a driver CORRECTNESS row
-# (cumulative driver union after r4: 148/269; each key below carries only
+# (cumulative driver union after r4: 148 of the 270 now registered —
+#  mm_video_frames joined the registry this round; each key below carries only
 # local strict-gate evidence: sf0.001 pytest hash checks + the
 # sf0.01/sf0.1 tools/check.py sweeps). Priority order follows the r4
 # VERDICT: the round-4 additions a user is likeliest to lean on first
@@ -79,9 +80,9 @@ def _ensure_loaded() -> None:
 # The two analytics R keys (sketch_hll_rollup/overlap) are deferred to
 # round 6 so every slot this round buys a full hash-verified row where
 # one exists. Keys rotated OUT keep their local-gate coverage; after
-# this round the driver-verified union is >=198/269.
+# this round the driver-verified union is >=198/270.
 #
-# ROUND-6 ROTATION PLAN (execute at the start of round 6): ~71 keys
+# ROUND-6 ROTATION PLAN (execute at the start of round 6): ~72 keys
 # remain never-driver-checked after this window lands (recount at
 # round-6 start). Replace the list below with the next 50:
 #   1. remaining analytics.py keys (orders_size_histogram,

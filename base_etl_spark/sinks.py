@@ -242,7 +242,11 @@ def _ensure_derived(path: str, state_key: str, build) -> None:
       row count still triggers a rebuild.
     - **Single builder**: an O_EXCL lock file serializes concurrent
       sessions; losers poll for the winner's marker instead of
-      double-building, with a stale-lock timeout for a builder that died.
+      double-building. Staleness is judged by the LOCK FILE's own mtime
+      age (not the waiter's wait time), and a stale unlink re-enters the
+      O_EXCL race instead of assuming ownership — so two waiters that
+      both see a dead builder's lock cannot both steal it and build
+      concurrently.
     - **Atomic data swap**: ``build(tmp_path)`` writes into a scratch
       directory which is renamed over the target, so a reader never sees
       a half-written layout — at worst a briefly missing directory, which
@@ -264,7 +268,6 @@ def _ensure_derived(path: str, state_key: str, build) -> None:
         return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     lock = path + ".lock"
-    t0 = _time.monotonic()
     while True:
         try:
             os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
@@ -273,16 +276,28 @@ def _ensure_derived(path: str, state_key: str, build) -> None:
             _time.sleep(0.2)
             if _fresh():
                 return
-            if _time.monotonic() - t0 > 300:  # builder died holding the lock
-                try:
+            try:
+                # stale = the LOCK ITSELF is old (builder died); a live
+                # builder's lock is younger than 300 s unless the build
+                # genuinely takes that long, in which case raising the
+                # constant beats corrupting the layout
+                if _time.time() - os.stat(lock).st_mtime > 300:
                     os.unlink(lock)
-                except OSError:
-                    pass
+                    # no ownership claimed: loop back into the O_EXCL
+                    # race so at most one stealer wins
+            except OSError:
+                pass  # lock vanished — re-enter the race
     try:
         if _fresh():  # another session built it while we waited
             return
+        # prune scratch dirs left by DEAD builders of any pid (a killed
+        # build would otherwise leak its multi-MB tmp dir forever); safe
+        # under the lock — no live builder exists besides us
+        import glob as _glob
+
+        for orphan in _glob.glob(path + ".build*"):
+            shutil.rmtree(orphan, ignore_errors=True)
         tmp = f"{path}.build{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
         build(tmp)
         shutil.rmtree(path, ignore_errors=True)
         os.replace(tmp, path)
@@ -295,6 +310,24 @@ def _ensure_derived(path: str, state_key: str, build) -> None:
             os.unlink(lock)
         except OSError:
             pass
+
+
+def _ensure_orders_by_year(t: Tables) -> str:
+    """The shared year-partitioned orders layout (scan_partitioned_pruned
+    reads it with a literal filter; join_dpp_runtime with a dim-driven
+    runtime filter). ONE definition so the two queries can never disagree
+    about the path, fingerprint, or partition column."""
+    path = _derived_path(t.sf_dir, "orders_by_year")
+    _ensure_derived(
+        path,
+        _source_fingerprint(t.sf_dir, "orders"),
+        lambda p: write_parquet(
+            t.orders.withColumn("o_year", F.year("o_orderdate")),
+            p,
+            partition_by=["o_year"],
+        ),
+    )
+    return path
 
 
 @query(
@@ -390,16 +423,7 @@ def scan_partitioned_pruned(t: Tables) -> DataFrame:
     key turns every time-bounded query from a full scan into a touched-
     partition scan. Low-cardinality keys only (a high-cardinality
     partition key is the small-files anti-pattern)."""
-    path = _derived_path(t.sf_dir, "orders_by_year")
-    _ensure_derived(
-        path,
-        _source_fingerprint(t.sf_dir, "orders"),
-        lambda p: write_parquet(
-            t.orders.withColumn("o_year", F.year("o_orderdate")),
-            p,
-            partition_by=["o_year"],
-        ),
-    )
+    path = _ensure_orders_by_year(t)
     pruned = t.spark.read.parquet(path).filter(F.col("o_year") == 1997)
     return pruned.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -487,17 +511,8 @@ def join_dpp_runtime(t: Tables) -> DataFrame:
     covers the star-join case where the selective predicate lives on the
     dimension — at 100 TB the difference between scanning 25 years and 2.
     """
-    fact_path = _derived_path(t.sf_dir, "orders_by_year")
+    fact_path = _ensure_orders_by_year(t)
     src_key = _source_fingerprint(t.sf_dir, "orders")
-    _ensure_derived(
-        fact_path,
-        src_key,
-        lambda p: write_parquet(
-            t.orders.withColumn("o_year", F.year("o_orderdate")),
-            p,
-            partition_by=["o_year"],
-        ),
-    )
     dim_path = _derived_path(t.sf_dir, "year_dim")
     years = (
         t.orders.select(F.year("o_orderdate").alias("year"))

@@ -239,3 +239,30 @@ def test_ensure_derived_rebuilds_on_source_change(tmp_path):
     assert len(builds) == 2
     with open(os.path.join(target, "part-0")) as f:
         assert f.read() == "build1"
+
+
+def test_ensure_derived_stale_lock_and_orphan_cleanup(tmp_path):
+    """A dead builder's stale lock (old mtime) is stolen through the
+    O_EXCL race, and scratch dirs leaked by killed builds of OTHER pids
+    are pruned under the lock."""
+    import os
+
+    from base_etl_spark.sinks import _ensure_derived
+
+    target = str(tmp_path / "layout")
+    os.makedirs(tmp_path, exist_ok=True)
+    # dead builder artifacts: stale lock + an orphan scratch dir
+    lock = target + ".lock"
+    open(lock, "w").close()
+    os.utime(lock, ns=(0, 0))  # epoch mtime => stale by any timeout
+    orphan = target + ".build99999"
+    os.makedirs(orphan)
+
+    def build(p):
+        os.makedirs(p)
+        open(os.path.join(p, "part-0"), "w").close()
+
+    _ensure_derived(target, "k1", build)
+    assert os.path.isdir(target)
+    assert not os.path.exists(orphan), "dead builder's scratch dir pruned"
+    assert not os.path.exists(lock)
