@@ -598,26 +598,30 @@ _RESIZE_SCHEMA = StructType(
     "mm_frame_stats",
     oracle="""
     WITH d AS (
-        SELECT doc_id AS asset_id, text,
+        SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
                greatest(octet_length(encode(text)) // 4, 1) AS flen
         FROM documents
     )
     SELECT asset_id, frame_no,
-           octet_length(encode(substr(text, frame_no * flen + 1, flen)))
+           len(substr(hx, frame_no * flen * 2 + 1, flen * 2)) // 2
                AS n_bytes,
-           sha256(substr(text, frame_no * flen + 1, flen)) AS frame_sha
+           substr(hx, frame_no * flen * 2 + 1, flen * 2) AS frame_hex
     FROM d, (SELECT unnest([0, 1, 2, 3]) AS frame_no)
-    WHERE octet_length(encode(substr(text, frame_no * flen + 1, flen))) > 0
+    WHERE len(substr(hx, frame_no * flen * 2 + 1, flen * 2)) > 0
     """,
 )
 def mm_frame_stats(t: Tables) -> DataFrame:
     """Frame-sampling plumbing, driver-checked end to end: the derived
     binary payload goes through the REAL mapInPandas frame sampler (Arrow
-    batches in, one row per frame out), and the per-frame byte lengths +
-    digests are hash-verified against DuckDB slicing the same bytes with
-    substr arithmetic (fixture text is ASCII, so char slices == byte
-    slices). This certifies the batch shape, the 1->N row explosion, and
-    the slice arithmetic — everything a real ffmpeg build would reuse
+    batches in, one row per frame out), and each frame's bytes are
+    verified VERBATIM (hex-encoded) against DuckDB slicing the same
+    payload in the hex domain — 2 hex chars per byte, so the arithmetic
+    is byte-exact for ANY text including multibyte UTF-8. (The r1-r4
+    oracle sliced by CHARACTERS via substr(text, ...), correct only for
+    ASCII — the fuzz harness's unicode doc exposed the divergence, since
+    a byte slice can split a UTF-8 sequence a char slice never would.)
+    This certifies the batch shape, the 1->N row explosion, and the
+    slice arithmetic — everything a real ffmpeg build would reuse
     unchanged.
 
     This key is deliberately ON the Python boundary (mapInPandas): codec
@@ -634,7 +638,7 @@ def mm_frame_stats(t: Tables) -> DataFrame:
         "asset_id",
         "frame_no",
         F.octet_length("frame").cast("bigint").alias("n_bytes"),
-        F.sha2("frame", 256).alias("frame_sha"),
+        F.hex("frame").alias("frame_hex"),
     )
 
 

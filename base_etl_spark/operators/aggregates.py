@@ -277,9 +277,15 @@ def agg_approx_quantile(t: Tables) -> DataFrame:
     oracle="""
     SELECT user_id,
            max(ts)                  AS last_ts,
-           arg_max(event_type, ts)  AS last_event_type,
-           round(arg_max(value, ts), 2) AS last_value,
-           arg_min(event_type, ts)  AS first_event_type,
+           arg_max(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                               || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+               AS last_event_type,
+           round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                             || lpad(CAST(event_id AS VARCHAR), 20, '0')), 2)
+               AS last_value,
+           arg_min(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                               || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+               AS first_event_type,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events
     GROUP BY user_id
@@ -292,14 +298,19 @@ def agg_argmax(t: Tables) -> DataFrame:
 
     At 100 TB this is the cheapest shape for 'latest per key': a single
     partial+final agg on user_id, no row_number sort, no self-join.
-    Determinism: (user_id, ts) is unique in the fixture (verified at
-    sf0.01/sf0.1), so the arg extremes are well-defined; with duplicate
-    keys you'd switch the order key to a unique tuple encoding."""
+    Determinism (fuzz harness, r5): the order key is the UNIQUE tuple
+    (ts, event_id) — Spark orders the struct lexicographically, the
+    oracle encodes the same tuple as a zero-padded string (DuckDB's
+    arg_max takes no composite key) — so duplicate timestamps within a
+    user, which real event streams produce constantly, resolve
+    identically on both engines instead of by engine-internal scan
+    order."""
+    tie_key = F.struct("ts", "event_id")
     return t.events.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
-        F.max_by("event_type", "ts").alias("last_event_type"),
-        F.round(F.max_by("value", "ts"), 2).alias("last_value"),
-        F.min_by("event_type", "ts").alias("first_event_type"),
+        F.max_by("event_type", tie_key).alias("last_event_type"),
+        F.round(F.max_by("value", tie_key), 2).alias("last_value"),
+        F.min_by("event_type", tie_key).alias("first_event_type"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

@@ -277,7 +277,7 @@ _NGRAM_TOP = 30  # profile size: top char-trigrams kept per language
             SELECT lang, tg,
                    row_number() OVER (PARTITION BY lang
                                       ORDER BY count(*) DESC, tg) AS rn
-            FROM tri GROUP BY lang, tg
+            FROM tri WHERE lang IS NOT NULL GROUP BY lang, tg
         ) WHERE rn <= {_NGRAM_TOP}
     ),
     doc_n AS (SELECT doc_id, count(*) AS n_tri FROM tri GROUP BY doc_id),
@@ -334,8 +334,13 @@ def text_langid_ngram(t: Tables) -> DataFrame:
         )
     )
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tg"))
+    # unlabeled (NULL-lang) docs must not train a profile: they'd form a
+    # NULL-named candidate whose rank position then depends on engine
+    # null ordering (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST) —
+    # found by the fuzz harness; they still get SCORED like any doc
     prof = (
-        tri.groupBy("lang", "tg").agg(F.count(F.lit(1)).alias("cnt"))
+        tri.filter(F.col("lang").isNotNull())
+        .groupBy("lang", "tg").agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _NGRAM_TOP)
         .select(F.col("lang").alias("cand"), "tg")

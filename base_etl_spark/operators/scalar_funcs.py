@@ -283,14 +283,21 @@ def array_agg(t: Tables) -> DataFrame:
     "map_funcs",
     oracle="""
     SELECT event_id,
-           array_to_string(json_keys(props), ',')   AS prop_keys,
+           CASE WHEN props IS NULL THEN NULL
+                ELSE coalesce(array_to_string(json_keys(props), ','), '')
+           END                                      AS prop_keys,
            cast(json_extract(props, '$.k') AS int)  AS k_val
     FROM events
     """,
 )
 def map_funcs(t: Tables) -> DataFrame:
     """JSON string -> MapType via from_json; map_keys + element access.
-    (The map itself stays internal; outputs are engine-neutral scalars.)"""
+    (The map itself stays internal; outputs are engine-neutral scalars.)
+
+    Empty-object edge (fuzz harness, r5): Spark's array_join over the
+    empty key list yields '' while DuckDB's array_to_string([]) yields
+    NULL — the oracle coalesces the empty list to '' (NULL props stays
+    NULL on both sides)."""
     m = F.from_json("props", MapType(StringType(), IntegerType()))
     return t.events.select(
         "event_id",

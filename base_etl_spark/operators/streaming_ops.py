@@ -76,7 +76,7 @@ def stream_sliding(t: Tables) -> DataFrame:
     WITH e AS (
         SELECT user_id, ts, value, event_id,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-                        (PARTITION BY user_id ORDER BY ts, event_id) >= {_US_30MIN}
+                        (PARTITION BY user_id ORDER BY ts, event_id) > {_US_30MIN}
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
     ),
@@ -94,10 +94,14 @@ def stream_sliding(t: Tables) -> DataFrame:
     """,
 )
 def stream_session(t: Tables) -> DataFrame:
-    """Session windows, 30-min gap, per user. Spark's session extends to
-    last_ts + gap with an EXCLUSIVE end, so an event exactly gap after its
-    predecessor starts a NEW session — hence the >= in the oracle's
-    gaps-and-islands flag (SURVEY §7 step 4 boundary note)."""
+    """Session windows, 30-min gap, per user. Boundary semantics measured
+    empirically (fuzz harness, r5): Spark MERGES an event landing exactly
+    at last_ts + gap — the per-event interval [ts, ts+gap) is unioned
+    with adjacency (new_start <= prev_end merges) — so only a strictly
+    larger gap starts a new session; hence the strict > in the oracle's
+    gaps-and-islands flag. (An earlier reading assumed an exclusive end /
+    >= split; the fixtures carry no exact-gap pair, so the error was
+    invisible until the fuzzer constructed one.)"""
     return (
         t.events.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(

@@ -128,17 +128,29 @@ def udf_pandas(t: Tables) -> DataFrame:
 
 @query(
     "udf_scalar",
-    oracle="SELECT event_id, least(value, 100.0) AS value_clipped FROM events",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE least(value, 100.0) END AS value_clipped
+    FROM events
+    """,
 )
 def udf_scalar(t: Tables) -> DataFrame:
     """Row-at-a-time Python UDF — the discouraged path, present for
     surface completeness. Pickles every row across the Python boundary;
-    anything hot must use built-ins or pandas UDFs instead. The clip
-    semantics are exactly SQL least(), so even this path is hash-checked."""
+    anything hot must use built-ins or pandas UDFs instead.
+
+    NULL contract (fuzz harness, r5): the UDF propagates NULL (None in →
+    None out), which is NOT what bare least() does — least/greatest
+    IGNORE null arguments on both engines (least(NULL, 100.0) = 100.0),
+    so the oracle spells the propagation with CASE WHEN. A clip that
+    turns unknown values into 100.0 would invent data."""
 
     @F.udf(DoubleType())
-    def clip100(v: float) -> float:
-        return float(min(v, 100.0))
+    def clip100(v: float | None) -> float | None:
+        # NULL-safe like the SQL least() it mirrors: a Python UDF sees
+        # None for NULL input and must pass it through, not TypeError
+        return None if v is None else float(min(v, 100.0))
 
     return t.events.select("event_id", clip100(F.col("value")).alias("value_clipped"))
 
@@ -183,8 +195,9 @@ def udf_arrow(t: Tables) -> DataFrame:
     import math
 
     @F.udf(DoubleType(), useArrow=True)
-    def score(v: float) -> float:
-        return round(math.sqrt(v) * 10.0, 6)
+    def score(v: float | None) -> float | None:
+        # NULL-safe like the SQL sqrt() it mirrors (NULL in -> NULL out)
+        return None if v is None else round(math.sqrt(v) * 10.0, 6)
 
     return t.events.select("event_id", score(F.col("value")).alias("value_scored"))
 
