@@ -140,8 +140,10 @@ def date_funcs(t: Tables) -> DataFrame:
            cast(floor(l_quantity) AS bigint)                   AS qty_floor,
            round(sqrt(l_extendedprice), 6)                     AS price_sqrt,
            round(pow(l_quantity, 2.0), 6)                      AS qty_sq,
-           round(ln(l_extendedprice), 6)                       AS price_ln,
-           round(log10(l_extendedprice), 6)                    AS price_log10,
+           CASE WHEN l_extendedprice > 0
+                THEN round(ln(l_extendedprice), 6) END         AS price_ln,
+           CASE WHEN l_extendedprice > 0
+                THEN round(log10(l_extendedprice), 6) END      AS price_log10,
            round(exp(l_discount), 6)                           AS disc_exp,
            cast(sign(l_discount - 0.05) AS int)                AS disc_sign,
            l_linenumber % 3                                    AS line_mod
@@ -151,7 +153,13 @@ def date_funcs(t: Tables) -> DataFrame:
 def math_funcs(t: Tables) -> DataFrame:
     """round/abs/ceil/floor/sqrt/pow/ln/log10/exp/sign/mod.
     Transcendentals (sqrt is exact IEEE; ln/log10/exp are libm) are
-    rounded to 6dp to absorb last-ulp libm differences."""
+    rounded to 6dp to absorb last-ulp libm differences.
+
+    Log domain (fuzz harness, r5): Spark's ln/log10 return NULL outside
+    the domain while DuckDB RAISES ('cannot take logarithm of zero') —
+    a free-price row would crash the oracle-shaped query on one engine
+    and not the other, so both sides guard x > 0 explicitly and emit
+    NULL for the rest."""
     q, price, disc = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
     return t.lineitem.select(
         "l_orderkey",
@@ -162,8 +170,8 @@ def math_funcs(t: Tables) -> DataFrame:
         F.floor(q).alias("qty_floor"),
         F.round(F.sqrt(price), 6).alias("price_sqrt"),
         F.round(F.pow(q, 2.0), 6).alias("qty_sq"),
-        F.round(F.log(price), 6).alias("price_ln"),
-        F.round(F.log10(price), 6).alias("price_log10"),
+        F.when(price > 0, F.round(F.log(price), 6)).alias("price_ln"),
+        F.when(price > 0, F.round(F.log10(price), 6)).alias("price_log10"),
         F.round(F.exp(disc), 6).alias("disc_exp"),
         F.signum(disc - 0.05).cast("int").alias("disc_sign"),
         (F.col("l_linenumber") % 3).alias("line_mod"),

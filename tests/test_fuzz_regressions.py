@@ -7,7 +7,8 @@ Its first two sweeps found 7 latent divergences the per-SF gates could
 not see (byte-vs-char frame slicing on multibyte text, argmax ties on
 duplicate timestamps, DuckDB array_to_string([]) = NULL, Spark
 session_window merging an exact-gap event, NULL-crashing Python UDFs,
-NULL-labeled docs training a langid profile). This test re-runs exactly
+NULL-labeled docs training a langid profile, DuckDB raising on ln(0) where
+Spark yields NULL). This test re-runs exactly
 those keys on the fuzzed data so the fixes stay pinned; the full-surface
 fuzz sweep remains a tools/ job (it needs its own Spark session budget).
 """
@@ -26,6 +27,7 @@ FOUND_BY_FUZZ = [
     "udf_scalar",
     "udf_arrow",
     "text_langid_ngram",
+    "math_funcs",
 ]
 
 

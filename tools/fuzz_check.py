@@ -17,8 +17,18 @@ Perturbations (seeded, deterministic):
 - events: one user with inter-event gaps exactly 1799.999999 s /
   1800.0 s / 1800.000001 s; duplicate (user_id, ts) pairs with distinct
   event_ids; events exactly ON hour boundaries; value = 0.0 and 1e9.
+- orders: a childless order (no lineitems), an order whose o_custkey
+  references no customer, totalprice 0.0 and 1e7, orders exactly on the
+  fixture's min/max date boundary.
+- lineitem: an orphan line (no parent order), quantity 0/1/50 with
+  discount 0.0 and 0.9, extendedprice 0.0, shipdate == orderdate.
+- customer: a duplicate c_name under a new key, negative and zero
+  account balances, customers with no orders.
+- part: p_size 1 and 50, retailprice 0.0.
+- embeddings: an all-zero vector (norm 0 — divides by zero in cosine)
+  and a tiny-norm (1e-6) vector.
 - optional --nulls: NULLs punched into nullable non-key columns
-  (events.value, documents.lang/source).
+  (events.value, documents.lang/source, embeddings.label).
 
 Usage: python tools/fuzz_check.py [--nulls] [key ...]
 """
@@ -45,6 +55,74 @@ TABLES = [
 ]
 
 
+def _tpch_rows(name: str, with_nulls: bool) -> dict[str, list]:
+    """Wave-2 perturbations for the relational tables (keys from
+    2_000_000 up so they cannot collide with fixture keys)."""
+    B = 2_000_000
+    d = dt.datetime
+    if name == "orders":
+        return {
+            # childless (no lineitems), boundary dates, orphan custkey,
+            # zero and extreme totalprice
+            "o_orderkey": [B, B + 1, B + 2, B + 3],
+            "o_custkey": [7, B + 77, 11, 13],  # B+77 references nobody
+            "o_orderstatus": ["O", "F", "P", "O"],
+            "o_totalprice": [0.0, 1e7, 123.45, 0.01],
+            "o_orderdate": [d(1995, 1, 1), d(2001, 8, 1),
+                            d(1997, 6, 15), d(1997, 6, 15)],
+            "o_orderpriority": ["3-MEDIUM", "1-URGENT", "5-LOW", "2-HIGH"],
+        }
+    if name == "lineitem":
+        return {
+            # B+100 is an orphan (no parent order); the rest attach to
+            # existing order 10 with boundary qty/discount/price
+            "l_orderkey": [B + 100, 10, 10, 10],
+            "l_partkey": [1, 2, 3, 4],
+            "l_suppkey": [1, 2, 3, 4],
+            "l_linenumber": [901, 902, 903, 904],
+            "l_quantity": [0.0, 1.0, 50.0, 7.0],
+            "l_extendedprice": [0.0, 100.0, 5000.0, 250.25],
+            "l_discount": [0.0, 0.9, 0.0, 0.05],
+            "l_tax": [0.0, 0.0, 0.08, 0.0],
+            "l_returnflag": ["N", "R", "A", "N"],
+            "l_linestatus": ["O", "F", "F", "O"],
+            "l_shipdate": [d(1997, 1, 1), d(1995, 1, 1),
+                           d(2001, 8, 1), d(1997, 6, 15)],
+        }
+    if name == "customer":
+        return {
+            # duplicate c_name under a new key (fuzzy-join bait), zero
+            # and negative balances, no orders for any of them
+            "c_custkey": [B, B + 1, B + 2],
+            "c_name": ["Customer#000000001", "Customer#002000001",
+                       "Customer#002000002"],
+            "c_nationkey": [0, 12, 24],
+            "c_acctbal": [-999.99, 0.0, 9999.99],
+            "c_mktsegment": ["BUILDING", "MACHINERY", "AUTOMOBILE"],
+        }
+    if name == "part":
+        return {
+            "p_partkey": [B, B + 1],
+            "p_name": ["edge widget", "edge bolt"],
+            "p_brand": ["Brand#13", "Brand#42"],
+            "p_type": ["ECONOMY", "PROMO"],
+            "p_size": [1, 50],
+            "p_retailprice": [0.0, 1.0],
+        }
+    if name == "embeddings":
+        rows = {
+            "vec_id": [B, B + 1],
+            "embedding": [[0.0] * 64, [1e-6] * 64],  # zero / tiny norm
+            "label": [0, 1],
+        }
+        if with_nulls:
+            rows["vec_id"].append(B + 2)
+            rows["embedding"].append([0.5] * 64)
+            rows["label"].append(None)
+        return rows
+    raise ValueError(name)
+
+
 def build_fuzz_dir(with_nulls: bool) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -52,13 +130,24 @@ def build_fuzz_dir(with_nulls: bool) -> None:
     shutil.rmtree(os.path.dirname(FUZZ_SF), ignore_errors=True)
     os.makedirs(FUZZ_SF)
 
+    perturbed = ("documents", "events", "orders", "lineitem", "customer",
+                 "part", "embeddings")
     for name in TABLES:
         src = os.path.join(SRC_SF, f"{name}.parquet")
-        if name not in ("documents", "events"):
+        if name not in perturbed:
             shutil.copy(src, os.path.join(FUZZ_SF, f"{name}.parquet"))
             continue
 
         tbl = pq.read_table(src)
+        if name in ("orders", "lineitem", "customer", "part", "embeddings"):
+            rows = _tpch_rows(name, with_nulls)
+            fields = {f.name: f.type for f in tbl.schema}
+            extra = pa.table(
+                {k: pa.array(v).cast(fields[k]) for k, v in rows.items()}
+            )
+            out = pa.concat_tables([tbl, extra.select(tbl.column_names)])
+            pq.write_table(out, os.path.join(FUZZ_SF, f"{name}.parquet"))
+            continue
         if name == "documents":
             base_id = 1_000_000
             langs = ["en", "de", "fr"]
