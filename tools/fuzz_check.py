@@ -13,10 +13,16 @@ latent outage.
 Perturbations (seeded, deterministic):
 - documents: empty/1-char/29/30/31-char texts, shared verbatim
   boilerplate across 3 docs, unicode text, single-token text, runs of
-  spaces, a 10k-char doc.
+  spaces, a 10k-char doc; (wave 3) beyond-BMP 4-byte UTF-8 with
+  ZWJ/skin-tone/regional-indicator sequences, combining-mark vs
+  precomposed spellings (NFD vs NFC), RTL+LTR mix, and LF/CRLF/tab
+  control whitespace — any byte/UTF-16-unit/code-point confusion in
+  either engine diverges on these.
 - events: one user with inter-event gaps exactly 1799.999999 s /
   1800.0 s / 1800.000001 s; duplicate (user_id, ts) pairs with distinct
-  event_ids; events exactly ON hour boundaries; value = 0.0 and 1e9.
+  event_ids; events exactly ON hour boundaries; value = 0.0 and 1e9;
+  (wave 3) props with interior JSON whitespace and an explicit JSON
+  null, still honoring the {"k": int} contract.
 - orders: a childless order (no lineitems), an order whose o_custkey
   references no customer, totalprice 0.0 and 1e7, orders exactly on the
   fixture's min/max date boundary.
@@ -164,6 +170,18 @@ def build_fuzz_dir(with_nulls: bool) -> None:
                 "single_token",
                 "double  space   runs    here",
                 ("lorem ipsum dolor sit amet " * 400).strip(),  # ~10k chars
+                # wave 3: beyond-BMP (4-byte UTF-8), ZWJ sequences,
+                # skin-tone modifiers, regional-indicator pairs — any
+                # byte/UTF-16-unit/code-point confusion diverges here
+                "\U0001d11e clef \U0001f44d\U0001f3fd thumbs "
+                "\U0001f1e9\U0001f1ea flag "
+                "\U0001f468‍\U0001f469‍\U0001f467 family",
+                # combining marks vs precomposed (NFD vs NFC spellings)
+                "café naivë vs café naïve",
+                # RTL scripts mixed with LTR
+                "שלום hello عالم done",
+                # control whitespace: LF, CRLF, tab, trailing space
+                "line1\nline2\r\nline3\ttab end ",
             ]
             rows = {
                 "doc_id": [base_id + i for i in range(len(texts))],
@@ -209,6 +227,14 @@ def build_fuzz_dir(with_nulls: bool) -> None:
             # user D: single event (bounce)
             ev.append((base_id + 30, dt.datetime(2024, 3, 4, 23, 59, 59, 999999),
                        900004, "error", 7.0, "{}"))
+            # user E (wave 3): props still honors the {"k": int} contract
+            # but exercises JSON-surface edges — interior whitespace and
+            # an explicit JSON null — where get_json_object/from_json vs
+            # json_extract/json_keys could disagree
+            tE = dt.datetime(2024, 3, 6, 14, 0, 0, 777000)
+            ev.append((base_id + 40, tE, 900006, "view", 1.5, '{ "k" : 7 }'))
+            ev.append((base_id + 41, tE + 60 * s, 900006, "click", 2.5,
+                       '{"k": null}'))
             cols = list(zip(*ev))
             rows = {
                 "event_id": list(cols[0]),
@@ -219,7 +245,7 @@ def build_fuzz_dir(with_nulls: bool) -> None:
                 "props": list(cols[5]),
             }
             if with_nulls:
-                rows["event_id"] += [base_id + 40]
+                rows["event_id"] += [base_id + 50]
                 rows["ts"] += [dt.datetime(2024, 3, 5, 8, 15, 0, 250000)]
                 rows["user_id"] += [900005]
                 rows["event_type"] += ["view"]
