@@ -1,0 +1,159 @@
+"""Amplified-scale stress bench: measured scaling curves, not guesses.
+
+The standing caveat on every bench round (SURVEY §2.14/§2.15) is that
+local[32] at sf0.1 mostly measures fixed overheads — the plan-shape
+test suite is the 100×-scale evidence, but it is *structural*, not
+*measured*. This tool adds the measured half: it builds an amplified
+copy of sf0.1 (.derived/sfx{AMP}/) by concatenating AMP key-shifted
+copies of each fact table — dims stay fixed, which is exactly the
+100 TB shape (fact growth against a stable dimension universe):
+
+- orders/lineitem: orderkeys offset by copy*1e9 — more orders from the
+  SAME customers/parts/suppliers, so join fan-in per dim key grows.
+- events: event_id offset by copy*1e9, user_id offset by copy*1e7 —
+  user count scales, per-user session volume stays constant (the
+  realistic shape; keeps per-key window state bounded).
+- documents: doc_id offset by copy*1e9; copies >0 get a 3-char prefix
+  so the corpus isn't pathologically 100% exact-duplicated (base-corpus
+  duplicates remain, so dedup still has real work).
+- embeddings: vec_id offset by copy*1e9, vectors unchanged.
+
+Then every headline bench key runs at 1× and AMP×, and the tool reports
+sec, rows, and the time ratio per key. A healthy distributed plan shows
+time ratio ≲ AMP (sublinear: fixed overheads amortize; superlinear ⇒ a
+shuffle, window, or pair-expansion that does not scale — investigate
+before it becomes the 100 TB bottleneck).
+
+Usage: python tools/scale_stress.py [--amp 10] [--base /root/testdata/sf0.1] [key ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+FACTS = ["orders", "lineitem", "events", "documents", "embeddings"]
+KEY_OFF = 10**9  # per-copy offset for synthetic surrogate keys
+USER_OFF = 10**7  # events.user_id: grow the user universe per copy
+
+# default keys: the bench.py headline set (registry keys)
+DEFAULT_KEYS = [
+    "agg_pricing", "topk_orders", "join_star_q5", "win_topk_per_group",
+    "stream_tumbling", "text_stats", "dedup_exact", "json_extract",
+    "sim_topk", "dedup_near_minhash", "join_q9_profit", "join_q21_waiting",
+    "sim_hybrid_rrf",
+]
+
+
+def build_amplified(base: str, amp: int, out_dir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in DIMS:
+        shutil.copy(os.path.join(base, f"{name}.parquet"),
+                    os.path.join(out_dir, f"{name}.parquet"))
+    for name in FACTS:
+        tbl = pq.read_table(os.path.join(base, f"{name}.parquet"))
+        copies = []
+        for i in range(amp):
+            t = tbl
+            if name == "orders":
+                t = t.set_column(t.schema.get_field_index("o_orderkey"),
+                                 "o_orderkey",
+                                 pc.add(t["o_orderkey"], i * KEY_OFF))
+            elif name == "lineitem":
+                t = t.set_column(t.schema.get_field_index("l_orderkey"),
+                                 "l_orderkey",
+                                 pc.add(t["l_orderkey"], i * KEY_OFF))
+            elif name == "events":
+                t = t.set_column(t.schema.get_field_index("event_id"),
+                                 "event_id",
+                                 pc.add(t["event_id"], i * KEY_OFF))
+                t = t.set_column(t.schema.get_field_index("user_id"),
+                                 "user_id",
+                                 pc.add(t["user_id"], i * USER_OFF))
+            elif name == "documents":
+                t = t.set_column(t.schema.get_field_index("doc_id"),
+                                 "doc_id",
+                                 pc.add(t["doc_id"], i * KEY_OFF))
+                if i > 0:
+                    prefixed = pc.binary_join_element_wise(
+                        pa.array([f"c{i % 10}"] * len(t), pa.string()),
+                        pc.cast(t["text"], pa.string()), " ")
+                    t = t.set_column(t.schema.get_field_index("text"),
+                                     "text", pc.cast(prefixed, t.schema.field("text").type))
+                    # keep the n_chars derived column consistent
+                    t = t.set_column(t.schema.get_field_index("n_chars"),
+                                     "n_chars",
+                                     pc.cast(pc.utf8_length(t["text"]), pa.int64()))
+            elif name == "embeddings":
+                t = t.set_column(t.schema.get_field_index("vec_id"),
+                                 "vec_id",
+                                 pc.add(t["vec_id"], i * KEY_OFF))
+            copies.append(t)
+        out = pa.concat_tables(copies)
+        pq.write_table(out, os.path.join(out_dir, f"{name}.parquet"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="*")
+    ap.add_argument("--amp", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = os.path.join(repo, ".derived", f"sfx{args.amp}")
+    if args.rebuild:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    if not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
+        t0 = time.time()
+        build_amplified(args.base, args.amp, out_dir)
+        print(f"# built {out_dir} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    from base_etl_spark import build_session, queries
+
+    spark = build_session(
+        "scale_stress", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    keys = args.keys or DEFAULT_KEYS
+
+    report = {}
+    for k in keys:
+        row = {}
+        for tag, sf_dir in (("base", args.base), (f"x{args.amp}", out_dir)):
+            best, n = float("inf"), -1
+            for _ in range(2):  # cold + warm; report warm
+                t0 = time.time()
+                n = qs[k](spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            row[tag] = {"sec": round(best, 3), "rows": n}
+        ratio = row[f"x{args.amp}"]["sec"] / max(row["base"]["sec"], 1e-9)
+        row["time_ratio"] = round(ratio, 2)
+        report[k] = row
+        print(f"# {k}: {row['base']['sec']}s -> {row[f'x{args.amp}']['sec']}s "
+              f"(x{row['time_ratio']}, rows {row['base']['rows']} -> "
+              f"{row[f'x{args.amp}']['rows']})", file=sys.stderr)
+
+    print(json.dumps({"metric": "scale_stress", "amp": args.amp,
+                      "queries": report}))
+    worst = max(report.values(), key=lambda r: r["time_ratio"])
+    superlinear = [k for k, r in report.items() if r["time_ratio"] > args.amp]
+    print(f"# worst ratio {worst['time_ratio']}; "
+          f"superlinear keys: {superlinear or 'none'}", file=sys.stderr)
+    return 1 if superlinear else 0
+
+
+if __name__ == "__main__":
+    main()
