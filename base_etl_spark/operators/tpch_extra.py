@@ -88,12 +88,19 @@ def join_q4_priority_exists(t: Tables) -> DataFrame:
     l_returnflag='R' (no receipt columns). The EXISTS is expressed as a
     left-semi join — at scale this shuffles only the filtered orderkeys
     of each side and never multiplies rows (semi, not inner+distinct).
+    The lineitem side is merge-hinted: it scales with the fact, so the
+    64 MB dim-broadcast threshold must not turn it into a broadcast
+    build at mid scale (measured 3.1x slower at 30x sf0.1).
     """
     orders = t.orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     )
-    returned = t.lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    returned = (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .hint("merge")
+    )
     return (
         orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
@@ -183,8 +190,10 @@ def join_q9_profit(t: Tables) -> DataFrame:
     expression keeps the same join tree.
 
     At 100 TB: the filtered part side prunes the fact first (broadcast),
-    supplier+nation broadcast; one shuffle for the orders join, one hash
-    agg of nation×year ≈ 175 groups.
+    supplier+nation broadcast; one shuffle for the orders join (merge-
+    hinted — orders scales with the fact, and the 64 MB dim threshold
+    otherwise broadcasts its 2-col projection at mid scale: measured
+    2.8x slower at 30x sf0.1), one hash agg of nation×year ≈ 175 groups.
     """
     parts = t.part.filter(F.col("p_name").contains("red")).select("p_partkey")
     supp = t.supplier.join(
@@ -192,7 +201,10 @@ def join_q9_profit(t: Tables) -> DataFrame:
     ).select("s_suppkey", "n_name")
     return (
         t.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-        .join(t.orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.orders.select("o_orderkey", "o_orderdate").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -399,13 +411,17 @@ def join_q17_small_qty(t: Tables) -> DataFrame:
 )
 def join_q18_large_orders(t: Tables) -> DataFrame:
     """TPC-H Q18 (large-volume customers): HAVING over a fact aggregate,
-    then enrichment joins. The aggregate output (orders over the
-    threshold) is small, so BOTH enrichment joins run broadcast —
-    the only real shuffle is the orderkey hash agg."""
+    then enrichment joins. The aggregate's qualifying set SCALES WITH
+    ORDERS (a fixed fraction of orderkeys clears the threshold), so the
+    orders join is merge-hinted — broadcasting the aggregate is only
+    cheap while it fits, and at 30x sf0.1 the shuffle plan already
+    measures 2.6x faster; customer stays an explicit broadcast dim.
+    The real shuffles are the orderkey hash agg + the merge join."""
     big = (
         t.lineitem.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_sq"))
         .filter(F.col("_sq") > 250.0)
+        .hint("merge")
     )
     return (
         big.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -527,22 +543,33 @@ def join_q21_waiting(t: Tables) -> DataFrame:
 
     Adaptation: 'late' is l_returnflag='R' (no receipt/commit dates).
 
-    At 100 TB: all three lineitem scans hash-shuffle on l_orderkey — AQE
-    reuses the exchange; the non-equi suppkey<>suppkey residual rides the
-    equi join on orderkey, so no nested loop appears.
+    At 100 TB: all three lineitem scans hash-shuffle on l_orderkey; the
+    non-equi suppkey<>suppkey residual rides the equi join on orderkey,
+    so no nested loop appears. The fact-derived semi/anti sides carry an
+    explicit merge hint: the session's 64 MB broadcast threshold (tuned
+    so dims always broadcast) otherwise catches the column-pruned
+    lineitem/orders projections at mid scale and builds a fact-sized
+    broadcast hash table — measured 5.8x slower than the shuffle plan at
+    30x sf0.1 (tools/scale_stress.py A/B), and strictly worse on a real
+    cluster where the build ships to every executor.
     """
     l1 = (
         t.lineitem.filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_suppkey")
         .alias("l1")
     )
-    l2 = t.lineitem.select("l_orderkey", "l_suppkey").alias("l2")
+    l2 = t.lineitem.select("l_orderkey", "l_suppkey").hint("merge").alias("l2")
     l3 = (
         t.lineitem.filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_suppkey")
+        .hint("merge")
         .alias("l3")
     )
-    f_orders = t.orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    f_orders = (
+        t.orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        .hint("merge")
+    )
     waiting = (
         l1.join(f_orders, F.col("l1.l_orderkey") == F.col("o_orderkey"), "left_semi")
         .join(
@@ -733,10 +760,13 @@ def agg_q13_cust_distribution(t: Tables) -> DataFrame:
 
     At 100 TB: one o_custkey shuffle for the join + per-customer count
     (co-partitioned), then the histogram agg runs on the tiny c_count
-    domain (tens of values)."""
+    domain (tens of values). The orders side is merge-hinted — it scales
+    with the fact, and the 64 MB dim threshold otherwise broadcasts its
+    pruned projection at mid scale (measured 2.5x slower at 30x
+    sf0.1)."""
     per_cust = (
         t.customer.join(
-            t.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            t.orders.filter(F.col("o_orderpriority") != "1-URGENT").hint("merge"),
             F.col("c_custkey") == F.col("o_custkey"),
             "left",
         )

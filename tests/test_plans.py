@@ -326,11 +326,30 @@ def test_q19_pushes_common_quantity_range(spark):
 
 
 def test_q18_single_fact_shuffle(spark):
-    """Q18: both enrichment joins broadcast — the only exchange besides
-    the agg's partial/final pair feeds the orderkey hash agg."""
+    """Q18: customer enrichment broadcasts; the orders join is pinned to
+    merge (the qualifying-order aggregate scales with the fact)."""
     plan = _plan(_QS["join_q18_large_orders"](spark, SF_TEST))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fact_joins_pinned_to_merge(spark):
+    """The six TPC-H composites whose fact-derived join sides measured
+    2.5-5.8x faster as shuffle plans at 30x sf0.1 (tools/scale_stress.py
+    A/B) must keep their merge pins: the session's 64 MB dim-broadcast
+    threshold otherwise converts the column-pruned fact projections into
+    broadcast builds at mid scale — wrong on any real cluster, where the
+    build ships to every executor."""
+    for key in (
+        "join_q21_waiting",
+        "join_q4_priority_exists",
+        "join_q7_volume",
+        "join_q9_profit",
+        "join_q18_large_orders",
+        "agg_q13_cust_distribution",
+    ):
+        plan = _plan(_QS[key](spark, SF_TEST))
+        assert "SortMergeJoin" in plan, f"{key}: fact join lost its merge pin"
 
 
 def test_q8_dual_nation_role_broadcasts(spark):
