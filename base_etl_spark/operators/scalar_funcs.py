@@ -665,9 +665,14 @@ def date_business_days(t: Tables) -> DataFrame:
     sequence filtered by weekday (the 60-day theta bound caps the array;
     at wider spans switch to the closed-form full-weeks + remainder
     formula). Day-of-week conventions pinned AGAIN (Spark 1=Sun/7=Sat,
-    DuckDB 0=Sun/6=Sat — the join_interval_overlap lesson)."""
+    DuckDB 0=Sun/6=Sat — the join_interval_overlap lesson). The
+    lineitem<->orders join is merge-hinted: both sides scale with the
+    fact, and the 64 MB dim threshold otherwise broadcasts the pruned
+    lineitem projection at mid scale (measured 2.5x slower at 30x
+    sf0.1, tools/scale_stress.py A/B)."""
     joined = (
         t.lineitem.select("l_orderkey", F.to_date("l_shipdate").alias("d2"))
+        .hint("merge")
         .join(
             t.orders.select(
                 "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("d1")

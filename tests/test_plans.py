@@ -347,6 +347,7 @@ def test_fact_joins_pinned_to_merge(spark):
         "join_q9_profit",
         "join_q18_large_orders",
         "agg_q13_cust_distribution",
+        "date_business_days",
     ):
         plan = _plan(_QS[key](spark, SF_TEST))
         assert "SortMergeJoin" in plan, f"{key}: fact join lost its merge pin"
