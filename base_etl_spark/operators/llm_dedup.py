@@ -301,10 +301,17 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
     # is scanned ONCE: candidates explode into (doc_id, side) membership
     # rows, join the corpus a single time, and regroup per pair — the
     # earlier two-sided join evaluated the full shingle scan per side
-    # (measured ~0.25 s/side at sf0.1). No broadcast hint: AQE sees the
-    # tiny candidate stats at runtime and picks broadcast itself
-    # (measured: the static hint serialized the build and was slightly
-    # slower).
+    # (measured ~0.25 s/side at sf0.1). The membership join is MERGE-
+    # pinned: the candidate side scales with near-dup DENSITY, not corpus
+    # size, so no static bound exists — on a 100x-amplified corpus where
+    # every doc has 99 near-twins (~25M candidate pairs) the planner's
+    # broadcast choice died with 'Not enough memory to build and
+    # broadcast the table' (tools/scale_stress.py --amp 100, 2026-08-14),
+    # while the merge plan completes. At base sf0.1 the pin costs ~1 s
+    # (2.9 s vs 1.9 s warm — the sort of the shingle-array side dominates
+    # the extra shuffle; a shuffle_hash hint was tried and pathologically
+    # stalled >5 min on this shape) — the price of not OOMing on exactly
+    # the corpora dedup exists for.
     sigs = minhash_signatures(t.documents)
     cands = lsh_candidate_pairs(sigs)
     shs = _spread(t.documents).select(
@@ -321,7 +328,7 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
         ).alias("m"),
     ).select("doc_a", "doc_b", F.col("m.doc_id").alias("doc_id"), F.col("m.side").alias("side"))
     pairs = (
-        shs.join(sides, "doc_id")
+        shs.join(sides.hint("merge"), "doc_id")
         .groupBy("doc_a", "doc_b")
         .agg(
             F.first(F.when(F.col("side") == "a", F.col("sh")), ignorenulls=True).alias("sh_a"),
