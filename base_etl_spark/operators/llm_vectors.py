@@ -276,7 +276,19 @@ def dedup_embedding_pairs(
     theta=0.35). Skew note: at low theta the bucket classes are large
     (2-bit keys => 4 buckets/band) — acceptable because the verify join
     is keyed by vec_id, not bucket; at production theta the 6-8-bit keys
-    fragment buckets and candidates collapse to true near-dups."""
+    fragment buckets and candidates collapse to true near-dups.
+
+    MEASURED BOUNDARY (tools/scale_stress.py --amp 100, 2026-08-14): on
+    a 100x-amplified corpus where every vector has 99 EXACT copies, the
+    r=2 low-theta banding's bucket self-join went candidate-quadratic
+    (~10^10 candidate rows), spilled ~75 GB of shuffle and died on disk
+    — empirical confirmation of the skew note above, not an implicit-
+    broadcast defect (the minhash OOM class). The production recipe on
+    duplicate-dense corpora is the one already documented for LSH
+    banding: collapse EXACT duplicates first (dedup_exact keyed on the
+    vector bytes bounds every bucket's group size), then band with
+    production r; the low-theta r=2 configuration is the fixture-scale
+    research dial and is not a 100 TB path."""
     n = _normalized(emb)
     banded = srp_banded(n.select("vec_id", "nemb"), n_bands, rows_per_band, seed)
     # Self-join over a PERSISTED banded table — deliberately NOT the
