@@ -184,8 +184,11 @@ def join_cross(t: Tables) -> DataFrame:
 def join_theta_range(t: Tables) -> DataFrame:
     """Equi key + range predicate: Catalyst plans the equi part as the
     join key and evaluates the range as a post-join filter — still one
-    shuffle, no cartesian blowup."""
-    li, o = t.lineitem, t.orders
+    shuffle, no cartesian blowup. The orders side is merge-hinted: both
+    sides scale with the fact, and the 64 MB dim-broadcast threshold
+    otherwise builds a fact-sized broadcast at mid scale (measured 2.7x
+    slower at 100x sf0.1, tools/scale_stress.py A/B)."""
+    li, o = t.lineitem, t.orders.hint("merge")
     cond = (
         (li.l_orderkey == o.o_orderkey)
         & (li.l_shipdate >= o.o_orderdate)

@@ -348,6 +348,8 @@ def test_fact_joins_pinned_to_merge(spark):
         "join_q18_large_orders",
         "agg_q13_cust_distribution",
         "date_business_days",
+        "agg_q12_priority_class",
+        "join_theta_range",
         # candidate-verify join: the candidate side scales with near-dup
         # density (no static bound) — AQE's broadcast choice OOM'd on a
         # 100x-amplified corpus; merge is the only completing plan
