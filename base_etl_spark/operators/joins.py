@@ -56,10 +56,15 @@ def join_inner_bcast(t: Tables) -> DataFrame:
     """,
 )
 def join_shuffle(t: Tables) -> DataFrame:
-    """Large-large equi join, no hint: Catalyst picks sort-merge (or
-    shuffled-hash under AQE); skew handled by adaptive skew-join split."""
+    """Large-large equi join, pinned to sort-merge; skew handled by
+    adaptive skew-join split. The pin exists because this key's whole
+    contract is the fact-fact SHUFFLE plan — and without it the 64 MB
+    dim-broadcast threshold quietly broadcast the pruned orders
+    projection at mid scale (measured 2.3x slower than the shuffle plan
+    at 30x sf0.1 in an interleaved same-session A/B)."""
     return (
-        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        t.orders.hint("merge")
+        .join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

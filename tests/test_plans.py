@@ -350,6 +350,8 @@ def test_fact_joins_pinned_to_merge(spark):
         "date_business_days",
         "agg_q12_priority_class",
         "join_theta_range",
+        "join_shuffle",
+        "orders_fulfillment_lag",
         # candidate-verify join: the candidate side scales with near-dup
         # density (no static bound) — AQE's broadcast choice OOM'd on a
         # 100x-amplified corpus; merge is the only completing plan
