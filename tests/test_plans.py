@@ -334,12 +334,15 @@ def test_q18_single_fact_shuffle(spark):
 
 
 def test_fact_joins_pinned_to_merge(spark):
-    """The six TPC-H composites whose fact-derived join sides measured
-    2.5-5.8x faster as shuffle plans at 30x sf0.1 (tools/scale_stress.py
-    A/B) must keep their merge pins: the session's 64 MB dim-broadcast
-    threshold otherwise converts the column-pruned fact projections into
-    broadcast builds at mid scale — wrong on any real cluster, where the
-    build ships to every executor."""
+    """The eleven fact-join composites whose fact-derived join sides
+    measured 1.9-5.8x faster as shuffle plans at 30x sf0.1
+    (tools/scale_stress.py A/B, then the unbiased same-session re-screen
+    over all 65 broadcast-audit flags) must keep their merge pins: the
+    session's 64 MB dim-broadcast threshold otherwise converts the
+    column-pruned fact projections into broadcast builds at mid scale —
+    wrong on any real cluster, where the build ships to every executor.
+    The twelfth key (dedup_near_minhash) is pinned for a harder reason:
+    its candidate side has no static bound and OOM'd as a broadcast."""
     for key in (
         "join_q21_waiting",
         "join_q4_priority_exists",
