@@ -82,37 +82,58 @@ def _ensure_loaded() -> None:
 # one exists. Keys rotated OUT keep their local-gate coverage; after
 # this round the driver-verified union is >=198/270.
 #
-# ROUND-6 ROTATION PLAN (execute at the start of round 6; list computed
-# mechanically at the end of round 5 as registry-minus-driver-union-
-# minus-the-r5-window — exactly 72 keys remain: 62 D + 10 R). Replace
-# the list below with these 50 D keys — the 12 D deferred to round 7
-# are either judge-verified at sf0.01 already (secondary evidence) or
-# trivial set-op/surface variants, so every round-6 slot buys a key
-# whose only evidence is the local gate:
-#   supplier_scorecard, agg_mode, agg_filter_clause, agg_regression,
-#   agg_mean_family, agg_top_percentile_share, agg_hhi, agg_chi_square,
-#   agg_trimmed_mean, agg_boxplot_stats, agg_crosstab,
-#   orders_size_histogram, win_rank_delta, events_autocorr,
-#   events_stickiness, text_zipf_fit, events_attribution,
-#   orders_repeat_rate, events_session_stats, orders_fulfillment_lag,
-#   text_unigram_nll, text_repetition, text_pii_scrub, text_ngram_topk,
-#   text_js_divergence, text_entropy_char, text_keywords_topk,
-#   text_readability, text_vocab_overlap, text_boilerplate_spans,
-#   text_code_detect, text_langid_confusion, text_contamination,
-#   etl_train_split, sample_exact_k, pack_sequences, corpus_mix_weights,
-#   etl_split_leakage, embedding_quantize, embedding_qa, array_hof,
-#   str_try_parse, date_timezone, json_struct_roundtrip, str_mask_pii,
-#   date_business_days, array_explode_outer, stream_topk_windowed,
-#   stream_sliding_distinct, win_rolling_median
-# ROUND 7 takes the final 22 — 12 D (agg_pivot_native, orders_cohort_ltv,
-# events_ab_cuped, dedup_cluster_sizes, sim_range_search, text_bigram_nll,
-# win_ntile, udaf_arrow_group, set_intersect_all, set_except_all,
-# events_histogram, udf_arrow) + all 10 R (sketch_hll_rollup,
-# sketch_hll_overlap, dedup_minhash_estimate, text_compress_ratio,
-# agg_freq_items, graph_pagerank, cluster_kmeans, sim_mmr_rerank,
-# udtf_python, etl_file_stats) — at which point every key has a driver
-# row. Keys added after this plan was computed must be appended to the
-# round-7 window (or a round-8 spillover) at rotation time.
+# ROUND-6 / ROUND-7 ROTATION PLAN — now CODE, not prose (the r4 verdict
+# called rotation drift the single biggest per-round risk). The windows
+# below were computed mechanically at the end of round 5 as
+# registry-minus-driver-union-minus-the-r5-window (72 keys: 62 D + 10 R);
+# tests/test_rotation_plan.py re-derives that arithmetic from the
+# committed CORRECTNESS_r0*.json files every pytest run, so a key
+# rename, a new key, or an accidental overlap breaks the suite LONG
+# before a driver snapshot is wasted on a re-check.
+#
+# At the START of round 6 the entire rotation is one line:
+#     DRIVER_PRIORITY = list(ROUND6_WINDOW)
+# and at the start of round 7:
+#     DRIVER_PRIORITY = list(ROUND7_WINDOW)
+# Keys added after this plan was computed must be appended to
+# ROUND7_WINDOW (or a round-8 spillover) at rotation time — the
+# partition test will fail loudly until they are placed.
+
+# Exactly 50 D keys, none with a driver row through round 5. The 12 D
+# deferred to round 7 are judge-verified at sf0.01 already (secondary
+# evidence) or trivial set-op/surface variants, so every round-6 slot
+# buys a key whose only evidence is the local gate.
+ROUND6_WINDOW: list[str] = [
+    "supplier_scorecard", "agg_mode", "agg_filter_clause",
+    "agg_regression", "agg_mean_family", "agg_top_percentile_share",
+    "agg_hhi", "agg_chi_square", "agg_trimmed_mean", "agg_boxplot_stats",
+    "agg_crosstab", "orders_size_histogram", "win_rank_delta",
+    "events_autocorr", "events_stickiness", "text_zipf_fit",
+    "events_attribution", "orders_repeat_rate", "events_session_stats",
+    "orders_fulfillment_lag", "text_unigram_nll", "text_repetition",
+    "text_pii_scrub", "text_ngram_topk", "text_js_divergence",
+    "text_entropy_char", "text_keywords_topk", "text_readability",
+    "text_vocab_overlap", "text_boilerplate_spans", "text_code_detect",
+    "text_langid_confusion", "text_contamination", "etl_train_split",
+    "sample_exact_k", "pack_sequences", "corpus_mix_weights",
+    "etl_split_leakage", "embedding_quantize", "embedding_qa",
+    "array_hof", "str_try_parse", "date_timezone",
+    "json_struct_roundtrip", "str_mask_pii", "date_business_days",
+    "array_explode_outer", "stream_topk_windowed",
+    "stream_sliding_distinct", "win_rolling_median",
+]
+
+# The final 22 — 12 D + all 10 R — after which every key has a driver row.
+ROUND7_WINDOW: list[str] = [
+    "agg_pivot_native", "orders_cohort_ltv", "events_ab_cuped",
+    "dedup_cluster_sizes", "sim_range_search", "text_bigram_nll",
+    "win_ntile", "udaf_arrow_group", "set_intersect_all",
+    "set_except_all", "events_histogram", "udf_arrow",
+    "sketch_hll_rollup", "sketch_hll_overlap", "dedup_minhash_estimate",
+    "text_compress_ratio", "agg_freq_items", "graph_pagerank",
+    "cluster_kmeans", "sim_mmr_rerank", "udtf_python", "etl_file_stats",
+]
+
 DRIVER_PRIORITY: list[str] = [
     # -- round-4 additions, highest user-leverage first
     "join_q11_important_parts",

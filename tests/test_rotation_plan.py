@@ -1,0 +1,86 @@
+"""Mechanical guard on the driver-window rotation plan.
+
+The driver hash-verifies only the first 50 keys of queries() iteration
+order per round (registry.py pins that order via DRIVER_PRIORITY), so a
+stale or overlapping window silently burns a whole round's verification
+budget re-proving known-green keys — the r4 VERDICT called this the
+single biggest per-round risk. These tests re-derive the rotation
+arithmetic from the committed CORRECTNESS_r0*.json driver records every
+pytest run: the planned round-6/7 windows must stay a clean partition of
+the not-yet-driver-verified registry keys, and any key added or renamed
+after the plan was computed fails the partition check loudly instead of
+sliding into an un-planned slot.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from base_etl_spark import queries
+from base_etl_spark.registry import DRIVER_PRIORITY, ROUND6_WINDOW, ROUND7_WINDOW
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ALL_KEYS = set(queries())
+# The window the driver will actually snapshot this round.
+CURRENT_WINDOW = list(queries())[:50]
+
+
+def _driver_union() -> set[str]:
+    """Every key with a driver CORRECTNESS row in any completed round."""
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            seen.update(json.load(f))
+    return seen
+
+
+def test_current_window_is_listed_and_exact():
+    # Every DRIVER_PRIORITY key must exist (a rename would silently let
+    # registration-order keys slide into the window).
+    missing = [k for k in DRIVER_PRIORITY if k not in ALL_KEYS]
+    assert not missing, f"DRIVER_PRIORITY names unknown keys: {missing}"
+    assert CURRENT_WINDOW == DRIVER_PRIORITY[:50]
+
+
+def test_current_window_buys_only_new_rows():
+    # Round 5's window must not re-check keys the driver already verified
+    # in rounds 1-4 (the current round's own record file, if the driver
+    # has already written it, is exactly this window — exclude it).
+    prior = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            keys = set(json.load(f))
+        if keys == set(CURRENT_WINDOW):
+            continue
+        prior |= keys
+    overlap = prior & set(CURRENT_WINDOW)
+    assert not overlap, f"window re-checks driver-verified keys: {sorted(overlap)}"
+
+
+def test_round6_window_well_formed():
+    assert len(ROUND6_WINDOW) == 50
+    assert len(set(ROUND6_WINDOW)) == 50, "duplicate keys in ROUND6_WINDOW"
+    missing = [k for k in ROUND6_WINDOW if k not in ALL_KEYS]
+    assert not missing, f"ROUND6_WINDOW names unknown keys: {missing}"
+
+
+def test_future_windows_partition_the_unverified_remainder():
+    """driver-union ∪ current-window ∪ round6 ∪ round7 must cover the
+    registry exactly once each (beyond what's already verified): a key
+    added after the plan was computed, or dropped/renamed, breaks this."""
+    r6, r7 = set(ROUND6_WINDOW), set(ROUND7_WINDOW)
+    assert not (r6 & r7), f"round-6/7 overlap: {sorted(r6 & r7)}"
+    cur = set(CURRENT_WINDOW)
+    assert not (r6 & cur), f"round-6 re-checks this round's window: {sorted(r6 & cur)}"
+    assert not (r7 & cur), f"round-7 re-checks this round's window: {sorted(r7 & cur)}"
+    covered = _driver_union() | cur | r6 | r7
+    unplaced = ALL_KEYS - covered
+    assert not unplaced, (
+        f"keys with no planned driver slot (append to ROUND7_WINDOW or a "
+        f"round-8 spillover): {sorted(unplaced)}"
+    )
+    phantom = (r6 | r7) - ALL_KEYS
+    assert not phantom, f"planned windows name unknown keys: {sorted(phantom)}"
