@@ -39,16 +39,21 @@ def _driver_union() -> set[str]:
 
 def test_current_window_is_listed_and_exact():
     # Every DRIVER_PRIORITY key must exist (a rename would silently let
-    # registration-order keys slide into the window).
+    # registration-order keys slide into the window). The priority list
+    # may hold fewer than 50 keys in the final round — then the window's
+    # prefix must still be exactly the listed keys, in order.
     missing = [k for k in DRIVER_PRIORITY if k not in ALL_KEYS]
     assert not missing, f"DRIVER_PRIORITY names unknown keys: {missing}"
-    assert CURRENT_WINDOW == DRIVER_PRIORITY[:50]
+    prefix = DRIVER_PRIORITY[:50]
+    assert CURRENT_WINDOW[: len(prefix)] == prefix
 
 
 def test_current_window_buys_only_new_rows():
-    # Round 5's window must not re-check keys the driver already verified
-    # in rounds 1-4 (the current round's own record file, if the driver
-    # has already written it, is exactly this window — exclude it).
+    # The window must not re-check keys the driver already verified in a
+    # PRIOR round. Two exclusions keep this valid across rotations: the
+    # current round's own record file (its key set is exactly this
+    # window) and, in the final round, the registration-order keys that
+    # pad the priority list out to 50 — only listed keys are claims.
     prior = set()
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         with open(path) as f:
@@ -56,7 +61,7 @@ def test_current_window_buys_only_new_rows():
         if keys == set(CURRENT_WINDOW):
             continue
         prior |= keys
-    overlap = prior & set(CURRENT_WINDOW)
+    overlap = prior & set(CURRENT_WINDOW) & set(DRIVER_PRIORITY)
     assert not overlap, f"window re-checks driver-verified keys: {sorted(overlap)}"
 
 
@@ -73,10 +78,18 @@ def test_future_windows_partition_the_unverified_remainder():
     added after the plan was computed, or dropped/renamed, breaks this."""
     r6, r7 = set(ROUND6_WINDOW), set(ROUND7_WINDOW)
     assert not (r6 & r7), f"round-6/7 overlap: {sorted(r6 & r7)}"
-    cur = set(CURRENT_WINDOW)
-    assert not (r6 & cur), f"round-6 re-checks this round's window: {sorted(r6 & cur)}"
-    assert not (r7 & cur), f"round-7 re-checks this round's window: {sorted(r7 & cur)}"
-    covered = _driver_union() | cur | r6 | r7
+    # Disjointness binds only the DELIBERATE part of the live window —
+    # keys actually listed in DRIVER_PRIORITY. Excluded: a 51st hedge
+    # entry beyond the 50-window (may legally lead the next round) and
+    # registration-order keys padding the final round's short list out
+    # to 50 (re-checks of already-verified keys, not claims). Once a
+    # planned window IS the live window, the overlap is the rotation.
+    cur = set(CURRENT_WINDOW) & set(DRIVER_PRIORITY)
+    if cur != r6:
+        assert not (r6 & cur), f"round-6 re-checks live window: {sorted(r6 & cur)}"
+    if cur != r7:
+        assert not (r7 & cur), f"round-7 re-checks live window: {sorted(r7 & cur)}"
+    covered = _driver_union() | set(CURRENT_WINDOW) | r6 | r7
     unplaced = ALL_KEYS - covered
     assert not unplaced, (
         f"keys with no planned driver slot (append to ROUND7_WINDOW or a "
