@@ -48,6 +48,13 @@ def blocked_topk(
     cluster mode). Per Arrow batch: normalize rows, X @ P.T, partial
     top-k; the final exact top-k across batches is a tiny groupBy.
     """
+    if not probes:
+        # No probes (an empty corpus yields an empty probe set): the
+        # answer is the empty ranking — np.stack below would raise on a
+        # zero-length list, killing a job that has a well-defined result.
+        return corpus.sparkSession.createDataFrame(
+            [], "probe_id long, neighbor_id long, cos_sim double, rn int"
+        )
     probe_ids = np.array([p[0] for p in probes], dtype=np.int64)
     pmat = np.stack([p[1] for p in probes]).astype(np.float64)
     pmat /= np.linalg.norm(pmat, axis=1, keepdims=True)

@@ -1149,6 +1149,7 @@ def etl_time_travel(t: Tables) -> DataFrame:
         _derived_path,
         _ensure_derived,
         _source_fingerprint,
+        read_derived,
         write_parquet,
     )
 
@@ -1171,8 +1172,14 @@ def etl_time_travel(t: Tables) -> DataFrame:
         lambda p: write_parquet(base.unionByName(delta), p, partition_by=["version"]),
     )
 
+    changelog_schema = base.unionByName(delta).schema
+
     def read_asof(v: int):
-        hist = t.spark.read.parquet(path).filter(F.col("version") <= v)
+        # explicit schema: a zero-row source writes a version-partitioned
+        # layout with no part files (see sinks.read_derived)
+        hist = read_derived(t.spark, path, changelog_schema).filter(
+            F.col("version") <= v
+        )
         w = W.partitionBy("c_custkey").orderBy(F.desc("version"))
         return (
             hist.withColumn("rn", F.row_number().over(w))

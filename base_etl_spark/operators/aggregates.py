@@ -127,9 +127,16 @@ def agg_rollup(t: Tables) -> DataFrame:
 
     coalesce to 'ALL' is safe because the fixtures contain no NULL names
     (FIXTURES.md); gid pins which level each row belongs to.
-    """
+
+    ANSI divergence handled: the () grouping set emits its grand-total
+    row even over EMPTY input (DuckDB/Postgres do), but Spark's
+    Expand-based grouping sets emit nothing — a real shape on any
+    filtered-to-nothing partition. The union branch below synthesizes
+    that row gated on a count-only scan (no data columns read, near-free
+    against parquet footers); it contributes 0 rows on any non-empty
+    input, so every populated-SF plan and hash is unchanged."""
     j = t.customer.join(t.nation, t.customer.c_nationkey == t.nation.n_nationkey)
-    return (
+    rolled = (
         j.rollup("n_name", "c_mktsegment")
         .agg(
             F.grouping_id().alias("gid"),
@@ -144,6 +151,18 @@ def agg_rollup(t: Tables) -> DataFrame:
             "sum_acctbal",
         )
     )
+    grand_if_empty = (
+        j.agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") == 0)
+        .select(
+            F.lit("ALL").alias("nation"),
+            F.lit("ALL").alias("segment"),
+            F.lit(3).cast("long").alias("gid"),
+            F.lit(0).cast("long").alias("n_customers"),
+            F.lit(None).cast("double").alias("sum_acctbal"),
+        )
+    )
+    return rolled.unionByName(grand_if_empty)
 
 
 @query(
@@ -159,8 +178,12 @@ def agg_rollup(t: Tables) -> DataFrame:
     """,
 )
 def agg_cube(t: Tables) -> DataFrame:
-    """All 2^2 grouping combinations over (status, priority)."""
-    return (
+    """All 2^2 grouping combinations over (status, priority).
+
+    Same empty-input grand-total synthesis as agg_rollup (ANSI emits the
+    () row over empty input, Spark's Expand emits nothing); the branch
+    is a count-only scan contributing 0 rows whenever orders has any."""
+    cubed = (
         t.orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping_id().alias("gid"),
@@ -175,6 +198,18 @@ def agg_cube(t: Tables) -> DataFrame:
             "sum_price",
         )
     )
+    grand_if_empty = (
+        t.orders.agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") == 0)
+        .select(
+            F.lit("ALL").alias("status"),
+            F.lit("ALL").alias("priority"),
+            F.lit(3).cast("long").alias("gid"),
+            F.lit(0).cast("long").alias("n_orders"),
+            F.lit(None).cast("double").alias("sum_price"),
+        )
+    )
+    return cubed.unionByName(grand_if_empty)
 
 
 @query(
@@ -189,7 +224,12 @@ def agg_cube(t: Tables) -> DataFrame:
     """,
 )
 def agg_grouping_sets(t: Tables) -> DataFrame:
-    """Explicit grouping sets via the SQL entry point (SURVEY §3 E3)."""
+    """Explicit grouping sets via the SQL entry point (SURVEY §3 E3).
+
+    The UNION ALL branch is the same empty-input grand-total synthesis
+    as agg_rollup, spelled in SQL: ANSI's () set emits its row over
+    empty input, Spark's doesn't; the count-only gate adds 0 rows
+    whenever lineitem has any."""
     return t.spark.sql(
         """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -198,6 +238,9 @@ def agg_grouping_sets(t: Tables) -> DataFrame:
                round(sum(l_quantity), 2)     AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        UNION ALL
+        SELECT 'ALL', 'ALL', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+        FROM (SELECT count(*) AS _n FROM lineitem) WHERE _n = 0
         """
     )
 
@@ -806,8 +849,18 @@ def agg_crosstab(t: Tables) -> DataFrame:
     note as agg_pivot_native).
 
     Plan-wise crosstab compiles to the same single partial/final count
-    aggregate as the hand-written CASE form."""
+    aggregate as the hand-written CASE form.
+
+    crosstab derives columns from OBSERVED values, so a status absent
+    from the data (trivially: empty input) yields no column at all and
+    the explicit select would crash — the same lesson as
+    agg_pivot_native's explicit values list. Missing domain columns are
+    materialized as zero counts; a no-op whenever all three statuses
+    occur."""
     ct = t.orders.stat.crosstab("o_orderpriority", "o_orderstatus")
+    for status in ("F", "O", "P"):
+        if status not in ct.columns:
+            ct = ct.withColumn(status, F.lit(0).cast("long"))
     return ct.select(
         "o_orderpriority_o_orderstatus",
         F.col("F").cast("long").alias("f"),

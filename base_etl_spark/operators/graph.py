@@ -54,6 +54,13 @@ def graph_pagerank(t: Tables) -> DataFrame:
     edges_deg = edges.join(outdeg, "src").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.count()
+    if n == 0:
+        # PageRank of the empty graph is the empty ranking (an empty
+        # orders/lineitem partition is a real shape); without this the
+        # tolerance below divides by zero.
+        for df in (edges, edges_deg, nodes):
+            df.unpersist()
+        return t.spark.createDataFrame([], "node string, rank double")
     tol = 0.01 / n  # 1% of uniform mass
     base = (1.0 - _PR_DAMPING) / n
 

@@ -312,22 +312,36 @@ def _ensure_derived(path: str, state_key: str, build) -> None:
             pass
 
 
-def _ensure_orders_by_year(t: Tables) -> str:
+def read_derived(spark, path: str, schema) -> DataFrame:
+    """Explicit-schema read of a derived parquet layout.
+
+    A PARTITIONED write of a zero-row frame emits no part files at all
+    (only the directory and marker), and a bare ``spark.read.parquet``
+    then raises UNABLE_TO_INFER_SCHEMA — the classic production failure
+    when an upstream filter eliminates every row of a partition. The
+    schema is driver-side metadata captured from the build-time
+    DataFrame, so passing it costs nothing and the read degrades to an
+    empty frame of the right shape instead of an outage. (Unpartitioned
+    empty writes still produce one footer-bearing part file and would
+    infer fine; the explicit schema is the uniform safe pattern.)"""
+    return spark.read.schema(schema).parquet(path)
+
+
+def _ensure_orders_by_year(t: Tables):
     """The shared year-partitioned orders layout (scan_partitioned_pruned
     reads it with a literal filter; join_dpp_runtime with a dim-driven
     runtime filter). ONE definition so the two queries can never disagree
-    about the path, fingerprint, or partition column."""
+    about the path, fingerprint, partition column, or read schema.
+    Returns ``(path, schema)`` — readers must pass the schema through
+    ``read_derived`` (see there for the empty-layout rationale)."""
     path = _derived_path(t.sf_dir, "orders_by_year")
+    layout = t.orders.withColumn("o_year", F.year("o_orderdate"))
     _ensure_derived(
         path,
         _source_fingerprint(t.sf_dir, "orders"),
-        lambda p: write_parquet(
-            t.orders.withColumn("o_year", F.year("o_orderdate")),
-            p,
-            partition_by=["o_year"],
-        ),
+        lambda p: write_parquet(layout, p, partition_by=["o_year"]),
     )
-    return path
+    return path, layout.schema
 
 
 @query(
@@ -423,8 +437,8 @@ def scan_partitioned_pruned(t: Tables) -> DataFrame:
     key turns every time-bounded query from a full scan into a touched-
     partition scan. Low-cardinality keys only (a high-cardinality
     partition key is the small-files anti-pattern)."""
-    path = _ensure_orders_by_year(t)
-    pruned = t.spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    path, schema = _ensure_orders_by_year(t)
+    pruned = read_derived(t.spark, path, schema).filter(F.col("o_year") == 1997)
     return pruned.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
@@ -511,7 +525,7 @@ def join_dpp_runtime(t: Tables) -> DataFrame:
     covers the star-join case where the selective predicate lives on the
     dimension — at 100 TB the difference between scanning 25 years and 2.
     """
-    fact_path = _ensure_orders_by_year(t)
+    fact_path, fact_schema = _ensure_orders_by_year(t)
     src_key = _source_fingerprint(t.sf_dir, "orders")
     dim_path = _derived_path(t.sf_dir, "year_dim")
     years = (
@@ -520,7 +534,7 @@ def join_dpp_runtime(t: Tables) -> DataFrame:
         .withColumn("era", F.when(F.col("year") >= 2000, "modern").otherwise("classic"))
     )
     _ensure_derived(dim_path, src_key, lambda p: write_parquet(years, p))
-    fact = t.spark.read.parquet(fact_path)
+    fact = read_derived(t.spark, fact_path, fact_schema)
     dim = t.spark.read.parquet(dim_path).filter(F.col("era") == "modern")
     return (
         fact.join(F.broadcast(dim), fact.o_year == dim.year)
@@ -759,8 +773,17 @@ def scan_csv_permissive(t: Tables) -> DataFrame:
     # which is also the production shape: parse once, then fan out the
     # good rows and the quarantine rows from the same materialization.
     df = df.cache()
-    return df.groupBy(F.col("_corrupt_record").isNotNull().alias("is_corrupt")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+    grouped = df.groupBy(
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    # A quarantine report must state BOTH populations even when one is
+    # empty — "good rows: 0" is load-bearing information (groupBy alone
+    # drops the absent group, e.g. a source file of only corrupt lines).
+    # Left join against the static two-value domain; no-op when both
+    # groups occur.
+    domain = t.spark.createDataFrame([(False,), (True,)], "is_corrupt boolean")
+    return domain.join(grouped, "is_corrupt", "left").select(
+        "is_corrupt", F.coalesce("n_rows", F.lit(0).cast("long")).alias("n_rows")
     )
 
 
