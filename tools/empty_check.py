@@ -35,35 +35,67 @@ import pyarrow.parquet as pq  # noqa: E402
 SRC_SF = "/root/testdata/sf0.001"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EMPTY_SF = os.path.join(REPO, ".fuzz", "sfempty")
+EMPTY_FACTS_SF = os.path.join(REPO, ".fuzz", "sfempty_facts")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+# The mixed tier's fact/dim split: dimensions exist from day one of any
+# deployment; what production actually produces is an EMPTY FACT
+# PARTITION against populated dims (a holiday with no orders, an ingest
+# gap, a filter that eliminated the day).
+FACTS = ["orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def _build_dir(dst_dir: str, empty: set[str]) -> str:
+    """Copy of the sf0.001 tier with the named tables truncated to 0
+    rows, schema preserved bit-for-bit (taken from the parquet footers,
+    so nanos-timestamp layouts and nullability flags survive)."""
+    import shutil
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in TABLES:
+        dst = os.path.join(dst_dir, f"{name}.parquet")
+        src = os.path.join(SRC_SF, f"{name}.parquet")
+        if name in empty:
+            tbl = pq.read_table(src)
+            if (
+                os.path.exists(dst)
+                and pq.read_table(dst).schema.equals(tbl.schema)
+                and pq.read_metadata(dst).num_rows == 0
+            ):
+                continue
+            pq.write_table(tbl.slice(0, 0), dst)
+        else:
+            if (
+                os.path.exists(dst)
+                and os.path.getsize(dst) == os.path.getsize(src)
+            ):
+                continue
+            shutil.copyfile(src, dst)
+    return dst_dir
 
 
 def build_empty_dir() -> str:
-    """0-row copy of every table, schema preserved bit-for-bit (taken
-    from the sf0.001 parquet footers, so nanos-timestamp layouts and
-    nullability flags survive)."""
-    os.makedirs(EMPTY_SF, exist_ok=True)
-    for name in TABLES:
-        dst = os.path.join(EMPTY_SF, f"{name}.parquet")
-        src = os.path.join(SRC_SF, f"{name}.parquet")
-        tbl = pq.read_table(src)
-        if (
-            os.path.exists(dst)
-            and pq.read_table(dst).schema.equals(tbl.schema)
-        ):
-            continue
-        pq.write_table(tbl.slice(0, 0), dst)
-    return EMPTY_SF
+    """All-tables-empty tier."""
+    return _build_dir(EMPTY_SF, set(TABLES))
+
+
+def build_empty_facts_dir() -> str:
+    """Facts-empty / dims-populated tier (the realistic mixed shape)."""
+    return _build_dir(EMPTY_FACTS_SF, set(FACTS))
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("keys", nargs="*")
     ap.add_argument("--verbose", "-v", action="store_true")
+    ap.add_argument(
+        "--facts-only",
+        action="store_true",
+        help="empty only the fact tables; dims stay populated",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -71,7 +103,7 @@ def main() -> int:
     from base_etl_spark import build_session, oracle_sql, queries
     from base_etl_spark.compare import compare_strict
 
-    sf = build_empty_dir()
+    sf = build_empty_facts_dir() if args.facts_only else build_empty_dir()
     qs, osql = queries(), oracle_sql()
     keys = args.keys or list(qs)
     unknown = [k for k in keys if k not in qs]
