@@ -176,7 +176,10 @@ def win_distribution(t: Tables) -> DataFrame:
     (2) row_number within each bucket (hash-distributed window), (3) add
     broadcast cumulative bucket-count offsets -> global rn. Because the
     order is total (c_custkey breaks all ties), every distribution
-    function is a closed form of (rn, n): percent_rank = (rn-1)/(n-1),
+    function is a closed form of (rn, n): percent_rank = (rn-1)/(n-1)
+    — with the SQL-standard n=1 special case pinned explicitly, because
+    0/0 is NULL under Spark's non-ANSI division while percent_rank of a
+    lone row is defined as 0.0 (found by the one-row degenerate tier) —
     cume_dist = rn/n, and ntile(4) follows the SQL-standard first-(n%4)-
     tiles-get-one-extra rule. Only the tiny bucket-offsets table is ever
     single-partition."""
@@ -206,7 +209,9 @@ def win_distribution(t: Tables) -> DataFrame:
             "c_custkey",
             "c_acctbal",
             quartile.alias("quartile"),
-            F.round((rn - 1) / (n - 1), 6).alias("pct_rank"),
+            F.round(
+                F.when(n == 1, F.lit(0.0)).otherwise((rn - 1) / (n - 1)), 6
+            ).alias("pct_rank"),
             F.round(rn / n, 6).alias("cdist"),
         )
     )

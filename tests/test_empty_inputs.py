@@ -78,3 +78,30 @@ def test_pagerank_empty_graph_is_empty(spark, empty_sf):
     df = queries()["graph_pagerank"](spark, empty_sf)
     assert df.columns == ["node", "rank"]
     assert df.count() == 0
+
+
+def test_win_distribution_single_row_percent_rank(spark):
+    """The one-row degenerate tier (tools/empty_check.py --one-row)
+    found the closed form's n=1 hole: (rn-1)/(n-1) is 0/0, NULL under
+    Spark's non-ANSI division, while SQL defines percent_rank of a lone
+    row as 0.0 (DuckDB's native window function emits 0.0). Pin the
+    special case driver-strict against the oracle on a 1-row table."""
+    from tools.empty_check import build_one_row_dir
+
+    import duckdb
+
+    from base_etl_spark import oracle_sql, queries
+    from base_etl_spark.compare import compare_strict
+
+    sf = build_one_row_dir()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE OR REPLACE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'"
+    )
+    sdf = queries()["win_distribution"](spark, sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == 1 and srows[0][2:] == (1, 0.0, 1.0)  # ntile, pct, cdist
+    problems = compare_strict(
+        sdf.columns, srows, con.sql(oracle_sql()["win_distribution"]).df()
+    )
+    assert not problems, problems

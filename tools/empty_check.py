@@ -87,6 +87,31 @@ def build_empty_facts_dir() -> str:
     return _build_dir(EMPTY_FACTS_SF, set(FACTS))
 
 
+ONE_ROW_SF = os.path.join(REPO, ".fuzz", "sfonerow")
+
+
+def build_one_row_dir() -> str:
+    """Every table truncated to its FIRST row — the degenerate-statistics
+    tier: sample variance of one point, regression over one x, 0/0
+    ratios, windows of width one. NaN-vs-NULL and 0-vs-NULL divergences
+    between engines live exactly here. (Cross-table keys generally won't
+    match, so joins mostly go empty — that shape is covered by the empty
+    tiers; this one targets single-group aggregates.)"""
+    os.makedirs(ONE_ROW_SF, exist_ok=True)
+    for name in TABLES:
+        dst = os.path.join(ONE_ROW_SF, f"{name}.parquet")
+        src = os.path.join(SRC_SF, f"{name}.parquet")
+        tbl = pq.read_table(src)
+        if (
+            os.path.exists(dst)
+            and pq.read_table(dst).schema.equals(tbl.schema)
+            and pq.read_metadata(dst).num_rows == 1
+        ):
+            continue
+        pq.write_table(tbl.slice(0, 1), dst)
+    return ONE_ROW_SF
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("keys", nargs="*")
@@ -96,6 +121,11 @@ def main() -> int:
         action="store_true",
         help="empty only the fact tables; dims stay populated",
     )
+    ap.add_argument(
+        "--one-row",
+        action="store_true",
+        help="truncate every table to its first row instead of zero",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -103,7 +133,12 @@ def main() -> int:
     from base_etl_spark import build_session, oracle_sql, queries
     from base_etl_spark.compare import compare_strict
 
-    sf = build_empty_facts_dir() if args.facts_only else build_empty_dir()
+    if args.one_row:
+        sf = build_one_row_dir()
+    elif args.facts_only:
+        sf = build_empty_facts_dir()
+    else:
+        sf = build_empty_dir()
     qs, osql = queries(), oracle_sql()
     keys = args.keys or list(qs)
     unknown = [k for k in keys if k not in qs]
