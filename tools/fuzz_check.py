@@ -22,7 +22,10 @@ Perturbations (seeded, deterministic):
   1800.0 s / 1800.000001 s; duplicate (user_id, ts) pairs with distinct
   event_ids; events exactly ON hour boundaries; value = 0.0 and 1e9;
   (wave 3) props with interior JSON whitespace and an explicit JSON
-  null, still honoring the {"k": int} contract.
+  null, still honoring the {"k": int} contract; (wave 4) ZERO-VARIANCE
+  cohorts — one user with 10 identical values at identical gaps, one
+  with constant zero — every per-user spread denominator (z-score, MAD,
+  autocorr, peak/anomaly, regression) degenerates to 0/0 on them.
 - orders: a childless order (no lineitems), an order whose o_custkey
   references no customer, totalprice 0.0 and 1e7, orders exactly on the
   fixture's min/max date boundary.
@@ -235,6 +238,24 @@ def build_fuzz_dir(with_nulls: bool) -> None:
             ev.append((base_id + 40, tE, 900006, "view", 1.5, '{ "k" : 7 }'))
             ev.append((base_id + 41, tE + 60 * s, 900006, "click", 2.5,
                        '{"k": null}'))
+            # user F (wave 4): a ZERO-VARIANCE cohort — 10 events with
+            # identical value AND identical inter-arrival gap. Every
+            # per-user statistic that divides by an in-group spread
+            # (z-score, MAD, autocorrelation, peak/anomaly thresholds,
+            # regression slope) hits 0/0 here; Spark's non-ANSI division
+            # yields NULL while DuckDB float math yields NaN or raises —
+            # any engine that resolves the degenerate group differently
+            # from its oracle diverges on this user.
+            tF = dt.datetime(2024, 3, 7, 8, 0, 0, 0)
+            for i in range(10):  # ids +60..69 (the nulls row takes +50)
+                ev.append((base_id + 60 + i, tF + i * 3600 * s, 900007,
+                           "view", 5.0, "{}"))
+            # user G (wave 4): constant ZERO value — numerator and
+            # denominator both degenerate (sum 0, mean 0, var 0).
+            tG = dt.datetime(2024, 3, 8, 6, 30, 0, 250000)
+            for i in range(6):
+                ev.append((base_id + 80 + i, tG + i * 900 * s, 900008,
+                           "view" if i % 2 == 0 else "click", 0.0, "{}"))
             cols = list(zip(*ev))
             rows = {
                 "event_id": list(cols[0]),
