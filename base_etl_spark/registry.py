@@ -134,64 +134,11 @@ ROUND7_WINDOW: list[str] = [
     "cluster_kmeans", "sim_mmr_rerank", "udtf_python", "etl_file_stats",
 ]
 
-DRIVER_PRIORITY: list[str] = [
-    # -- round-4 additions, highest user-leverage first
-    "join_q11_important_parts",
-    "agg_q13_cust_distribution",
-    "mm_audio_decode",
-    "mm_image_decode",
-    "mm_image_resize",
-    "mm_audio_frame_energy",
-    "mm_frame_stats",
-    "mm_video_frames",
-    "scan_python_datasource",
-    "scan_text_lines",
-    "json_variant_get",
-    "json_flatten_nested",
-    "join_geo_radius",
-    "join_fuzzy_blocked",
-    "etl_time_travel",
-    "etl_quarantine_rules",
-    "etl_na_policies",
-    "corpus_pipeline_report",
-    # -- analytics suite (registration order, D keys only)
-    "agg_stats_moments",
-    "agg_bool_bit",
-    "events_gapfill",
-    "events_transition_matrix",
-    "events_rfm",
-    "events_anomaly",
-    "events_conversion_lag",
-    "win_streaks",
-    "agg_weighted",
-    "win_mad_outliers",
-    "events_share_of_day",
-    "orders_market_basket",
-    "events_session_paths",
-    "win_time_range_moving",
-    "events_cumulative_users",
-    "events_heatmap_dow_hour",
-    "win_yoy_growth",
-    "win_pareto_abc",
-    "events_bot_detection",
-    "events_time_decay_score",
-    "events_max_gap",
-    "events_type_overlap",
-    "win_zscore_rolling",
-    "agg_gini",
-    "win_ema_fold",
-    "orders_running_backlog",
-    "events_churn_rate",
-    "events_active_users_rolling",
-    "events_ab_test",
-    "events_pattern_match",
-    "events_peak_detection",
-    "orders_seasonality_strength",
-    # hedge: if mm_video_frames is present the window is the 50 keys
-    # above; if not, this never-driver-seen key fills slot 50 instead of
-    # letting an already-checked key slide in from registration order.
-    "supplier_scorecard",
-]
+# Round 6: execute the committed rotation plan — the driver window IS
+# ROUND6_WINDOW (50 D keys whose only evidence through r5 is the local
+# strict gate). tests/test_rotation_plan.py keeps this honest against
+# the committed CORRECTNESS_r0*.json history.
+DRIVER_PRIORITY: list[str] = list(ROUND6_WINDOW)
 
 
 def _ordered() -> list[str]:
