@@ -11,8 +11,10 @@ Scale paths:
 - sim_topk is brute-force (probe x corpus). Fine when probes are small;
   the 100 TB path is sim_topk_blocked (Arrow-batched matmul kernel over
   mapInPandas, base_etl_spark/ann.py) and sim_topk_ivf (cluster-pruned).
-- dedup_embedding is all-pairs at small SF; at scale the same predicate
-  runs over LSH buckets exactly like dedup_near_minhash.
+- dedup_embedding collapses exact-duplicate vectors, bands the
+  representatives with SRP-LSH (like dedup_near_minhash's banding), and
+  expands verified rep pairs back to members — candidate work scales
+  with DISTINCT near-dup density, output with the true pair set.
 """
 
 from __future__ import annotations
@@ -263,9 +265,12 @@ def dedup_embedding_pairs(
     n_bands: int,
     rows_per_band: int,
     seed: int = 20260813,
+    collapse_exact: bool = True,
 ) -> DataFrame:
-    """Cosine >= theta pairs via SRP-LSH buckets: band join -> distinct
-    candidates -> exact cosine verification of CANDIDATES ONLY.
+    """Cosine >= theta pairs via exact-duplicate collapse + SRP-LSH
+    buckets: collapse byte-identical vectors to one representative, band
+    the representatives, verify exact cosine on REP candidates only,
+    then expand verified rep pairs back to member pairs.
 
     The 100 TB shape: linear scans, shuffles keyed by (band, bucket) and
     by vec_id — never an all-pairs nested-loop join. Parameterization is
@@ -278,18 +283,35 @@ def dedup_embedding_pairs(
     is keyed by vec_id, not bucket; at production theta the 6-8-bit keys
     fragment buckets and candidates collapse to true near-dups.
 
-    MEASURED BOUNDARY (tools/scale_stress.py --amp 100, 2026-08-14): on
-    a 100x-amplified corpus where every vector has 99 EXACT copies, the
-    r=2 low-theta banding's bucket self-join went candidate-quadratic
-    (~10^10 candidate rows), spilled ~75 GB of shuffle and died on disk
-    — empirical confirmation of the skew note above, not an implicit-
-    broadcast defect (the minhash OOM class). The production recipe on
-    duplicate-dense corpora is the one already documented for LSH
-    banding: collapse EXACT duplicates first (dedup_exact keyed on the
-    vector bytes bounds every bucket's group size), then band with
-    production r; the low-theta r=2 configuration is the fixture-scale
-    research dial and is not a 100 TB path."""
-    n = _normalized(emb)
+    WHY THE COLLAPSE IS THE DEFAULT (tools/scale_stress.py --amp 100,
+    2026-08-14): on a 100x-amplified corpus where every vector has 99
+    EXACT copies, banding the raw corpus made the bucket self-join
+    candidate-quadratic in copy count (~10^10 candidate rows), spilled
+    ~75 GB of shuffle and died on disk. Collapsing exact duplicates
+    FIRST bounds every bucket's group size by the corpus's DISTINCT
+    near-dup density — copies contribute output rows (the pair set at
+    theta is what it is) but never candidate work. Expansion is pure
+    output: same-class pairs carry the class's self-cosine, cross-class
+    pairs inherit the rep pair's cosine — float-identical to computing
+    per member, since members are byte-identical to their rep.
+    ``collapse_exact=False`` keeps the raw-corpus banding as a
+    test/research dial (tests assert both tiers agree); it is NOT a
+    100 TB path on duplicate-dense corpora."""
+    if collapse_exact:
+        # rep_id = min vec_id over byte-identical embedding content; one
+        # hash-partitioned window shuffle keyed by the vector itself.
+        classes = emb.select(
+            "vec_id",
+            F.min("vec_id").over(Window.partitionBy("embedding")).alias("rep_id"),
+        ).persist()
+        reps = emb.join(
+            classes.filter(F.col("vec_id") == F.col("rep_id")).select("vec_id"),
+            "vec_id",
+        )
+    else:
+        classes = None
+        reps = emb
+    n = _normalized(reps)
     banded = srp_banded(n.select("vec_id", "nemb"), n_bands, rows_per_band, seed)
     # Self-join over a PERSISTED banded table — deliberately NOT the
     # bucket-collect pair expansion minhash uses (llm_dedup.bucket_pairs):
@@ -314,12 +336,58 @@ def dedup_embedding_pairs(
     na = n.select(F.col("vec_id").alias("vec_a"), F.col("nemb").alias("na"))
     nb = n.select(F.col("vec_id").alias("vec_b"), F.col("nemb").alias("nb"))
     cos = dot(F.col("na"), F.col("nb"))
-    return (
-        cands.join(na, "vec_a")
+    # verify join MERGE-pinned: the candidate side scales with near-dup
+    # density (no static bound — the dedup_near_minhash OOM class), so it
+    # must never be the planner's broadcast build side.
+    rep_pairs = (
+        cands.hint("merge")
+        .join(na, "vec_a")
         .join(nb, "vec_b")
         .filter(cos >= theta)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
+    if not collapse_exact:
+        return rep_pairs
+    # Expansion back to member pairs — output-bound by construction.
+    # Cross-class: every member of class(a) x every member of class(b);
+    # classes are disjoint so least/greatest never collides with the
+    # same-class tier. Merge-pinned for the same no-static-bound reason.
+    ca = classes.select(F.col("rep_id").alias("vec_a"), F.col("vec_id").alias("ma"))
+    cb = classes.select(F.col("rep_id").alias("vec_b"), F.col("vec_id").alias("mb"))
+    cross = (
+        rep_pairs.hint("merge")
+        .join(ca, "vec_a")
+        .join(cb, "vec_b")
+        .select(
+            F.least("ma", "mb").alias("vec_a"),
+            F.greatest("ma", "mb").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+    # Same-class: all intra-class pairs at the class's self-cosine
+    # (dot(nemb, nemb) — the exact value dot(na, nb) yields for two
+    # byte-identical members, so the collapsed and raw tiers agree
+    # bit-for-bit). The theta filter still applies uniformly.
+    sc = dot(F.col("nemb"), F.col("nemb"))
+    selfcos = n.filter(sc >= theta).select(
+        F.col("vec_id").alias("rep_id"), F.round(sc, 6).alias("cos_sim")
+    )
+    same = (
+        classes.alias("x")
+        .join(
+            classes.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("x.rep_id").alias("rep_id"),
+        )
+        .join(selfcos, "rep_id")
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+    return cross.unionByName(same)
 
 
 def dedup_embedding_allpairs(emb: DataFrame, theta: float) -> DataFrame:
@@ -355,14 +423,18 @@ def dedup_embedding(t: Tables) -> DataFrame:
     so 0.35 marks the 'suspiciously similar' tail; a real dedup corpus
     would use ~0.95+).
 
-    Implementation is the SRP-LSH bucketed path (dedup_embedding_pairs):
-    candidates from 24 bands x 2 bits, exact cosine verify of candidates
-    only — no nested-loop join anywhere in the plan (plan-asserted in
-    tests). The oracle stays the all-pairs SQL: at theta=0.35 the r=2/b=24
-    banding has per-pair miss probability ~1.2e-5 and measured recall 1.0
-    on the fixtures (deterministic seed), so the bucketed result is
-    exactly the all-pairs result; tests also assert equality vs
-    dedup_embedding_allpairs including on planted high-cosine data."""
+    Implementation is the collapsed SRP-LSH bucketed path
+    (dedup_embedding_pairs, collapse_exact=True — the production shape
+    after the measured x100 duplicate-dense boundary): exact-duplicate
+    collapse, candidates from 24 bands x 2 bits over representatives,
+    exact cosine verify of rep candidates only, member expansion — no
+    nested-loop join anywhere in the plan (plan-asserted in tests). The
+    oracle stays the all-pairs SQL: at theta=0.35 the r=2/b=24 banding
+    has per-pair miss probability ~1.2e-5 and measured recall 1.0 on the
+    fixtures (deterministic seed), so the bucketed result is exactly the
+    all-pairs result; tests also assert equality vs
+    dedup_embedding_allpairs including on planted high-cosine data and
+    planted exact-duplicate classes."""
     return dedup_embedding_pairs(t.embeddings, theta=0.35, n_bands=24, rows_per_band=2)
 
 

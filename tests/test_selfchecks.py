@@ -150,6 +150,56 @@ def test_dedup_embedding_lsh_planted_high_cosine(spark):
     assert len(ap) >= 8  # the planted pairs are found
 
 
+def test_dedup_embedding_collapse_exact_duplicates(spark):
+    """The duplicate-dense regime that killed the raw-banding tier at
+    x100 (measured: candidate-quadratic bucket self-join, ~75 GB spill):
+    byte-identical copies of base vectors. The default collapsed path
+    must equal BOTH the all-pairs oracle and the raw-banding research
+    dial — same-class pairs at the class self-cosine, cross-class pairs
+    at the rep cosine, all orderings vec_a < vec_b."""
+    import random
+
+    from base_etl_spark.operators.llm_vectors import (
+        dedup_embedding_allpairs,
+        dedup_embedding_pairs,
+    )
+
+    rng = random.Random(11)
+    dim = 64
+    rows = []
+    base_vecs = []
+    for i in range(20):
+        v = [float(rng.gauss(0, 1)) for _ in range(dim)]
+        base_vecs.append(v)
+        rows.append((i, v))
+    # 3 exact copies of every 5th vector, with ids INTERLEAVED around the
+    # base range so least/greatest ordering in the expansion is exercised
+    cid = 0
+    for i in range(0, 20, 5):
+        for c in range(3):
+            rows.append((200 + cid if c % 2 else 5 + 20 * (cid + 1), base_vecs[i]))
+            cid += 1
+    # plus one near-dup (not exact) of vector 0
+    rows.append((999, [x + rng.gauss(0, 0.02) for x in base_vecs[0]]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    collapsed = {
+        tuple(r)
+        for r in dedup_embedding_pairs(emb, 0.95, n_bands=8, rows_per_band=6).collect()
+    }
+    raw = {
+        tuple(r)
+        for r in dedup_embedding_pairs(
+            emb, 0.95, n_bands=8, rows_per_band=6, collapse_exact=False
+        ).collect()
+    }
+    ap = {tuple(r) for r in dedup_embedding_allpairs(emb, 0.95).collect()}
+    assert collapsed == ap
+    assert raw == ap
+    # every planted copy class of size 4 contributes C(4,2)=6 pairs
+    assert len(ap) >= 24
+    assert all(a < b for a, b, _ in ap)
+
+
 def test_corpus_clean_consistent_with_stage_operators(spark):
     """etl_corpus_clean's verdicts agree with the standalone stage
     operators it composes (first-failing-stage priority)."""
