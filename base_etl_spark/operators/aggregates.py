@@ -132,9 +132,13 @@ def agg_rollup(t: Tables) -> DataFrame:
     row even over EMPTY input (DuckDB/Postgres do), but Spark's
     Expand-based grouping sets emit nothing — a real shape on any
     filtered-to-nothing partition. The union branch below synthesizes
-    that row gated on a count-only scan (no data columns read, near-free
-    against parquet footers); it contributes 0 rows on any non-empty
-    input, so every populated-SF plan and hash is unchanged."""
+    that row gated on a count-only subquery. Cost honesty: the gate
+    re-executes the aggregation INPUT (here the customer-nation join)
+    with zero data columns per run — column pruning makes it cheap, not
+    free, and the physical plan carries the union plus that extra
+    subtree. The RESULT hash is unchanged on any non-empty input (the
+    gate contributes 0 rows); acceptable since no grand-total-gated key
+    is a bench headline key."""
     j = t.customer.join(t.nation, t.customer.c_nationkey == t.nation.n_nationkey)
     rolled = (
         j.rollup("n_name", "c_mktsegment")

@@ -268,20 +268,46 @@ def _ensure_derived(path: str, state_key: str, build) -> None:
         return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     lock = path + ".lock"
+
+    def _lock_owner_dead() -> bool:
+        # The lock records its owner's pid; a recorded pid that still
+        # exists means the builder is LIVE no matter how old the lock is
+        # (a >300 s legitimate build must not get its lock stolen and its
+        # scratch dir rmtree'd mid-write). Unreadable/empty/foreign
+        # content falls back to age-only staleness.
+        try:
+            with open(lock) as f:
+                pid = int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            return True  # vanished or unparseable — age check governs
+        if pid <= 0:
+            return True
+        try:
+            os.kill(pid, 0)
+            return False  # owner process exists
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # exists, owned by another user
+
     while True:
         try:
-            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
             break
         except FileExistsError:
             _time.sleep(0.2)
             if _fresh():
                 return
             try:
-                # stale = the LOCK ITSELF is old (builder died); a live
-                # builder's lock is younger than 300 s unless the build
-                # genuinely takes that long, in which case raising the
-                # constant beats corrupting the layout
-                if _time.time() - os.stat(lock).st_mtime > 300:
+                # stale = the LOCK ITSELF is old (builder died) AND its
+                # recorded owner pid is gone; a live builder keeps its
+                # lock however long the build takes
+                if (
+                    _time.time() - os.stat(lock).st_mtime > 300
+                    and _lock_owner_dead()
+                ):
                     os.unlink(lock)
                     # no ownership claimed: loop back into the O_EXCL
                     # race so at most one stealer wins
@@ -306,8 +332,13 @@ def _ensure_derived(path: str, state_key: str, build) -> None:
             f.write(state_key)
         os.replace(mtmp, marker)
     finally:
+        # ownership-checked release: unlink only OUR lock — if a (buggy
+        # or misjudged) stealer replaced it, freeing the stealer's lock
+        # here would admit a third concurrent builder
         try:
-            os.unlink(lock)
+            with open(lock) as f:
+                if f.read().strip() == str(os.getpid()):
+                    os.unlink(lock)
         except OSError:
             pass
 

@@ -342,26 +342,37 @@ def test_fact_joins_pinned_to_merge(spark):
     column-pruned fact projections into broadcast builds at mid scale —
     wrong on any real cluster, where the build ships to every executor.
     The twelfth key (dedup_near_minhash) is pinned for a harder reason:
-    its candidate side has no static bound and OOM'd as a broadcast."""
-    for key in (
-        "join_q21_waiting",
-        "join_q4_priority_exists",
-        "join_q7_volume",
-        "join_q9_profit",
-        "join_q18_large_orders",
-        "agg_q13_cust_distribution",
-        "date_business_days",
-        "agg_q12_priority_class",
-        "join_theta_range",
-        "join_shuffle",
-        "orders_fulfillment_lag",
+    its candidate side has no static bound and OOM'd as a broadcast.
+
+    Counts, not presence: multi-join keys (q21 pins several sides) would
+    still 'contain SortMergeJoin' after ONE pinned side silently
+    regressed to a broadcast build — exactly the regression this test
+    exists to catch. Expected counts were read off the committed plans
+    (formatted explain lists each SMJ node twice: tree + detail, so one
+    pinned join contributes 2 occurrences)."""
+    for key, min_smj_nodes in (
+        ("join_q21_waiting", 3),
+        ("join_q4_priority_exists", 1),
+        ("join_q7_volume", 1),
+        ("join_q9_profit", 1),
+        ("join_q18_large_orders", 1),
+        ("agg_q13_cust_distribution", 1),
+        ("date_business_days", 1),
+        ("agg_q12_priority_class", 1),
+        ("join_theta_range", 1),
+        ("join_shuffle", 1),
+        ("orders_fulfillment_lag", 1),
         # candidate-verify join: the candidate side scales with near-dup
         # density (no static bound) — AQE's broadcast choice OOM'd on a
         # 100x-amplified corpus; merge is the only completing plan
-        "dedup_near_minhash",
+        ("dedup_near_minhash", 1),
     ):
         plan = _plan(_QS[key](spark, SF_TEST))
-        assert "SortMergeJoin" in plan, f"{key}: fact join lost its merge pin"
+        got = plan.count("SortMergeJoin") // 2
+        assert got >= min_smj_nodes, (
+            f"{key}: expected >={min_smj_nodes} sort-merge joins, plan has "
+            f"{got} — a pinned fact side regressed to a broadcast build"
+        )
 
 
 def test_q8_dual_nation_role_broadcasts(spark):

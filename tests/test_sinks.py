@@ -266,3 +266,62 @@ def test_ensure_derived_stale_lock_and_orphan_cleanup(tmp_path):
     assert os.path.isdir(target)
     assert not os.path.exists(orphan), "dead builder's scratch dir pruned"
     assert not os.path.exists(lock)
+
+
+def test_ensure_derived_release_is_ownership_checked(tmp_path):
+    """If a stealer replaced our lock mid-build, release must NOT free
+    the stealer's lock (that would admit a third concurrent builder)."""
+    import os
+
+    from base_etl_spark.sinks import _ensure_derived
+
+    target = str(tmp_path / "layout")
+    lock = target + ".lock"
+
+    def build(p):
+        os.makedirs(p)
+        open(os.path.join(p, "part-0"), "w").close()
+        # simulate a (misjudged) stealer taking the lock mid-build
+        with open(lock, "w") as f:
+            f.write("999999")
+
+    _ensure_derived(target, "k1", build)
+    assert os.path.isdir(target)
+    assert os.path.exists(lock), "foreign lock left in place on release"
+    with open(lock) as f:
+        assert f.read() == "999999"
+    os.unlink(lock)
+
+
+def test_ensure_derived_live_owner_lock_not_stolen(tmp_path):
+    """A lock whose mtime is ancient but whose recorded owner pid is
+    ALIVE belongs to a legitimately slow (>300 s) build: waiters must
+    keep waiting instead of stealing it and pruning the live builder's
+    scratch dir mid-write."""
+    import os
+    import threading
+    import time
+
+    from base_etl_spark.sinks import _ensure_derived
+
+    target = str(tmp_path / "layout")
+    lock = target + ".lock"
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))  # a live owner (this very process)
+    os.utime(lock, ns=(0, 0))  # epoch mtime => stale by age alone
+
+    built = []
+
+    def run():
+        _ensure_derived(target, "k1", lambda p: built.append(p))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(1.0)
+    assert t.is_alive(), "waiter stole a live owner's lock"
+    assert not built and os.path.exists(lock)
+    # the 'builder' finishes: marker appears, waiter returns without building
+    with open(target + ".done", "w") as f:
+        f.write("k1")
+    t.join(timeout=10)
+    assert not t.is_alive() and not built
