@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from base_etl_spark import iterstats
 from base_etl_spark.io import Tables
 from base_etl_spark.registry import query
 
@@ -72,7 +73,8 @@ def graph_pagerank(t: Tables) -> DataFrame:
     # N-row frame per round, which the round computes anyway.
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     delta = float("inf")
-    for _ in range(_PR_MAX_ROUNDS):
+    rounds_used = 0
+    for rounds_used in range(1, _PR_MAX_ROUNDS + 1):
         contribs = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
             .groupBy(F.col("dst").alias("node"))
@@ -106,4 +108,5 @@ def graph_pagerank(t: Tables) -> DataFrame:
             f"graph_pagerank: not converged within {_PR_MAX_ROUNDS} rounds "
             f"(delta={delta:.3e}, tol={tol:.3e})"
         )
+    iterstats.record("graph_pagerank", rounds_used)
     return ranks.select("node", F.round("rank", 8).alias("rank"))

@@ -24,6 +24,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from base_etl_spark import iterstats
 from base_etl_spark.io import Tables
 from base_etl_spark.registry import query
 from base_etl_spark.schemas import EMBEDDING_DIM
@@ -672,7 +673,8 @@ def cluster_kmeans(t: Tables) -> DataFrame:
             F.min("dc").alias("best"), F.first("embedding").alias("embedding")
         )
 
-    for _ in range(_KMEANS_MAX_ROUNDS):
+    rounds_used = 0
+    for rounds_used in range(1, _KMEANS_MAX_ROUNDS + 1):
         cents_df = spark.createDataFrame(cents_rows, schema)
         assigned = assign(cents_df)
         new_rows = {
@@ -698,6 +700,7 @@ def cluster_kmeans(t: Tables) -> DataFrame:
         raise RuntimeError(
             f"cluster_kmeans did not converge in {_KMEANS_MAX_ROUNDS} rounds"
         )
+    iterstats.record("cluster_kmeans", rounds_used)
 
     final_cents = spark.createDataFrame(cents_rows, schema)
     return assign(final_cents).select(

@@ -28,7 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# bench key -> registry key (BASELINE.md shapes + LLM headliners)
+# bench key -> registry key (BASELINE.md shapes + LLM headliners).
+# Every key now has a measured ≤2x anchor: the original 8 in BASELINE.md
+# "Measured baseline @ sf0.1", the later 5 (sim_topk, dedup_minhash,
+# q9_profit, q21_waiting, hybrid_rrf) in BASELINE.md "Local anchors for
+# the no-baseline bench queries" (tools/record_baselines.py).
 HEADLINE = {
     "q1": "agg_pricing",
     "q3": "topk_orders",

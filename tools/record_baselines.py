@@ -1,0 +1,86 @@
+"""Record local baseline anchors for bench queries with no BASELINE.md row.
+
+The round-5 verdict flagged that five bench headliners (sim_topk,
+dedup_minhash, q9_profit, q21_waiting, hybrid_rrf) had no "within 2x"
+anchor, making the bench gate unfalsifiable for them. This tool measures,
+on this machine at sf0.1, the same two columns the original baseline
+table records:
+
+- **DuckDB**: the key's oracle SQL (the cost of the answer in the
+  in-process OLAP engine — a floor, not the gate).
+- **PySpark first-cut**: the engine's query body under a STOCK session
+  (shuffle.partitions=8, default 10 MB autoBroadcastJoinThreshold, AQE
+  defaults) — the same untuned configuration the original first-cut
+  rows used, isolating what the session tuning buys.
+
+Prints a markdown table row per key (cold + warm) to paste into
+BASELINE.md. Usage: python tools/record_baselines.py [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KEYS = [
+    ("sim_topk", "sim_topk"),
+    ("dedup_minhash", "dedup_near_minhash"),
+    ("q9_profit", "join_q9_profit"),
+    ("q21_waiting", "join_q21_waiting"),
+    ("hybrid_rrf", "sim_hybrid_rrf"),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from base_etl_spark import build_session, oracle_sql, queries
+
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(args.sf, "*.parquet")):
+        name = os.path.basename(p).removesuffix(".parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+    spark = build_session(
+        "record_baselines",
+        shuffle_partitions=8,
+        extra_conf={
+            # stock Spark broadcast threshold (the session default is a
+            # tuned 64 MB); this is the untuned first-cut configuration
+            "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, osql = queries(), oracle_sql()
+
+    print("| bench key | registry key | DuckDB | PySpark cold | PySpark warm | rows out |")
+    print("|---|---|---:|---:|---:|---:|")
+    for bench_key, reg_key in KEYS:
+        dt = []
+        for _ in range(2):
+            t0 = time.time()
+            nrows = len(con.sql(osql[reg_key]).fetchall())
+            dt.append(time.time() - t0)
+        st = []
+        for _ in range(2):
+            t0 = time.time()
+            nrows = qs[reg_key](spark, args.sf).count()
+            st.append(time.time() - t0)
+        print(
+            f"| {bench_key} | {reg_key} | {min(dt):.3f} s | {st[0]:.2f} s "
+            f"| {min(st):.2f} s | {nrows} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -69,12 +69,22 @@ PAIR_TIER_KEYS = {
     "corpus_pipeline_report", "text_contamination",
 }
 
-# default keys: the bench.py headline set (registry keys)
+# Declared-iterative keys: per-round driver work is bounded (k-row
+# centroid collect / one scalar delta), but ROUND COUNT is data-dependent
+# — an amplified-tier ratio must be judged as rounds x per-round cost,
+# not flat data growth. The operators record their converged round count
+# in base_etl_spark.iterstats; the report carries it per tier, and a
+# time ratio above amp is excused LOUDLY when the round growth accounts
+# for it (time_ratio <= amp x round_ratio), else flagged superlinear.
+ITERATIVE_KEYS = {"cluster_kmeans", "graph_pagerank"}
+
+# default keys: the bench.py headline set (registry keys) + the two
+# iterative operators (round-count telemetry, see ITERATIVE_KEYS)
 DEFAULT_KEYS = [
     "agg_pricing", "topk_orders", "join_star_q5", "win_topk_per_group",
     "stream_tumbling", "text_stats", "dedup_exact", "json_extract",
     "sim_topk", "dedup_near_minhash", "join_q9_profit", "join_q21_waiting",
-    "sim_hybrid_rrf",
+    "sim_hybrid_rrf", "cluster_kmeans", "graph_pagerank",
 ]
 
 
@@ -155,24 +165,35 @@ def main() -> int:
     qs = queries()
     keys = args.keys or DEFAULT_KEYS
 
+    from base_etl_spark.iterstats import ITER_ROUNDS
+
     report = {}
     for k in keys:
         row = {}
         for tag, sf_dir in (("base", args.base), (f"x{args.amp}", out_dir)):
             best, n = float("inf"), -1
-            for _ in range(2):  # cold + warm; report warm
+            runs = 2 if k not in ITERATIVE_KEYS else 1  # iterative: one
+            # run is enough (round count dominates; cold/warm delta is
+            # per-round session overhead already amortized over rounds)
+            for _ in range(runs):
                 t0 = time.time()
                 n = qs[k](spark, sf_dir).count()
                 best = min(best, time.time() - t0)
             row[tag] = {"sec": round(best, 3), "rows": n}
+            if k in ITER_ROUNDS:
+                row[tag]["rounds"] = ITER_ROUNDS.pop(k)
         ratio = row[f"x{args.amp}"]["sec"] / max(row["base"]["sec"], 1e-9)
         row["time_ratio"] = round(ratio, 2)
         row["rows_ratio"] = round(
             row[f"x{args.amp}"]["rows"] / max(row["base"]["rows"], 1), 2)
         report[k] = row
+        extra = ""
+        if "rounds" in row["base"]:
+            extra = (f", rounds {row['base']['rounds']} -> "
+                     f"{row[f'x{args.amp}']['rounds']}")
         print(f"# {k}: {row['base']['sec']}s -> {row[f'x{args.amp}']['sec']}s "
               f"(x{row['time_ratio']}, rows {row['base']['rows']} -> "
-              f"{row[f'x{args.amp}']['rows']})", file=sys.stderr)
+              f"{row[f'x{args.amp}']['rows']}{extra})", file=sys.stderr)
 
     print(json.dumps({"metric": "scale_stress", "amp": args.amp,
                       "queries": report}))
@@ -187,6 +208,15 @@ def main() -> int:
                   f"all-pairs tier (work ~ duplicate-density^2; scale "
                   f"path = minhash banding)", file=sys.stderr)
             continue
+        if k in ITERATIVE_KEYS and "rounds" in r["base"]:
+            round_ratio = r[f"x{args.amp}"]["rounds"] / max(r["base"]["rounds"], 1)
+            if r["time_ratio"] <= args.amp * round_ratio:
+                print(f"# EXCUSED {k}: time x{r['time_ratio']} > amp "
+                      f"{args.amp}, accounted for by round growth "
+                      f"{r['base']['rounds']} -> {r[f'x{args.amp}']['rounds']} "
+                      f"(iterative: wall time ~ rounds x per-round data)",
+                      file=sys.stderr)
+                continue
         superlinear.append(k)
     print(f"# worst ratio {worst['time_ratio']}; "
           f"superlinear keys: {superlinear or 'none'}", file=sys.stderr)
