@@ -439,6 +439,96 @@ def dedup_embedding(t: Tables) -> DataFrame:
     return dedup_embedding_pairs(t.embeddings, theta=0.35, n_bands=24, rows_per_band=2)
 
 
+_SWEEP_THETAS = [0.35, 0.5, 0.75, 0.9, 0.95]
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH pairs AS (
+        SELECT round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.35
+    ),
+    th AS (SELECT unnest([0.35, 0.5, 0.75, 0.9, 0.95]) AS theta)
+    SELECT th.theta AS theta,
+           CAST(coalesce(
+               (SELECT count(*) FROM pairs WHERE pairs.cos >= th.theta),
+               0) AS BIGINT) AS n_pairs
+    FROM th
+    """,
+)
+def dedup_threshold_sweep(t: Tables) -> DataFrame:
+    """Dedup tuning report: how many near-dup pairs survive at each
+    candidate threshold — the number a pipeline owner reads BEFORE
+    committing to a theta (too low deletes real data, too high ships
+    duplicates). One LSH run at the LOOSEST threshold (0.35, whose
+    r=2/b=24 recall dial is the validated dedup_embedding setting);
+    higher thresholds are subsets, so their counts come free from the
+    same pair set — per-row threshold membership is an array filter +
+    explode (pure codegen, no join), and the 5-row threshold frame is
+    left-joined back only to pin the zero-count rows. Counting uses the
+    6dp-rounded cosine (the published pair artifact), so the report
+    matches what downstream consumers of dedup_embedding would count."""
+    spark = t.embeddings.sparkSession
+    pairs = dedup_embedding_pairs(
+        t.embeddings, theta=_SWEEP_THETAS[0], n_bands=24, rows_per_band=2
+    )
+    hits = pairs.select(
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(x) for x in _SWEEP_THETAS]),
+                lambda th: F.col("cos_sim") >= th,
+            )
+        ).alias("theta")
+    )
+    th_df = spark.createDataFrame([(x,) for x in _SWEEP_THETAS], "theta double")
+    counts = hits.groupBy("theta").agg(F.count(F.lit(1)).alias("n"))
+    return th_df.join(counts, "theta", "left").select(
+        "theta", F.coalesce("n", F.lit(0)).cast("long").alias("n_pairs")
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT i - 1                                   AS dim,
+           round(avg(x), 6)                        AS mean_x,
+           round(stddev(x), 6)                     AS std_x,
+           round(min(x), 6)                        AS min_x,
+           round(max(x), 6)                        AS max_x,
+           CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+    FROM (
+        SELECT generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings
+    )
+    GROUP BY i
+    """,
+)
+def embedding_dim_stats(t: Tables) -> DataFrame:
+    """Per-DIMENSION corpus statistics (mean/std/min/max/zero count) —
+    the encoder-drift monitor that catches a dead or saturated feature
+    channel across an embedding refresh (complements embedding_qa, which
+    is per-vector). posexplode -> 64-group hash agg: partial aggregation
+    combines map-side, so the 64x row expansion never crosses the wire —
+    one linear scan plus a 64-row shuffle at any corpus size. Sample
+    stddev (Spark's default) matches DuckDB's stddev; 6dp round absorbs
+    summation-order float drift."""
+    ex = t.embeddings.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    return ex.groupBy("dim").agg(
+        F.round(F.avg("x"), 6).alias("mean_x"),
+        F.round(F.stddev("x"), 6).alias("std_x"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+        F.sum(F.when(F.col("x") == 0.0, 1).otherwise(0)).cast("long").alias("n_zero"),
+    )
+
+
 @query("sim_topk_ivf", oracle=None)  # R: pruned search ~ recall-bound
 def sim_topk_ivf(t: Tables) -> DataFrame:
     """IVF-style ANN: coarse quantize to per-label centroids, search only

@@ -123,7 +123,10 @@ ROUND6_WINDOW: list[str] = [
     "stream_sliding_distinct", "win_rolling_median",
 ]
 
-# The final 22 — 12 D + all 10 R — after which every key has a driver row.
+# The final 24 — 14 D + all 10 R — after which every key has a driver
+# row. dedup_threshold_sweep and embedding_dim_stats were added in round
+# 6 (after the window plan was computed) and appended here per the
+# rotation rule: new keys join ROUND7_WINDOW at registration time.
 ROUND7_WINDOW: list[str] = [
     "agg_pivot_native", "orders_cohort_ltv", "events_ab_cuped",
     "dedup_cluster_sizes", "sim_range_search", "text_bigram_nll",
@@ -132,6 +135,7 @@ ROUND7_WINDOW: list[str] = [
     "sketch_hll_rollup", "sketch_hll_overlap", "dedup_minhash_estimate",
     "text_compress_ratio", "agg_freq_items", "graph_pagerank",
     "cluster_kmeans", "sim_mmr_rerank", "udtf_python", "etl_file_stats",
+    "dedup_threshold_sweep", "embedding_dim_stats",
 ]
 
 # Round 6: execute the committed rotation plan — the driver window IS

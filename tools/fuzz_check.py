@@ -35,7 +35,10 @@ Perturbations (seeded, deterministic):
   account balances, customers with no orders.
 - part: p_size 1 and 50, retailprice 0.0.
 - embeddings: an all-zero vector (norm 0 — divides by zero in cosine)
-  and a tiny-norm (1e-6) vector.
+  and a tiny-norm (1e-6) vector; (wave 5) exact-duplicate vector
+  classes with interleaved ids (the collapsed dedup_embedding regime),
+  one of them byte-distinct but PARALLEL to the tiny-norm vector —
+  normalization-identical without being collapse-mergeable.
 - optional --nulls: NULLs punched into nullable non-key columns
   (events.value, documents.lang/source, embeddings.label).
 
@@ -119,10 +122,23 @@ def _tpch_rows(name: str, with_nulls: bool) -> dict[str, list]:
             "p_retailprice": [0.0, 1.0],
         }
     if name == "embeddings":
+        # wave 5: exact-duplicate classes — the regime the collapsed
+        # dedup_embedding path exists for. Class A: four byte-identical
+        # copies of a constant vector, ids INTERLEAVED with class B so
+        # rep expansion's least/greatest ordering is exercised. Class B:
+        # two copies of a varied vector. Adversarial twist: class A's
+        # constant vector is PARALLEL to the tiny-norm wave-1 vector
+        # (identical after normalization, different bytes) — collapse
+        # must NOT merge them, LSH must still pair them at cos 1.0.
+        vec_b = [((i * 37) % 13 - 6) / 7.0 for i in range(64)]
         rows = {
-            "vec_id": [B, B + 1],
-            "embedding": [[0.0] * 64, [1e-6] * 64],  # zero / tiny norm
-            "label": [0, 1],
+            "vec_id": [B, B + 1, B + 10, B + 12, B + 11, B + 13, B + 14],
+            "embedding": [
+                [0.0] * 64, [1e-6] * 64,           # zero / tiny norm
+                [0.25] * 64, vec_b, [0.25] * 64,   # A, B, A
+                vec_b, [0.25] * 64,                # B, A
+            ],
+            "label": [0, 1, 2, 3, 2, 3, 2],
         }
         if with_nulls:
             rows["vec_id"].append(B + 2)
