@@ -817,6 +817,59 @@ def sketch_hll_overlap(t: Tables) -> DataFrame:
     )
 
 
+@query("sketch_cms_freq", oracle=None)  # R: CMS table bytes are engine-specific
+def sketch_cms_freq(t: Tables) -> DataFrame:
+    """Count–min-sketch frequency report: build ONE mergeable CMS over
+    event_type (`count_min_sketch` agg — map-side partial sketches
+    merged by cell-wise add, the same one-pass/commutative shape as the
+    HLL keys) and read back a point estimate per observed type next to
+    the exact count. This is the heavy-hitter primitive at 100 TB: the
+    sketch is a fixed ~100 KB regardless of input size or key
+    cardinality, so frequency questions on an unbounded key domain cost
+    one streaming pass — the exact groupBy here exists only to expose
+    the (estimate - exact) overestimate the report audits.
+
+    The sketch binary is Spark's own CountMinSketch serialization,
+    deserialized driver-side through the JVM's public readFrom/
+    estimateCount API (never re-implemented Python-side, so hash
+    semantics cannot drift from the builder's). Bounded driver work by
+    construction: one sketch row (~100 KB at eps=1e-3) plus one
+    estimate call per DISTINCT event type — the event-type dimension is
+    k-bounded like the k-means centroid collect. Rows-only by design
+    (sketch cell layout is engine-specific); the self-check
+    (tests/test_selfchecks.py) asserts the CMS one-sided error law:
+    exact <= estimate <= exact + eps*N for every type.
+
+    Determinism: fixed seed, and CMS updates are commutative integer
+    cell increments, so estimates are partition- and merge-order-
+    invariant (invariance-swept like every key)."""
+    spark = t.spark
+    typed = t.events.filter(F.col("event_type").isNotNull())
+    exact = (
+        typed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .collect()
+    )
+    schema = "event_type string, n_exact long, n_est long, n_over long"
+    if not exact:
+        return spark.createDataFrame([], schema)
+    cms_bytes = typed.agg(
+        F.count_min_sketch(
+            F.col("event_type"), F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("cms")
+    ).collect()[0].cms
+    sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(  # noqa: SLF001
+        bytearray(cms_bytes)
+    )
+    rows = [
+        (r.event_type, r.n_exact, int(sketch.estimateCount(r.event_type)))
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        [(et, n, est, est - n) for et, n, est in rows], schema
+    ).orderBy("event_type")
+
+
 @query(
     "win_yoy_growth",
     oracle="""
@@ -1483,6 +1536,125 @@ def events_ab_test(t: Tables) -> DataFrame:
         F.round(ra, 6).alias("rate_a"),
         F.round(rb, 6).alias("rate_b"),
         F.round(rb / ra - 1.0, 6).alias("lift_b_vs_a"),
+    )
+
+
+@query(
+    "events_ks_test",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN (user_id * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END
+                   AS variant,
+               value
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    n AS (
+        SELECT CAST(coalesce(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_a,
+               CAST(coalesce(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_b
+        FROM s
+    ),
+    d AS (
+        SELECT value,
+               sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS da,
+               sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS db
+        FROM s GROUP BY value
+    ),
+    c AS (
+        SELECT sum(da) OVER (ORDER BY value) AS ca,
+               sum(db) OVER (ORDER BY value) AS cb
+        FROM d
+    ),
+    m AS (
+        SELECT max(abs(ca * (SELECT n_b FROM n) - cb * (SELECT n_a FROM n)))
+                   AS dnum
+        FROM c
+    )
+    SELECT CASE WHEN n.n_a > 0 AND n.n_b > 0
+                THEN round(CAST(m.dnum AS DOUBLE) / (n.n_a * n.n_b), 6)
+           END AS ks_stat,
+           n.n_a, n.n_b
+    FROM n, m
+    """,
+)
+def events_ks_test(t: Tables) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the A/B arms'
+    `value` distributions (same deterministic user-hash assignment as
+    events_ab_test): D = max_x |F_A(x) - F_B(x)| — the DISTRIBUTIONAL
+    readout conversion-rate tests can't see (an experiment that shifts
+    the shape but not the mean moves D, not the rate). The max is
+    computed over integer cross-products max|ca*n_b - cb*n_a| with ONE
+    float division at the end, so there is no per-row float ECDF to
+    drift between engines.
+
+    Scale shape — the textbook KS needs a GLOBAL cumulative count, which
+    naively is one unpartitioned window over the whole fact table (a
+    single-task reducer; banned here). Instead: collapse ties with a
+    value-keyed hash agg, then a distributed two-phase prefix sum —
+    range-repartition by value, per-partition running sums under a
+    partition-local window (bounded by construction: one shuffle
+    partition), per-partition totals (≤ shuffle fan-out rows) prefix-
+    summed under a partition-count-bounded window, broadcast back as
+    offsets. Exact at any scale with no unbounded window; invariant
+    under the shuffle fan-out because range buckets are contiguous and
+    ascending in partition id (AQE may coalesce ADJACENT buckets, which
+    preserves both)."""
+    variant = F.when(
+        F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(100)) < 50, "A"
+    ).otherwise("B")
+    s = t.events.filter(F.col("value").isNotNull()).select(
+        variant.alias("variant"), "value"
+    )
+    is_a = F.when(F.col("variant") == "A", 1).otherwise(0)
+    is_b = F.when(F.col("variant") == "B", 1).otherwise(0)
+    tot = s.agg(
+        F.coalesce(F.sum(is_a), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum(is_b), F.lit(0)).cast("long").alias("n_b"),
+    )
+    d = (
+        s.groupBy("value")
+        .agg(F.sum(is_a).alias("da"), F.sum(is_b).alias("db"))
+        .repartitionByRange("value")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("ca_local", F.sum("da").over(wp)).withColumn(
+        "cb_local", F.sum("db").over(wp)
+    )
+    totals = d.groupBy("pid").agg(F.sum("da").alias("ta"), F.sum("db").alias("tb"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("ta").over(wo), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(wo), F.lit(0)).alias("ob"),
+    )
+    cum = d.join(F.broadcast(offsets), "pid").select(
+        (F.col("ca_local") + F.col("oa")).alias("ca"),
+        (F.col("cb_local") + F.col("ob")).alias("cb"),
+    )
+    dmax = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+            ).alias("dnum")
+        )
+    )
+    return tot.crossJoin(dmax).select(
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("dnum").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+            ),
+        ).alias("ks_stat"),
+        "n_a",
+        "n_b",
     )
 
 

@@ -312,6 +312,57 @@ def sample_exact_k(t: Tables) -> DataFrame:
     )
 
 
+@query(
+    "sample_weighted",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           round(-ln((((doc_id % {_BIG_PRIME}) * {_KNUTH}) % {_BIG_PRIME} + 1)
+                     / {float(_BIG_PRIME + 1)!r})
+                 / CAST(n_chars AS DOUBLE), 8) AS priority
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY priority, doc_id
+    LIMIT {_SAMPLE_K}
+    """,
+)
+def sample_weighted(t: Tables) -> DataFrame:
+    """Deterministic weighted exact-k sample (Efraimidis–Spirakis
+    exponential race, weight = n_chars): each doc draws a reproducible
+    uniform u from a multiplicative id hash and competes with priority
+    -ln(u)/w — the k SMALLEST priorities are a weighted-without-
+    replacement sample (equivalent to the classic "k largest u^(1/w)"
+    keys). This is how a corpus is subsampled length-proportionally for
+    eval/mixture work while staying bit-reproducible across engines,
+    runs, and re-analysis — df.sample() can do none of that.
+
+    Engine-neutral arithmetic: the inner hash is pure int64 (doc_id is
+    reduced mod p BEFORE the Knuth multiply, so the product never
+    exceeds 2^63 at any amplified id range); only the final -ln(u)/w is
+    float, and both engines round it to 8 dp before it becomes the sort
+    key, so libm ulp drift cannot reorder the race. Zero-weight (empty)
+    docs are excluded EXPLICITLY on both sides — the E-S limit for w=0
+    is "never sampled", but the engines' x/0 disagree on how to say so
+    (Spark SQL divide-by-zero -> NULL, which sorts FIRST ascending;
+    DuckDB IEEE -> +inf, which sorts last — a fuzz-wave find, not a
+    theoretical one). u < 1 strictly (hash mod p < p), so -ln(u) > 0
+    and 0/0 cannot occur for the surviving rows.
+
+    Scale shape: identical to sample_exact_k — TakeOrderedAndProject
+    (per-partition top-k, k-row driver merge), no global sort, no
+    shuffle. Plan-asserted alongside it."""
+    u = (
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(_BIG_PRIME)) * F.lit(_KNUTH), F.lit(_BIG_PRIME))
+        + F.lit(1)
+    ) / F.lit(float(_BIG_PRIME + 1))
+    prio = F.round(-F.log(u) / F.col("n_chars").cast("double"), 8)
+    return (
+        t.documents.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", prio.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(_SAMPLE_K)
+    )
+
+
 _PACK_BUDGET = 2048  # tokens per training sequence (context window)
 
 

@@ -188,6 +188,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "etl_time_travel",  # four 1-row state-count summaries combined
         "orders_seasonality_strength",  # 1-row grand-mean/SS scalars
         "events_autocorr",  # three 1-row legs (n_days + two lag corrs) combined
+        "events_ks_test",   # two 1-row legs (arm totals, integer KS max) combined
     }
     bad = []
     for k, fn in _QS.items():
@@ -256,6 +257,9 @@ def test_sample_exact_k_plans_take_ordered(spark):
     partition top-k + driver merge), never a global sort."""
     plan = _plan(_QS["sample_exact_k"](spark, SF_TEST))
     assert "TakeOrderedAndProject" in plan
+    # the weighted E-S race is the same contract: top-k, never global sort
+    wplan = _plan(_QS["sample_weighted"](spark, SF_TEST))
+    assert "TakeOrderedAndProject" in wplan
 
 
 def test_stream_topk_window_ranks_aggregated_rows(spark):

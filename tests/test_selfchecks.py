@@ -856,3 +856,65 @@ def test_fuzzy_join_finds_every_planted_twin(spark):
     keys = [r.s_suppkey for r in t.supplier.select("s_suppkey").collect()]
     missing = [k for k in keys if (k, k) not in pairs]
     assert missing == []
+
+
+def test_cms_estimates_obey_one_sided_error_law(spark):
+    """sketch_cms_freq: the count-min law is one-sided — a cell only
+    ever OVERcounts — so exact <= estimate <= exact + eps*N must hold
+    for every event type (eps=1e-3, confidence .99; the bound is
+    deterministic here: fixed seed, fixed fixture)."""
+    rows = _QS["sketch_cms_freq"](spark, SF_TEST).collect()
+    assert rows, "events fixture is non-empty"
+    total = sum(r.n_exact for r in rows)
+    slack = max(1, int(0.001 * total) + 1)
+    for r in rows:
+        assert r.n_est >= r.n_exact, (r.event_type, r.n_exact, r.n_est)
+        assert r.n_est - r.n_exact <= slack, (r.event_type, r.n_exact, r.n_est)
+        assert r.n_over == r.n_est - r.n_exact
+
+
+def test_ks_stat_matches_direct_computation(spark):
+    """events_ks_test vs a literal driver-side ECDF max over the same
+    arm assignment — pins the distributed two-phase prefix sum (range
+    repartition + per-partition cumsum + offsets) to the textbook
+    definition, independently of the SQL oracle."""
+    from base_etl_spark import load_tables
+
+    t = load_tables(spark, SF_TEST)
+    data = sorted(
+        ((r.value, "A" if (r.user_id * 2654435761) % 100 < 50 else "B")
+         for r in t.events.select("user_id", "value").collect()
+         if r.value is not None)
+    )
+    n_a = sum(1 for _, v in data if v == "A")
+    n_b = len(data) - n_a
+    ca = cb = 0
+    best = 0
+    i = 0
+    while i < len(data):
+        j = i
+        while j < len(data) and data[j][0] == data[i][0]:
+            if data[j][1] == "A":
+                ca += 1
+            else:
+                cb += 1
+            j += 1
+        best = max(best, abs(ca * n_b - cb * n_a))
+        i = j
+    row = _QS["events_ks_test"](spark, SF_TEST).collect()[0]
+    assert row.n_a == n_a and row.n_b == n_b
+    assert row.ks_stat == round(best / (n_a * n_b), 6)
+
+
+def test_ks_prefix_sum_is_distributed(spark):
+    """The KS cumulative counts must come from the two-phase pattern:
+    a range repartition on value and a pid-partitioned window — never
+    one unpartitioned window over the full fact table."""
+    import re
+
+    df = _QS["events_ks_test"](spark, SF_TEST)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning(value" in plan
+    assert re.search(r"hashpartitioning\(pid", plan), plan[:2000]
