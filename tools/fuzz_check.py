@@ -152,7 +152,12 @@ def build_fuzz_dir(with_nulls: bool) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    shutil.rmtree(os.path.dirname(FUZZ_SF), ignore_errors=True)
+    # Scope the wipe to OUR tier only: .fuzz/ is shared with
+    # empty_check's sfempty/sfempty_facts/sfonerow dirs, and nuking the
+    # parent mid-run destroyed a concurrent empty sweep's tables out
+    # from under it (exit-gate empty stages failed PATH_NOT_FOUND,
+    # round 6).
+    shutil.rmtree(FUZZ_SF, ignore_errors=True)
     os.makedirs(FUZZ_SF)
 
     perturbed = ("documents", "events", "orders", "lineitem", "customer",
