@@ -13,10 +13,10 @@ MinHash LSH, blocked similarity) are compositions of built-in operators;
 Python executes only inside Arrow-batched pandas UDFs, never per row.
 """
 
-from base_etl_spark.session import build_session
+from base_etl_spark.session import build_session, execute_fully
 from base_etl_spark.io import load_tables, Tables
 from base_etl_spark.registry import REGISTRY, queries, oracle_sql
 
-__all__ = ["build_session", "load_tables", "Tables", "REGISTRY", "queries", "oracle_sql"]
+__all__ = ["build_session", "execute_fully", "load_tables", "Tables", "REGISTRY", "queries", "oracle_sql"]
 
 __version__ = "0.1.0"

@@ -85,3 +85,19 @@ def build_session(
     except Exception:  # non-log4j2 deployments: cosmetic, never fatal
         pass
     return spark
+
+
+def execute_fully(df) -> None:
+    """Run a DataFrame end to end through Spark's no-op sink — the
+    honest way to TIME a query.
+
+    `df.count()` lets Catalyst optimize for the count: aggregate
+    expressions are pruned to their grouping keys, and a left join
+    whose build side has provably-unique keys can be eliminated
+    outright — measured here: json_extract's JSON projection elided
+    (2x under-timed) and dedup_threshold_sweep's entire LSH pair
+    subtree dropped at the x30 tier (~30x under-timed). The noop sink
+    materializes every output column of every row on the executors
+    with no driver transfer and no filesystem write, so what's timed
+    is what a real sink would pay."""
+    df.write.format("noop").mode("overwrite").save()

@@ -15,6 +15,18 @@ JSON now carries BOTH: `queries` / `value` are best-of-3 (current
 methodology), `queries_warm2` / `value_warm2` are best-of-the-first-2
 attempts (the r1-r4 methodology) — regressions masked by the extra
 attempt stay visible in the warm2 track.
+
+METHODOLOGY TRANSITION 2 (r6→): timed runs now execute through the
+no-op SINK (base_etl_spark.session.execute_fully) instead of
+`.count()`. count() lets Catalyst optimize for the count — aggregate
+expressions pruned, unique-key left joins eliminated — which
+under-timed json_extract ~2x (its JSON projections were never
+evaluated) while every other headline key measured within noise of the
+sink number (r6 A/B table in SURVEY §2.17). The five r6-recorded
+BASELINE.md anchors use the same sink methodology; the original r1
+anchor table was wall-clock around `.collect()`, which also
+materializes every column, so the ≤2x gate comparison stays
+like-for-like.
 """
 
 from __future__ import annotations
@@ -53,7 +65,7 @@ HEADLINE = {
 
 
 def main() -> None:
-    from base_etl_spark import build_session, queries
+    from base_etl_spark import build_session, execute_fully, queries
 
     spark = build_session(
         "bench",
@@ -77,8 +89,9 @@ def main() -> None:
         attempts = []
         for _ in range(3):  # cold + 2 warm; report best
             t0 = time.time()
-            n = fn(spark, SF_DIR).count()
+            execute_fully(fn(spark, SF_DIR))
             attempts.append(time.time() - t0)
+        n = fn(spark, SF_DIR).count()  # rows for the report line; untimed
         times[name] = round(min(attempts), 3)
         times_warm2[name] = round(min(attempts[:2]), 3)  # r1-r4 methodology
         print(f"# {name} ({key}): {times[name]}s, {n} rows", file=sys.stderr)
@@ -92,7 +105,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-                "methodology": "best-of-3 since r5 (warm2 = best-of-2, r1-r4)",
+                "methodology": (
+                    "best-of-3 noop-sink since r6 (full materialization; "
+                    "warm2 = best-of-2 attempts, r1-r4; r1-r5 engine "
+                    "numbers were count()-based — within noise of sink "
+                    "except json_extract, see SURVEY 2.17)"
+                ),
                 "value_warm2": round(sum(times_warm2.values()), 3),
                 "queries_warm2": times_warm2,
             }

@@ -43,7 +43,7 @@ def main() -> None:
 
     import duckdb
 
-    from base_etl_spark import build_session, oracle_sql, queries
+    from base_etl_spark import build_session, execute_fully, oracle_sql, queries
 
     con = duckdb.connect()
     for p in glob.glob(os.path.join(args.sf, "*.parquet")):
@@ -74,8 +74,11 @@ def main() -> None:
         st = []
         for _ in range(2):
             t0 = time.time()
-            nrows = qs[reg_key](spark, args.sf).count()
+            # sink-forced like the DuckDB side's fetchall(): both sides
+            # pay full materialization, the comparison is like-for-like
+            execute_fully(qs[reg_key](spark, args.sf))
             st.append(time.time() - t0)
+        nrows = qs[reg_key](spark, args.sf).count()
         print(
             f"| {bench_key} | {reg_key} | {min(dt):.3f} s | {st[0]:.2f} s "
             f"| {min(st):.2f} s | {nrows} |"

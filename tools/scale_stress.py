@@ -67,6 +67,11 @@ PAIR_TIER_KEYS = {
     "dedup_near_jaccard", "dedup_containment", "dedup_clusters",
     "dedup_cluster_sizes", "dedup_embedding", "etl_split_leakage",
     "corpus_pipeline_report", "text_contamination",
+    # 5-row report, but its input IS dedup_embedding's pair set at the
+    # loosest theta — pair-tier cost by contract (the exact-dup
+    # collapse bounds candidate work; the counted expansion still grows
+    # with duplicate density).
+    "dedup_threshold_sweep",
 }
 
 # Declared-iterative keys: per-round driver work is bounded (k-row
@@ -157,7 +162,7 @@ def main() -> int:
         build_amplified(args.base, args.amp, out_dir)
         print(f"# built {out_dir} in {time.time() - t0:.1f}s", file=sys.stderr)
 
-    from base_etl_spark import build_session, queries
+    from base_etl_spark import build_session, execute_fully, queries
 
     spark = build_session(
         "scale_stress", extra_conf={"spark.ui.showConsoleProgress": "false"})
@@ -177,8 +182,12 @@ def main() -> int:
             # per-round session overhead already amortized over rounds)
             for _ in range(runs):
                 t0 = time.time()
-                n = qs[k](spark, sf_dir).count()
+                # noop sink, not count(): count() let Catalyst DROP the
+                # dedup_threshold_sweep pair subtree (unique-key left
+                # join elimination) — its x30 "2.4s" was ~30x under-timed
+                execute_fully(qs[k](spark, sf_dir))
                 best = min(best, time.time() - t0)
+            n = qs[k](spark, sf_dir).count()  # rows reported, untimed
             row[tag] = {"sec": round(best, 3), "rows": n}
             if k in ITER_ROUNDS:
                 row[tag]["rounds"] = ITER_ROUNDS.pop(k)
