@@ -762,6 +762,104 @@ def events_cumulative_users(t: Tables) -> DataFrame:
 
 
 @query(
+    "agg_mutual_info",
+    oracle="""
+    WITH b AS (
+        SELECT event_type AS x, dayofweek(ts) AS y FROM events
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+    j AS (SELECT x, y, count(*) AS nxy FROM b GROUP BY x, y),
+    mx AS (SELECT x, count(*) AS nx FROM b GROUP BY x),
+    my AS (SELECT y, count(*) AS ny FROM b GROUP BY y),
+    mi AS (
+        SELECT sum((CAST(nxy AS DOUBLE) / n)
+                   * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)))
+                   AS mi_nats
+        FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    ),
+    hx AS (
+        SELECT -sum((CAST(nx AS DOUBLE) / n) * ln(CAST(nx AS DOUBLE) / n))
+                   AS h_type
+        FROM mx CROSS JOIN tot
+    ),
+    hy AS (
+        SELECT -sum((CAST(ny AS DOUBLE) / n) * ln(CAST(ny AS DOUBLE) / n))
+                   AS h_dow
+        FROM my CROSS JOIN tot
+    )
+    SELECT round(mi.mi_nats, 6) AS mi_nats,
+           round(hx.h_type, 6)  AS h_type,
+           round(hy.h_dow, 6)   AS h_dow,
+           tot.n                AS n_events
+    FROM mi, hx, hy, tot
+    """,
+)
+def agg_mutual_info(t: Tables) -> DataFrame:
+    """Mutual information I(event_type; day-of-week) in nats, with both
+    marginal entropies — the association-strength readout between two
+    categorical columns (complements agg_chi_square: chi-square answers
+    "is there ANY dependence", MI answers "how many bits/nats of one
+    does the other carry", comparable across tables via the entropy
+    ceilings I <= min(H_x, H_y)).
+
+    Scale shape: three hash aggs over the fact (joint + two marginals —
+    each combines map-side to a cells-bounded frame), then all arithmetic
+    on the bounded contingency frames: joint x marginals are
+    category-bounded broadcast joins, and the final assembly is a
+    cross of 1-row summaries (allowlisted 1-row nested-loop class).
+    Cross-engine floats: every term is a deterministic function of
+    exact integer counts; only the final sums are float, and 6dp
+    rounding absorbs their summation-order drift. The dow convention
+    offset is irrelevant here: any bijective relabeling of a category
+    leaves MI and entropy unchanged."""
+    b = t.events.select(
+        F.col("event_type").alias("x"), F.dayofweek("ts").alias("y")
+    )
+    tot = b.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = b.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+    mx = b.groupBy("x").agg(F.count(F.lit(1)).alias("nx"))
+    my = b.groupBy("y").agg(F.count(F.lit(1)).alias("ny"))
+    joined = (
+        j.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi = joined.agg(
+        F.sum(
+            (F.col("nxy").cast("double") / F.col("n"))
+            * F.log(
+                F.col("nxy").cast("double")
+                * F.col("n")
+                / (F.col("nx").cast("double") * F.col("ny"))
+            )
+        ).alias("mi_nats")
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("nx").cast("double") / F.col("n"))
+            * F.log(F.col("nx").cast("double") / F.col("n"))
+        )).alias("h_type")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("ny").cast("double") / F.col("n"))
+            * F.log(F.col("ny").cast("double") / F.col("n"))
+        )).alias("h_dow")
+    )
+    return (
+        mi.crossJoin(hx)
+        .crossJoin(hy)
+        .crossJoin(tot)
+        .select(
+            F.round("mi_nats", 6).alias("mi_nats"),
+            F.round("h_type", 6).alias("h_type"),
+            F.round("h_dow", 6).alias("h_dow"),
+            F.col("n").alias("n_events"),
+        )
+    )
+
+
+@query(
     "events_heatmap_dow_hour",
     oracle="""
     SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,

@@ -529,6 +529,87 @@ def embedding_dim_stats(t: Tables) -> DataFrame:
     )
 
 
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH ex AS (
+        SELECT d.source,
+               generate_subscripts(e.embedding, 1) AS i,
+               unnest(e.embedding)::DOUBLE AS x
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    c AS (SELECT source, i, avg(x) AS m FROM ex GROUP BY source, i),
+    v AS (SELECT source, array_agg(m ORDER BY i) AS vec FROM c GROUP BY source),
+    p AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.vec AS va, b.vec AS vb
+        FROM v a JOIN v b ON a.source < b.source
+    )
+    SELECT source_a, source_b,
+           round(list_dot_product(va, vb)
+                 / (sqrt(list_dot_product(va, va))
+                    * sqrt(list_dot_product(vb, vb))), 6) AS cos_sim
+    FROM p
+    """,
+)
+def embedding_centroid_drift(t: Tables) -> DataFrame:
+    """Pairwise cosine similarity between per-SOURCE embedding
+    centroids — the slice-level drift monitor: when one crawl source's
+    centroid swings away from the others after an encoder refresh (or a
+    content regime change), this matrix moves before any per-vector or
+    per-dimension stat does (embedding_qa and embedding_dim_stats are
+    the other two tiers).
+
+    Scale shape: the fact-fact join (embeddings x documents on
+    vec_id = doc_id) shuffles once on the shared id; posexplode ->
+    (source, dim) hash agg combines map-side, so the 64x expansion
+    never crosses the wire; everything after operates on the
+    sources x 64 centroid table (bounded by the source dimension),
+    where the pairwise self-join is broadcast-trivial. Centroid
+    assembly sorts (dim, mean) structs in-row — no window, no extra
+    shuffle. 6dp round absorbs partial-aggregation float drift; the
+    dot/norm folds run in dim order on both engines."""
+    ex = (
+        t.embeddings.join(
+            t.documents.select("doc_id", "source"),
+            t.embeddings.vec_id == t.documents.doc_id,
+        )
+        .select("source", F.posexplode("embedding").alias("dim", "x"))
+        .select("source", "dim", F.col("x").cast("double").alias("x"))
+    )
+    cent = (
+        ex.groupBy("source", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("source")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("vec")
+        )
+    )
+    a = cent.select(F.col("source").alias("source_a"), F.col("vec").alias("va"))
+    b = cent.select(F.col("source").alias("source_b"), F.col("vec").alias("vb"))
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z
+    )
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(dot(F.col("va"), F.col("va")))
+                    * F.sqrt(dot(F.col("vb"), F.col("vb")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+
+
 @query("sim_topk_ivf", oracle=None)  # R: pruned search ~ recall-bound
 def sim_topk_ivf(t: Tables) -> DataFrame:
     """IVF-style ANN: coarse quantize to per-label centroids, search only

@@ -136,7 +136,8 @@ ROUND7_WINDOW: list[str] = [
     "text_compress_ratio", "agg_freq_items", "graph_pagerank",
     "cluster_kmeans", "sim_mmr_rerank", "udtf_python", "etl_file_stats",
     "dedup_threshold_sweep", "embedding_dim_stats", "sample_weighted",
-    "events_ks_test", "sketch_cms_freq",
+    "events_ks_test", "sketch_cms_freq", "embedding_centroid_drift",
+    "agg_mutual_info",
 ]
 
 # Round 6: execute the committed rotation plan — the driver window IS

@@ -189,6 +189,8 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "orders_seasonality_strength",  # 1-row grand-mean/SS scalars
         "events_autocorr",  # three 1-row legs (n_days + two lag corrs) combined
         "events_ks_test",   # two 1-row legs (arm totals, integer KS max) combined
+        "agg_mutual_info",  # four 1-row summaries (MI + two entropies + N) combined
+        "embedding_centroid_drift",  # source-dim-bounded (~20-row) centroid pair join
     }
     bad = []
     for k, fn in _QS.items():
