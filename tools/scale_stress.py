@@ -72,6 +72,12 @@ PAIR_TIER_KEYS = {
     # collapse bounds candidate work; the counted expansion still grows
     # with duplicate density).
     "dedup_threshold_sweep",
+    # composite whose near-dup STAGE reuses the inverted-index shingle
+    # pair join (llm_dedup._shingle_jaccard_pairs — the exact all-pairs
+    # tier); its docstring declares minhash LSH as that stage's scale
+    # tier. Flagged x15.71 at x10 in the first sink-forced full sweep
+    # (r6) — pair growth, not a plan defect.
+    "etl_corpus_clean",
 }
 
 # Declared-iterative keys: per-round driver work is bounded (k-row
