@@ -28,6 +28,7 @@ FOUND_BY_FUZZ = [
     "udf_arrow",
     "text_langid_ngram",
     "math_funcs",
+    "sample_weighted",  # r6: zero-weight doc -> Spark x/0 NULL sorted FIRST
 ]
 
 
@@ -61,3 +62,26 @@ def test_fuzzed_key_matches_oracle(key, spark, fuzz_sf, fuzz_duck):
         sdf.columns, srows, fuzz_duck.sql(oracle_sql()[key]).df()
     )
     assert not problems, f"{key}: {problems}"
+
+
+def test_division_by_zero_is_null_not_ieee(spark):
+    """Pins the engine behavior sample_weighted's zero-weight exclusion
+    relies on: Spark SQL division by zero yields NULL for DOUBLES too
+    (non-ANSI mode), not IEEE inf/NaN — and NULL sorts FIRST ascending,
+    so an unguarded ratio ORDER BY silently promotes exactly the rows a
+    weight of zero says to never select. If either behavior changes
+    (ANSI default flip, NULL ordering), the exclusion rationale must be
+    revisited."""
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        (F.lit(1.0) / F.lit(0.0)).alias("d"),
+        (F.lit(0.0) / F.lit(0.0)).alias("z"),
+    ).first()
+    assert row.d is None and row.z is None
+    ordered = (
+        spark.createDataFrame([(1.0,), (None,)], "x double")
+        .orderBy("x")
+        .collect()
+    )
+    assert ordered[0].x is None  # NULLS FIRST ascending
