@@ -900,3 +900,112 @@ def mm_video_frames(t: Tables) -> DataFrame:
     n = t.documents.sparkSession.sparkContext.defaultParallelism
     docs = t.documents.select("doc_id").repartition(n, "doc_id")
     return docs.mapInPandas(run, schema=_VIDEO_SCHEMA)
+
+
+@query(
+    "mm_image_dedup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 37 AS k,
+               3 + (doc_id % 37) % 5 AS w,
+               2 + (doc_id % 37) % 4 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w * h AS n, i,
+               (k * 7 + 13 * i) % 256
+             + (k * 11 + 17 * i) % 256
+             + (k * 19 + 23 * i) % 256 AS gray
+        FROM d, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) g
+    ),
+    tot AS (
+        SELECT doc_id, sum(gray) AS sg, max(n) AS n
+        FROM px GROUP BY doc_id
+    ),
+    hs AS (
+        SELECT px.doc_id,
+               CAST(sum(CASE WHEN px.gray * tot.n > tot.sg
+                             THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END)
+                    AS BIGINT) AS img_hash
+        FROM px JOIN tot ON px.doc_id = tot.doc_id
+        GROUP BY px.doc_id
+    ),
+    rep AS (
+        SELECT img_hash, min(doc_id) AS rep_doc_id, count(*) AS n_members
+        FROM hs GROUP BY img_hash
+    )
+    SELECT hs.doc_id, hs.img_hash, rep.rep_doc_id, rep.n_members,
+           hs.doc_id <> rep.rep_doc_id AS is_dup
+    FROM hs JOIN rep USING (img_hash)
+    """,
+)
+def mm_image_dedup(t: Tables) -> DataFrame:
+    """Perceptual-hash image dedup over the REAL BMP decode path — the
+    multimodal twin of dedup_exact: per document a deterministic image
+    (content keyed on doc_id % 37, so every 37th document renders the
+    byte-identical asset — planted duplicate families) is encoded into a
+    real BMP container, decoded back through decode_bmp24 inside the
+    Arrow kernel, and reduced to a mean-threshold average hash (aHash,
+    public: bit i set iff pixel luminance exceeds the image mean —
+    computed in exact integers as gray_i·n > Σgray so both engines
+    threshold identically, no float mean). Documents are then grouped by
+    hash: each row reports its bucket's min-doc_id representative,
+    member count, and an is_dup flag — the collapse map a downstream
+    training pipeline applies before tokenization.
+
+    A wrong stride/row-order/channel decode flips bits, so the driver
+    hash checks the CODEC, not just the plumbing; the oracle recomputes
+    the closed form pixel stream in DuckDB, independent of the BMP
+    container. At 100 TB: decode + hash is embarrassingly parallel
+    (mapInPandas over doc-partitioned batches, ~35-bit hash per asset on
+    the wire); the dedup is ONE hash-keyed shuffle (hash cardinality ≈
+    distinct assets), the per-hash rep table joins back on the same key
+    (AQE broadcasts it when small), and the kernel output is persisted
+    so the decode pass runs once, not once per join side. Real-codec
+    caveat: aHash on photographic content groups NEAR-duplicates under
+    hamming distance; the exact-bucket semantic here is the hash-equality
+    tier (hamming banding = dedup_simhash's machinery, composable on the
+    same column)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "img_hash": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = doc_id % 37
+                w, h = 3 + k % 5, 2 + k % 4
+                i = np.arange(w * h, dtype=np.int64)
+                rgb = np.stack(
+                    [
+                        (k * 7 + i * 13) % 256,
+                        (k * 11 + i * 17) % 256,
+                        (k * 19 + i * 23) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8).reshape(h, w, 3)
+                dec = decode_bmp24(encode_bmp24(rgb)).astype(np.int64)
+                gray = dec.sum(axis=2).reshape(-1)  # r+g+b per pixel, 0..765
+                n = gray.size
+                bits = (gray * n > gray.sum()).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["img_hash"].append(int((bits << np.arange(n, dtype=np.int64)).sum()))
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    hashes = docs.mapInPandas(run, schema=_PHASH_SCHEMA).persist()
+    rep = hashes.groupBy("img_hash").agg(
+        F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_members")
+    )
+    return hashes.join(rep, "img_hash").select(
+        "doc_id",
+        "img_hash",
+        "rep_doc_id",
+        "n_members",
+        (F.col("doc_id") != F.col("rep_doc_id")).alias("is_dup"),
+    )
+
+
+_PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("img_hash", LongType())]
+)

@@ -14,7 +14,7 @@ never grows (the dedup_clusters pattern).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from base_etl_spark import iterstats
@@ -110,3 +110,179 @@ def graph_pagerank(t: Tables) -> DataFrame:
         )
     iterstats.record("graph_pagerank", rounds_used)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH cs AS (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+    ),
+    pc AS (
+        SELECT a.s AS u, b.s AS v, count(*) AS w
+        FROM cs a JOIN cs b ON a.o = b.o AND a.s < b.s
+        GROUP BY a.s, b.s
+    ),
+    dir AS (
+        SELECT u AS a, v AS b, w FROM pc
+        UNION ALL
+        SELECT v AS a, u AS b, w FROM pc
+    ),
+    knn AS (
+        SELECT a, b FROM (
+            SELECT a, b,
+                   row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+            FROM dir
+        ) WHERE rn <= 5
+    ),
+    e AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM knn
+    ),
+    deg AS (
+        SELECT node, count(*) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node
+    ),
+    eo AS (
+        SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS src,
+               CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS dst,
+               CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                    THEN dv.deg ELSE du.deg END AS ddeg
+        FROM e
+        JOIN deg du ON e.u = du.node
+        JOIN deg dv ON e.v = dv.node
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM eo e1
+        JOIN eo e2 ON e1.src = e2.src
+             AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+        JOIN eo e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    )
+    SELECT (SELECT count(*) FROM deg)                                AS n_nodes,
+           (SELECT count(*) FROM e)                                  AS n_edges,
+           (SELECT CAST(coalesce(sum(deg * (deg - 1)), 0) // 2 AS BIGINT)
+            FROM deg)                                                AS n_wedges,
+           n_triangles,
+           CASE WHEN (SELECT coalesce(sum(deg * (deg - 1)), 0) FROM deg) > 0
+                THEN round(3.0 * n_triangles /
+                           ((SELECT sum(deg * (deg - 1)) FROM deg) / 2.0), 6)
+           END AS clustering
+    FROM tri
+    """,
+)
+def graph_triangle_count(t: Tables) -> DataFrame:
+    """Global triangle census of the supplier partnership KNN graph:
+    node/edge/wedge/triangle counts plus the global clustering
+    coefficient 3·triangles / wedges — the graph-cohesion readout used
+    to sanity-check a co-occurrence projection before heavier graph ML
+    (community detection, graph-based ANN).
+
+    Graph construction: suppliers co-occur when they ship lines of the
+    SAME order (per-order pair fan-out is bounded by the order's line
+    count, ≤ C(7,2) in TPC-H-shaped data — never quadratic in a hub
+    key); co-occurrence counts are symmetrized and each node keeps its
+    5 strongest partners (row_number over (count DESC, partner id) — a
+    deterministic mutual-KNN sparsification, the standard fix for raw
+    co-occurrence projections saturating toward the complete graph,
+    which this fixture's uniform supplier assignment does: the unpruned
+    graph IS complete at every SF, making a census of it degenerate).
+
+    Triangle algorithm (public: Schank & Wagner's degree-ordered
+    orientation / the MapReduce "node-iterator++"): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one — a total order, so each triangle {u,v,w} survives as EXACTLY
+    one oriented wedge (u→v, u→w with (deg,id)(v) < (deg,id)(w)) whose
+    closing edge v→w is checked with one more equi-join. Orientation
+    bounds every node's out-degree by O(√m), so wedge fan-out is
+    O(m^1.5) — the best known join-based bound — instead of Σ deg² on
+    raw adjacency (a hub supplier would otherwise quadratically
+    dominate at 100 TB).
+
+    Plan shape: one distinct over the (orderkey, suppkey) projection,
+    the pair count shuffles on the pair key, the KNN window partitions
+    by node (high cardinality, never global), the wedge join shuffles
+    oriented edges once on src, and the closing-edge check joins on the
+    (dst-pair) key; every join is equi-keyed (plan-asserted: no nested
+    loop on the edge joins) and the only broadcast is the final 1-row
+    scalar combine. Wedge count Σ deg(deg−1)/2 stays in exact integer
+    arithmetic; the one float division is rounded to 6dp on both
+    engines."""
+    cs = t.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = cs.alias("a"), cs.alias("b")
+    pc = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("pu"), F.col("b.s").alias("pv"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    direct = pc.select(
+        F.col("pu").alias("na"), F.col("pv").alias("nb"), "w"
+    ).unionByName(pc.select(F.col("pv").alias("na"), F.col("pu").alias("nb"), "w"))
+    knn_w = Window.partitionBy("na").orderBy(F.col("w").desc(), F.col("nb"))
+    knn = direct.withColumn("rn", F.row_number().over(knn_w)).filter(F.col("rn") <= 5)
+    e = (
+        knn.select(
+            F.least("na", "nb").alias("u"), F.greatest("na", "nb").alias("v")
+        )
+        .distinct()
+        .persist()  # feeds degrees AND orientation; tiny vs the fact scan
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    eo = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+        )
+        .persist()  # read three times by the wedge + closing joins
+    )
+    e1 = eo.select(
+        F.col("src"), F.col("dst").alias("v_dst"), F.col("ddeg").alias("v_deg")
+    )
+    e2 = eo.select(
+        F.col("src"), F.col("dst").alias("w_dst"), F.col("ddeg").alias("w_deg")
+    )
+    wedges_vw = e1.join(e2, "src").filter(
+        (F.col("v_deg") < F.col("w_deg"))
+        | ((F.col("v_deg") == F.col("w_deg")) & (F.col("v_dst") < F.col("w_dst")))
+    )
+    closing = eo.select(F.col("src").alias("v_dst"), F.col("dst").alias("w_dst"))
+    tri = wedges_vw.join(closing, ["v_dst", "w_dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nodes_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # Σ deg(deg−1) is even by construction; keep it integer until the end
+    wedge2 = deg.agg(F.coalesce(F.sum(F.col("deg") * (F.col("deg") - 1)), F.lit(0)).alias("w2"))
+    out = (
+        tri.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(nodes_edges))
+        .crossJoin(F.broadcast(wedge2))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.expr("w2 div 2").alias("n_wedges"),
+            "n_triangles",
+            F.when(
+                F.col("w2") > 0,
+                F.round(3.0 * F.col("n_triangles") / (F.col("w2") / F.lit(2.0)), 6),
+            ).alias("clustering"),
+        )
+    )
+    return out

@@ -191,6 +191,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "events_ks_test",   # two 1-row legs (arm totals, integer KS max) combined
         "agg_mutual_info",  # four 1-row summaries (MI + two entropies + N) combined
         "embedding_centroid_drift",  # source-dim-bounded (~20-row) centroid pair join
+        "graph_triangle_count",  # four 1-row graph-census scalars combined
     }
     bad = []
     for k, fn in _QS.items():
@@ -221,6 +222,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "mm_image_decode": "MapInPandas",  # REAL BMP decode — the boundary is the point
         "mm_image_resize": "MapInPandas",  # REAL BMP resize — two codec trips
         "mm_video_frames": "MapInPandas",  # REAL AVI demux — the boundary is the point
+        "mm_image_dedup": "MapInPandas",  # REAL BMP decode feeding the hash dedup
         "udtf_python": "BatchEvalPython",  # Python-UDTF boundary (BatchEvalPythonUDTF node)
     }
     markers = (

@@ -918,3 +918,53 @@ def test_ks_prefix_sum_is_distributed(spark):
     )
     assert "rangepartitioning(value" in plan
     assert re.search(r"hashpartitioning\(pid", plan), plan[:2000]
+
+
+def test_triangle_count_planted_graph(spark):
+    """Hand-built lineitem with known supplier co-occurrence: orders
+    {1,2,3}, {1,2}, {3,4}. KNN pruning (k=5) keeps every edge at these
+    degrees, so the census is the raw graph's: edges {12,13,23,34},
+    degrees (2,2,3,1) => wedges 1+1+3+0 = 5, one triangle {1,2,3},
+    clustering 3·1/5 = 0.6."""
+    from base_etl_spark.registry import REGISTRY
+
+    li = spark.createDataFrame(
+        [(10, s) for s in (1, 2, 3)]
+        + [(20, s) for s in (1, 2)]
+        + [(30, s) for s in (3, 4)],
+        "l_orderkey bigint, l_suppkey bigint",
+    )
+
+    class _T:
+        lineitem = li
+
+    (row,) = REGISTRY["graph_triangle_count"].fn.tables_fn(_T()).collect()
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (4, 4, 5, 1)
+    assert abs(row.clustering - 0.6) < 1e-12
+
+
+def test_image_dedup_planted_families(spark):
+    """doc_id % 37 keys the rendered image, so ids {0, 37, 74} share one
+    byte-identical asset and {1, 38} another: the hash buckets, reps,
+    member counts and is_dup flags are forced."""
+    from base_etl_spark.registry import REGISTRY
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 37, 38, 74)], "doc_id bigint"
+    )
+
+    class _T:
+        documents = docs
+
+    rows = {r.doc_id: r for r in REGISTRY["mm_image_dedup"].fn.tables_fn(_T()).collect()}
+    assert len(rows) == 5
+    fam0 = [rows[i] for i in (0, 37, 74)]
+    fam1 = [rows[i] for i in (1, 38)]
+    assert len({r.img_hash for r in fam0}) == 1
+    assert len({r.img_hash for r in fam1}) == 1
+    assert fam0[0].img_hash != fam1[0].img_hash
+    assert all(r.rep_doc_id == 0 and r.n_members == 3 for r in fam0)
+    assert all(r.rep_doc_id == 1 and r.n_members == 2 for r in fam1)
+    assert [rows[i].is_dup for i in (0, 1, 37, 38, 74)] == [
+        False, False, True, True, True,
+    ]
