@@ -1106,3 +1106,63 @@ def join_fuzzy_blocked(t: Tables) -> DataFrame:
         .filter(F.col("edit_dist") <= 2)
         .distinct()
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                         AS n_lines,
+           round(sum(l_extendedprice), 2)   AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_prefilter(t: Tables) -> DataFrame:
+    """Semi-join reduction by hashed-bucket broadcast — the manual,
+    plan-portable analog of Spark's InjectRuntimeFilter: the selective
+    side's join keys are projected to xxhash64(key) mod 2^20 bucket ids
+    and DISTINCT'd (≤ 8 MB broadcast NO MATTER how many keys the
+    selective side holds — the compression a raw key-set broadcast
+    lacks), the fact side is pruned by a broadcast LEFT SEMI on its own
+    bucket id BEFORE its shuffle, and the exact merge join afterwards
+    removes the hash-collision false positives — so the result is
+    provably identical to the plain join, which is exactly what the
+    oracle runs.
+
+    Why manual when Spark can inject this: measured in tools/bloom_ab.py
+    — the built-in rule only fires on shuffle joins AND gates the
+    creation side on the PLAN SIZE ESTIMATE, which without CBO column
+    stats is the unfiltered scan size, so a selective-but-big creation
+    side (the 100 TB fact-fact case this key models) silently loses the
+    filter. The composition pins the semantics in the plan itself:
+    one bounded broadcast (bucket table), one fact scan pruned at
+    ~selectivity + FP rate, one merge join (fact-derived sides pinned
+    per the mid-scale broadcast trap, SURVEY §2.16). Plan-asserted:
+    BroadcastHashJoin LeftSemi feeding a SortMergeJoin."""
+    m = 1 << 20
+    sel = t.orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    buckets = sel.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(m)).alias("bk")
+    ).distinct()
+    pruned = t.lineitem.join(
+        F.broadcast(buckets),
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(m)) == F.col("bk"),
+        "left_semi",
+    )
+    return (
+        pruned.hint("merge")
+        .join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

@@ -548,3 +548,16 @@ def test_max_partition_bytes_governs_scan_parallelism(spark, tables, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
     assert small_cap > big_cap
     assert big_cap <= 4  # ~file count (+ slack for openCostInBytes packing)
+
+
+def test_bloom_prefilter_plan_shape(spark):
+    """The bucket prune must be a broadcast LEFT SEMI ahead of the fact
+    shuffle, and the exact join must stay sort-merge (the modeled
+    regime is the fact-fact one — see tools/bloom_ab.py for why the
+    built-in runtime filter can't be relied on for it)."""
+    import re
+
+    df = _QS["join_bloom_prefilter"](spark, SF_TEST)
+    plan = _plan(df)
+    assert re.search(r"BroadcastHashJoin LeftSemi", plan), plan[:2000]
+    assert "SortMergeJoin" in plan
