@@ -888,6 +888,48 @@ def scan_orc_agg(t: Tables) -> DataFrame:
     )
 
 
+@query(
+    "scan_xml_agg",
+    oracle="""
+    SELECT s_nationkey,
+           count(*)                      AS n_suppliers,
+           round(sum(s_acctbal), 2)      AS total_bal,
+           max(s_name)                   AS max_name
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def scan_xml_agg(t: Tables) -> DataFrame:
+    """XML source/sink, driver-checked end to end (same derived-fixture
+    protocol as the CSV/JSON/ORC keys): supplier -> XML (native Spark 4
+    writer, rowTag elements, entity escaping) -> read with the declared
+    schema -> aggregate, oracled against the ORIGINAL parquet. The max()
+    over a string column certifies the text round trip (escape/unescape),
+    the sum certifies doubles' shortest-repr parse, and NULLs survive as
+    absent elements (probed; the fixture is NULL-free but the degenerate
+    tiers exercise absent rows).
+
+    Scale notes: XML is an edge-ingestion format — record boundaries
+    need the tag scanner, nothing pushes down, every byte parses; the
+    reader takes an explicit schema (inference costs a full extra pass)
+    and parallelizes by file split like the JSON reader. Convert to
+    parquet at the lake edge."""
+    path = _derived_path(t.sf_dir, "supplier_xml")
+    t.supplier.write.mode("overwrite").format("xml").option("rowTag", "supplier").save(path)
+    return (
+        t.spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(schemas.SUPPLIER)
+        .load(path)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            F.max("s_name").alias("max_name"),
+        )
+    )
+
+
 @query("scan_binary_files", oracle=None)  # R: file sizes are fixture-layout-specific
 def scan_binary_files(t: Tables) -> DataFrame:
     """Whole-file binary ingest (`binaryFile` source) — the entry path
