@@ -389,6 +389,25 @@ def mm_audio_decode(t: Tables) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def planted_rgb(key: int, w: int, h: int, frame: int = 0) -> np.ndarray:
+    """The planted synthetic image: pixel i's channels are
+    (key·7 + frame·29 + 13i, key·11 + frame·31 + 17i,
+    key·19 + frame·37 + 23i) mod 256 — the SINGLE source of truth for
+    the content recipe shared by mm_image_decode / mm_image_resize /
+    mm_video_frames / mm_image_dedup AND their closed-form DuckDB
+    oracles; changing a coefficient here must change the oracles in
+    lockstep (each key's driver hash enforces that)."""
+    i = np.arange(w * h, dtype=np.int64)
+    return np.stack(
+        [
+            (key * 7 + frame * 29 + i * 13) % 256,
+            (key * 11 + frame * 31 + i * 17) % 256,
+            (key * 19 + frame * 37 + i * 23) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8).reshape(h, w, 3)
+
+
 def encode_bmp24(pixels: np.ndarray) -> bytes:
     """Minimal BMP writer: (h, w, 3) uint8 RGB → 24-bit BI_RGB file.
     Rows are stored bottom-up and padded to 4-byte stride, per the
@@ -472,15 +491,7 @@ def mm_image_decode(t: Tables) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 w, h = 3 + doc_id % 5, 2 + doc_id % 4
-                i = np.arange(w * h, dtype=np.int64)
-                rgb = np.stack(
-                    [
-                        (doc_id * 7 + i * 13) % 256,
-                        (doc_id * 11 + i * 17) % 256,
-                        (doc_id * 19 + i * 23) % 256,
-                    ],
-                    axis=1,
-                ).astype(np.uint8).reshape(h, w, 3)
+                rgb = planted_rgb(doc_id, w, h)
                 dec = decode_bmp24(encode_bmp24(rgb)).astype(np.int64)
                 out["asset_id"].append(doc_id)
                 out["width"].append(w)
@@ -561,15 +572,7 @@ def mm_image_resize(t: Tables) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 w, h = 3 + doc_id % 5, 2 + doc_id % 4
-                i = np.arange(w * h, dtype=np.int64)
-                rgb = np.stack(
-                    [
-                        (doc_id * 7 + i * 13) % 256,
-                        (doc_id * 11 + i * 17) % 256,
-                        (doc_id * 19 + i * 23) % 256,
-                    ],
-                    axis=1,
-                ).astype(np.uint8).reshape(h, w, 3)
+                rgb = planted_rgb(doc_id, w, h)
                 small = decode_bmp24(
                     resize_bmp_nearest(encode_bmp24(rgb), 4, 4)
                 ).astype(np.int64)
@@ -872,18 +875,7 @@ def mm_video_frames(t: Tables) -> DataFrame:
                 doc_id = int(doc_id)
                 w, h = 3 + doc_id % 5, 2 + doc_id % 4
                 nf = 2 + doc_id % 3
-                i = np.arange(w * h, dtype=np.int64)
-                src = [
-                    np.stack(
-                        [
-                            (doc_id * 7 + f * 29 + i * 13) % 256,
-                            (doc_id * 11 + f * 31 + i * 17) % 256,
-                            (doc_id * 19 + f * 37 + i * 23) % 256,
-                        ],
-                        axis=1,
-                    ).astype(np.uint8).reshape(h, w, 3)
-                    for f in range(nf)
-                ]
+                src = [planted_rgb(doc_id, w, h, frame=f) for f in range(nf)]
                 dec = decode_avi_rgb24(encode_avi_rgb24(src))
                 for f, frame in enumerate(dec):
                     fi = frame.astype(np.int64)
@@ -974,16 +966,7 @@ def mm_image_dedup(t: Tables) -> DataFrame:
                 doc_id = int(doc_id)
                 k = doc_id % 37
                 w, h = 3 + k % 5, 2 + k % 4
-                i = np.arange(w * h, dtype=np.int64)
-                rgb = np.stack(
-                    [
-                        (k * 7 + i * 13) % 256,
-                        (k * 11 + i * 17) % 256,
-                        (k * 19 + i * 23) % 256,
-                    ],
-                    axis=1,
-                ).astype(np.uint8).reshape(h, w, 3)
-                dec = decode_bmp24(encode_bmp24(rgb)).astype(np.int64)
+                dec = decode_bmp24(encode_bmp24(planted_rgb(k, w, h))).astype(np.int64)
                 gray = dec.sum(axis=2).reshape(-1)  # r+g+b per pixel, 0..765
                 n = gray.size
                 bits = (gray * n > gray.sum()).astype(np.int64)

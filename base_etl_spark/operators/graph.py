@@ -183,12 +183,17 @@ def graph_triangle_count(t: Tables) -> DataFrame:
     Graph construction: suppliers co-occur when they ship lines of the
     SAME order (per-order pair fan-out is bounded by the order's line
     count, ≤ C(7,2) in TPC-H-shaped data — never quadratic in a hub
-    key); co-occurrence counts are symmetrized and each node keeps its
-    5 strongest partners (row_number over (count DESC, partner id) — a
-    deterministic mutual-KNN sparsification, the standard fix for raw
-    co-occurrence projections saturating toward the complete graph,
-    which this fixture's uniform supplier assignment does: the unpruned
-    graph IS complete at every SF, making a census of it degenerate).
+    key); co-occurrence counts are symmetrized and each node NOMINATES
+    its 5 strongest partners (row_number over (count DESC, partner id),
+    deterministic), keeping an undirected edge when EITHER endpoint
+    nominates it — the union-of-KNN graph: total edges ≤ 5n, but a
+    much-nominated node's degree may exceed 5 (which is exactly why the
+    triangle join below orients by DEGREE, not id). KNN sparsification
+    is the standard fix for raw co-occurrence projections saturating
+    toward the complete graph, which this fixture's uniform supplier
+    assignment does: the unpruned graph IS complete at every SF (
+    measured — C(n,2) edges at sf0.001/0.01/0.1), making a census of it
+    degenerate.
 
     Triangle algorithm (public: Schank & Wagner's degree-ordered
     orientation / the MapReduce "node-iterator++"): orient every

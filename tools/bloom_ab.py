@@ -115,15 +115,21 @@ def main() -> None:
                 df._jdf.queryExecution(), "formatted"
             )
             injected = "might_contain" in plan or "bloomfilter" in plan.lower()
-            execute_fully(df)  # cold: discard (amplified scan warms page cache)
+            # fail fast instead of silently timing two identical plans:
+            # the A/B is meaningless if the forced variant didn't inject
+            if name == "shuffle_bloom_on" and not injected:
+                raise RuntimeError(
+                    "shuffle_bloom_on produced no bloom filter in the plan "
+                    "— conf names or injection gates changed; A/B invalid"
+                )
+            # cold run doubles as the identity capture (collect equally
+            # warms the page cache; saves a 4th execution per variant)
+            results[name] = sorted((tuple(r) for r in df.collect()), key=str)
             times = []
             for _ in range(2):
                 t0 = time.time()
                 execute_fully(_shape(spark, args.dir))
                 times.append(round(time.time() - t0, 3))
-            results[name] = sorted(
-                (tuple(r) for r in df.collect()), key=str
-            )
             report["variants"][name] = {
                 "warm_best": min(times),
                 "warm_runs": times,
