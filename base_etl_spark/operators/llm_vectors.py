@@ -1221,3 +1221,129 @@ def sim_mmr_rerank(t: Tables) -> DataFrame:
         .groupBy("probe_id")
         .applyInPandas(_mmr_kernel, schema=_MMR_SCHEMA)
     )
+
+
+_PREFILTER_K = 100
+
+
+@query(
+    "sim_topk_bitsign",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id,
+               -- dimension 64 lands on the SIGN bit: DuckDB raises on
+               -- 1::BIGINT << 63 where the JVM wraps, so it is added as
+               -- the min-long constant (same bit pattern as Spark's
+               -- shiftleft(1L, 63)); the hugeint sum then casts exactly
+               CAST(sum(CASE WHEN v <= 0 THEN 0
+                             WHEN i = 64 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                             ELSE (CAST(1 AS BIGINT) << (i - 1)) END)
+                    AS BIGINT) AS sig
+        FROM (SELECT vec_id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+        GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(p.sig, c.sig)) AS BIGINT) AS hamming
+        FROM sig p JOIN sig c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < {N_PROBES}
+    ),
+    pre AS (
+        SELECT probe_id, neighbor_id, hamming FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY hamming, neighbor_id) AS hrn
+            FROM cand
+        ) WHERE hrn <= {_PREFILTER_K}
+    ),
+    rerank AS (
+        SELECT pre.probe_id, pre.neighbor_id, pre.hamming,
+               round(list_cosine_similarity(p.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM pre
+        JOIN embeddings p ON p.vec_id = pre.probe_id
+        JOIN embeddings c ON c.vec_id = pre.neighbor_id
+    )
+    SELECT probe_id, neighbor_id, hamming, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM rerank
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_bitsign(t: Tables) -> DataFrame:
+    """Two-stage retrieval with a 64-bit SIGN SKETCH (public: Charikar's
+    SimHash applied to raw dimensions — bit i set iff embedding[i] > 0;
+    Hamming distance between sketches estimates angular distance): stage
+    1 ranks the whole corpus per probe by 8-BYTE signature Hamming
+    distance and keeps the top-{_PREFILTER_K}; stage 2 computes exact
+    cosine ONLY on those candidates and emits the final top-{TOP_K}. The
+    declared contract is this two-stage result itself (the oracle runs
+    the identical pipeline) — recall vs brute force is a property of the
+    sketch, pinned by a superset self-check in tests, not by the hash.
+
+    The 100 TB shape this models: full-precision vectors (64 floats =
+    256 B) NEVER move in stage 1 — only (id, signature) pairs (16 B)
+    cross the wire, a 16x shuffle reduction, and the exact rerank
+    touches arrays for probes × {_PREFILTER_K} rows only (candidate ids
+    broadcast back against the corpus — at fixture scale AQE picks the
+    same broadcast). Signature packing is exact integer arithmetic
+    (shift-sum, 0-based Spark transform index == 1-based
+    generate_subscripts - 1), so both engines build identical sketches;
+    cosine rounds to 6dp BEFORE ranking with neighbor_id tie-breaks
+    (the sim_topk protocol)."""
+    # F.shiftleft's Python wrapper only takes a literal shift count; the
+    # SQL function accepts a column, so the packing runs through expr
+    sig = t.embeddings.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(embedding,"
+            " (x, i) -> IF(CAST(x AS DOUBLE) > 0D, shiftleft(1L, i), 0L)),"
+            " 0L, (a, b) -> a + b)"
+        ).alias("sig"),
+    )
+    probes_sig = F.broadcast(
+        sig.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"), F.col("sig").alias("p_sig")
+        )
+    )
+    cand = (
+        probes_sig.crossJoin(sig)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.bit_count(F.col("p_sig").bitwiseXOR(F.col("sig"))).cast("long").alias("hamming"),
+        )
+    )
+    hw = Window.partitionBy("probe_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    pre = cand.withColumn("hrn", F.row_number().over(hw)).filter(
+        F.col("hrn") <= _PREFILTER_K
+    ).drop("hrn")
+    p_emb = t.embeddings.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        norm(F.col("embedding")).alias("p_norm"),
+    )
+    c_emb = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    rerank = (
+        pre.join(p_emb, "probe_id")
+        .join(c_emb, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "hamming",
+            F.round(
+                dot(F.col("p_emb"), F.col("c_emb"))
+                / (F.col("p_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return rerank.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)

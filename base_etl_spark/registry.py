@@ -138,7 +138,7 @@ ROUND7_WINDOW: list[str] = [
     "dedup_threshold_sweep", "embedding_dim_stats", "sample_weighted",
     "events_ks_test", "sketch_cms_freq", "embedding_centroid_drift",
     "agg_mutual_info", "graph_triangle_count", "mm_image_dedup",
-    "join_bloom_prefilter", "scan_xml_agg",
+    "join_bloom_prefilter", "scan_xml_agg", "sim_topk_bitsign",
 ]
 
 # Round 6: execute the committed rotation plan — the driver window IS

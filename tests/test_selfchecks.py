@@ -968,3 +968,27 @@ def test_image_dedup_planted_families(spark):
     assert [rows[i].is_dup for i in (0, 1, 37, 38, 74)] == [
         False, False, True, True, True,
     ]
+
+
+def test_bitsign_two_stage_recall_vs_brute_force(spark):
+    """The sign-sketch prefilter is declared lossy; its QUALITY contract
+    is recall against the exact brute-force top-5 (sim_topk) — measured
+    0.96 mean / 0.8 min at this fixture, pinned with slack. Structure:
+    exactly 5 ranked neighbors per probe, ranks 1..5, no self-matches."""
+    brute, two = {}, {}
+    for r in _QS["sim_topk"](spark, SF_TEST).collect():
+        brute.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    rows = _QS["sim_topk_bitsign"](spark, SF_TEST).collect()
+    for r in rows:
+        assert r.neighbor_id != r.probe_id
+        two.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    assert set(two) == set(brute)
+    for p, ns in two.items():
+        assert len(ns) == 5
+    ranks = {}
+    for r in rows:
+        ranks.setdefault(r.probe_id, []).append(r.rn)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in ranks.values())
+    recalls = [len(brute[p] & two[p]) / len(brute[p]) for p in brute]
+    assert sum(recalls) / len(recalls) >= 0.9
+    assert min(recalls) >= 0.6
