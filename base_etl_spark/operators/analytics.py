@@ -2642,3 +2642,273 @@ def orders_fulfillment_lag(t: Tables) -> DataFrame:
             F.max(lag_days).cast("long").alias("max_lag_days"),
         )
     )
+
+
+@query(
+    "agg_benford_test",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents
+    ),
+    obs AS (SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit),
+    grid AS (
+        SELECT d AS digit, ln(1.0 + 1.0 / d) / ln(10.0) AS exp_share
+        FROM (SELECT unnest(generate_series(1, 9)) AS d)
+    ),
+    tot AS (SELECT sum(n_obs) AS n FROM obs)
+    SELECT g.digit,
+           CAST(coalesce(o.n_obs, 0) AS BIGINT)               AS n_obs,
+           round(g.exp_share, 6)                              AS exp_share,
+           round(coalesce(o.n_obs, 0) / (tot.n * 1.0), 6)     AS obs_share,
+           round(power(coalesce(o.n_obs, 0) - tot.n * g.exp_share, 2)
+                 / (tot.n * g.exp_share), 6)                  AS chi2_term
+    FROM grid g LEFT JOIN obs o ON g.digit = o.digit, tot
+    """,
+)
+def agg_benford_test(t: Tables) -> DataFrame:
+    """Benford first-significant-digit test on order totals — the
+    classic fabricated-data / fraud screen: organic multiplicative data
+    follows P(d) = log10(1 + 1/d); fabricated or capped values don't.
+    Per digit 1..9: observed count, expected share, observed share, and
+    the chi-square term ((obs − n·p)² / n·p) — the 8-dof total is the
+    sum over the 9 output rows.
+
+    Determinism: the first digit comes from the INTEGER cents value via
+    its decimal string (substr of CAST(bigint AS string) — identical in
+    both engines), never from log10/pow of a double, whose boundary
+    behavior at exact powers of ten is libm-dependent. The only floats
+    are ln-ratio constants and the final terms, rounded at 6dp (the
+    agg_chi_square precedent). The digit-1..9 grid is synthesized so
+    digits with zero observations still emit their row (and an empty
+    orders table emits the 9-row grid with n=0 → NULL-guarded terms).
+
+    At 100 TB: one projection-only scan → 9-group hash agg with
+    map-side partials; everything after runs on the 9-row frame (the
+    1-row total broadcast is the allowlisted scalar pattern)."""
+    cents = t.orders.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    obs = (
+        cents.select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    grid = t.spark.range(1, 10).select(
+        F.col("id").alias("digit"),
+        (F.log(1.0 + 1.0 / F.col("id")) / F.log(F.lit(10.0))).alias("exp_share"),
+    )
+    tot = obs.agg(F.coalesce(F.sum("n_obs"), F.lit(0)).alias("n"))
+    return (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.round("exp_share", 6).alias("exp_share"),
+            F.round(
+                F.coalesce("n_obs", F.lit(0)) / (F.col("n") * F.lit(1.0)), 6
+            ).alias("obs_share"),
+            F.round(
+                F.pow(F.coalesce("n_obs", F.lit(0)) - F.col("n") * F.col("exp_share"), 2)
+                / (F.col("n") * F.col("exp_share")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+@query(
+    "events_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_events) AS t_all, count(*) AS n_days FROM daily),
+    cus AS (
+        SELECT day, n_events,
+               CAST(tot.n_days * sum(n_events) OVER (ORDER BY day)
+                    - row_number() OVER (ORDER BY day) * tot.t_all
+                    AS BIGINT) AS cusum_scaled
+        FROM daily, tot
+    ),
+    mark AS (
+        SELECT *, row_number() OVER (ORDER BY abs(cusum_scaled) DESC, day) AS rk
+        FROM cus
+    )
+    SELECT day, n_events, cusum_scaled, rk = 1 AS is_changepoint FROM mark
+    """,
+)
+def events_changepoint(t: Tables) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-count series — the
+    monitoring readout that localizes WHERE a level shift happened,
+    where events_anomaly only flags outlier days. Standard CUSUM is
+    S_i = Σ_{j≤i}(c_j − mean); this emits the EXACT integer scaling
+    n·S_i = n·cumsum_i − i·T (n = day count, T = total events), so the
+    series and its argmax are bit-identical across engines — no float
+    mean, no division anywhere. The flagged day is the max |n·S_i| with
+    earliest-day tie-break; a clean level shift at day k makes |S|
+    peak exactly at k (pinned by a planted-shift test).
+
+    Plan shape: one date-grouped hash agg with map-side partials is the
+    only fact-scale work; the cumsum/rank windows are partition-less
+    but run over the POST-AGGREGATE day series (bounded by the date
+    span — tens of rows per year), and the totals ride a 1-row
+    broadcast (the allowlisted scalar pattern)."""
+    daily = t.events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tot = daily.agg(
+        F.coalesce(F.sum("n_events"), F.lit(0)).alias("t_all"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    # bounded: post-aggregate day series, not fact rows
+    wo = Window.orderBy("day")
+    wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    cus = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_events",
+        (
+            F.col("n_days") * F.sum("n_events").over(wc)
+            - F.row_number().over(wo) * F.col("t_all")
+        )
+        .cast("long")
+        .alias("cusum_scaled"),
+    )
+    # bounded: same day series (rank of |S| to mark the changepoint)
+    rk = Window.orderBy(F.abs(F.col("cusum_scaled")).desc(), F.asc("day"))
+    return cus.withColumn("rk", F.row_number().over(rk)).select(
+        "day", "n_events", "cusum_scaled", (F.col("rk") == 1).alias("is_changepoint")
+    )
+
+
+@query(
+    "events_cohort_survival",
+    oracle="""
+    WITH us AS (
+        SELECT user_id, min(ts) AS f FROM events GROUP BY user_id
+    ),
+    fp AS (
+        SELECT user_id, min(ts) AS p FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    hz AS (SELECT max(ts) AS h FROM events),
+    per AS (
+        SELECT CASE WHEN p IS NOT NULL
+                    THEN datediff('day', CAST(f AS DATE), CAST(p AS DATE))
+                    ELSE datediff('day', CAST(f AS DATE), CAST(h AS DATE))
+               END AS t,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS death
+        FROM us LEFT JOIN fp USING (user_id), hz
+    ),
+    grp AS (SELECT t, sum(death) AS d, count(*) AS m FROM per GROUP BY t),
+    tot AS (SELECT sum(m) AS n_all FROM grp),
+    risk AS (
+        SELECT g.*, tot.n_all
+               - coalesce(sum(m) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+        FROM grp g, tot
+    ),
+    km AS (
+        -- the final death time can absorb ALL remaining at-risk users:
+        -- factor 0 means S=0 from there on, and ln(0) must never run
+        SELECT *,
+               CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                         OVER (ORDER BY t) = 1
+                    THEN 0.0
+                    ELSE exp(sum(CASE WHEN d < n_risk
+                                      THEN ln(1.0 - d * 1.0 / n_risk)
+                                      ELSE 0.0 END) OVER (ORDER BY t))
+               END AS s
+        FROM risk
+    )
+    SELECT CAST(t AS BIGINT)       AS t_days,
+           CAST(n_risk AS BIGINT)  AS n_risk,
+           CAST(d AS BIGINT)       AS n_deaths,
+           round(s, 6)             AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def events_cohort_survival(t: Tables) -> DataFrame:
+    """Kaplan–Meier time-to-conversion curve (public: Kaplan & Meier
+    1958; the time-to-event primitive that etl_cohort_retention's
+    fixed-grid matrix and events_conversion_lag's converters-only
+    percentiles cannot express): the event is a user's FIRST PURCHASE,
+    observed time = days from their first event to it; users with no
+    purchase by the corpus horizon are CENSORED at the horizon — their
+    at-risk exposure still counts, which is exactly the bias
+    converters-only lag stats carry. (A wall-clock churn framing was
+    measured degenerate here: the fixture's uniform activity gives
+    every user a last event within 2 days of the horizon, zero deaths
+    at every SF.) Per death time t: at-risk n_t (observed time ≥ t),
+    deaths d_t, S(t) = Π_{u≤t}(1 − d_u/n_u).
+
+    Engine parity: the product runs as exp(Σ ln(1 − d/n)) on BOTH sides
+    — identical double operations in the same t-order — with the output
+    rounded at 6dp (the agg_chi_square/ln precedent); censor-only times
+    contribute ln(1)=0, so cumulating over ALL times and filtering to
+    death rows afterwards is exact KM. All counts stay integers.
+
+    Plan shape: two user-grouped hash aggs off the same scan (the
+    purchase leg pushdown-filtered, user-keyed like every cohort
+    stage) joined on user_id, a 1-row horizon broadcast (allowlisted
+    scalar), then everything runs on the lag-grouped series — bounded
+    by the day span, where the partition-less cumsum windows live."""
+    us = t.events.groupBy("user_id").agg(F.min("ts").alias("f"))
+    fp = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    hz = t.events.agg(F.max("ts").alias("h"))
+    per = (
+        us.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(hz))
+        .select(
+            F.when(
+                F.col("p").isNotNull(),
+                F.datediff(F.to_date("p"), F.to_date("f")),
+            )
+            .otherwise(F.datediff(F.to_date("h"), F.to_date("f")))
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("p").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("death"),
+        )
+    )
+    grp = per.groupBy("t").agg(
+        F.sum("death").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    tot = grp.agg(F.coalesce(F.sum("m"), F.lit(0)).alias("n_all"))
+    # bounded: lifetime-grouped series (≤ day span), not fact rows
+    wo = Window.orderBy("t")
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    wcur = wo.rowsBetween(Window.unboundedPreceding, 0)
+    risk = grp.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n_all") - F.coalesce(F.sum("m").over(wprev), F.lit(0)),
+    )
+    # the final death time can absorb ALL remaining at-risk users:
+    # factor 0 means S=0 from there on, and ln(0) must never run
+    dead_all = F.when(F.col("d") >= F.col("n_risk"), F.lit(1)).otherwise(F.lit(0))
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    km = risk.withColumn(
+        "s",
+        F.when(F.max(dead_all).over(wcur) == 1, F.lit(0.0)).otherwise(
+            F.exp(F.sum(ln_term).over(wcur))
+        ),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_deaths"),
+        F.round("s", 6).alias("survival"),
+    )

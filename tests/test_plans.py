@@ -193,6 +193,9 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "agg_mutual_info",  # four 1-row summaries (MI + two entropies + N) combined
         "embedding_centroid_drift",  # source-dim-bounded (~20-row) centroid pair join
         "graph_triangle_count",  # four 1-row graph-census scalars combined
+        "agg_benford_test",  # 1-row total-count scalar x 9-digit grid
+        "events_changepoint",  # 1-row (total, n_days) scalar x day series
+        "events_cohort_survival",  # 1-row horizon + total scalars x lag series
     }
     bad = []
     for k, fn in _QS.items():

@@ -992,3 +992,61 @@ def test_bitsign_two_stage_recall_vs_brute_force(spark):
     recalls = [len(brute[p] & two[p]) / len(brute[p]) for p in brute]
     assert sum(recalls) / len(recalls) >= 0.9
     assert min(recalls) >= 0.6
+
+
+def test_changepoint_planted_level_shift(spark):
+    """10 days at 5 events/day then a shift to 15/day: the scaled CUSUM
+    |n·S_i| = |10·cum_i − i·100| peaks exactly at the last low-regime
+    day (i=5: |250|), so day 5 must carry the flag."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        for _ in range(5 if day <= 5 else 15):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, day, 12, 0, 0)))
+    ev = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+
+    class _T:
+        events = ev
+
+    from base_etl_spark.registry import REGISTRY
+
+    out = {r.day.isoformat(): r for r in
+           REGISTRY["events_changepoint"].fn.tables_fn(_T()).collect()}
+    assert out["2024-01-05"].is_changepoint
+    assert out["2024-01-05"].cusum_scaled == -250
+    assert sum(r.is_changepoint for r in out.values()) == 1
+
+
+def test_cohort_survival_planted_km(spark):
+    """Hand-computed Kaplan–Meier: deaths (first purchase) at t=1 (x2,
+    n=5), t=3 (n=3), t=5 (n=2), one user censored at t=5 (no purchase,
+    at risk through the horizon). S = 0.6, 0.4, 0.2 — the censored user
+    keeps t=3's at-risk count at 3, which a converters-only estimate
+    would get wrong."""
+    import datetime as dt
+
+    D = lambda day, hh=12: dt.datetime(2024, 1, day, hh, 0, 0)
+    rows = [
+        (1, 10, "click", D(1)), (2, 10, "purchase", D(2)),      # t=1
+        (3, 20, "click", D(1)), (4, 20, "purchase", D(4)),      # t=3
+        (5, 30, "click", D(1)), (6, 30, "click", D(3)),         # censored t=5
+        (7, 40, "click", D(3)), (8, 40, "purchase", D(4)),      # t=1
+        (9, 50, "click", D(1)), (10, 50, "purchase", D(6)),     # t=5 (horizon)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+
+    class _T:
+        events = ev
+
+    from base_etl_spark.registry import REGISTRY
+
+    got = {
+        r.t_days: (r.n_risk, r.n_deaths, r.survival)
+        for r in REGISTRY["events_cohort_survival"].fn.tables_fn(_T()).collect()
+    }
+    assert got == {1: (5, 2, 0.6), 3: (3, 1, 0.4), 5: (2, 1, 0.2)}
