@@ -565,3 +565,36 @@ def test_bloom_prefilter_plan_shape(spark):
     plan = _plan(df)
     assert re.search(r"BroadcastHashJoin LeftSemi", plan), plan[:2000]
     assert "SortMergeJoin" in plan
+
+
+def test_benford_prunes_and_pushes(spark):
+    """The Benford screen needs exactly one column, filtered at the
+    reader: anything more scans the whole orders table for a 9-row
+    report."""
+    plan = _plan(_QS["agg_benford_test"](spark, SF_TEST))
+    assert "ReadSchema: struct<o_totalprice:double>" in plan
+    assert "GreaterThan(o_totalprice,0.0)" in plan
+
+
+def test_triangle_count_prunes_lineitem(spark):
+    """The graph derives from (orderkey, suppkey) only — reading more
+    would drag fact bytes into a dim-bounded census."""
+    plan = _plan(_QS["graph_triangle_count"](spark, SF_TEST))
+    assert "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>" in plan
+
+
+def test_image_dedup_reads_only_doc_id(spark):
+    """The planted-asset kernel derives content from doc_id; scanning
+    the text column would read ~95% more bytes for nothing."""
+    plan = _plan(_QS["mm_image_dedup"](spark, SF_TEST))
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert "text" not in plan.split("ReadSchema")[1][:60]
+
+
+def test_survival_pushes_purchase_filter(spark):
+    """KM's death leg must reach the parquet reader filtered to
+    purchases (it reads ~1/5 of the rows), and no leg may read the
+    props/value payload columns."""
+    plan = _plan(_QS["events_cohort_survival"](spark, SF_TEST))
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "props" not in plan
