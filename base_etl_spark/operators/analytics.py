@@ -2912,3 +2912,57 @@ def events_cohort_survival(t: Tables) -> DataFrame:
         F.col("d").cast("long").alias("n_deaths"),
         F.round("s", 6).alias("survival"),
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value
+        FROM events
+    ),
+    rk AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, hour
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, hour
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT event_type, hour,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value)                             AS high,
+           min(value)                             AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*)                               AS n_events
+    FROM rk GROUP BY event_type, hour
+    """,
+)
+def events_ohlc_hourly(t: Tables) -> DataFrame:
+    """OHLC downsampling (open/high/low/close per event type × hour) —
+    the finance-standard candle aggregation, and the general pattern for
+    first/last-in-window metrics. Open/close are exact ROW VALUES picked
+    by the total order (ts, event_id) — never an arithmetic result — so
+    no rounding is needed anywhere: both engines read the same parquet
+    doubles and emit them bit-identical.
+
+    Plan: ONE hash aggregate with map-side partials — open/close via
+    min/max over struct(ts, event_id, value) (struct ordering is
+    field-lexicographic, so the unique (ts, event_id) prefix decides and
+    value rides along), high/low plain min/max. No window over the fact
+    table; the oracle formulates the same semantics with rank windows,
+    which is the proof the struct trick implements first/last correctly.
+    At 100 TB this is the difference between one agg shuffle and a
+    full-fact double-rank sort."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    first_s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        t.events.groupBy("event_type", hour.alias("hour"))
+        .agg(
+            F.min(first_s).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(first_s).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1199,3 +1199,50 @@ def text_langid_confusion(t: Tables) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+@query(
+    "text_hashing_tf",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT) % 16
+                AS BIGINT)  AS bucket,
+           count(*)         AS tf
+    FROM words WHERE len(w) > 0
+    GROUP BY 1, 2
+    """,
+)
+def text_hashing_tf(t: Tables) -> DataFrame:
+    """Hashing-trick term-frequency features (public: Weinberger et al.
+    2009, the 'hashing vectorizer'): each token maps to bucket
+    h(word) mod 16 with NO vocabulary pass — the property that makes it
+    the scalable featurizer (a dictionary TF-IDF needs a full corpus
+    scan + a broadcast vocab; this is one stateless projection).
+    Emitted long-form as (doc_id, bucket, tf).
+
+    The hash is the engine-neutral trick this key establishes: the
+    first 8 hex chars of md5(word) parsed as an integer — Spark
+    conv(substr(md5(encode(w)), 1, 8), 16, 10) == DuckDB
+    cast('0x' || substr(md5(w), 1, 8) as ubigint), probed equal
+    (2565938042 for 'spark'). Unlike xxhash64/murmur (Spark-only) or
+    the position-weighted polynomial (text_fingerprint's per-doc sum,
+    not per-token), md5 exists with identical semantics in BOTH engines,
+    so token-level hash features are driver-hash checkable.
+
+    At 100 TB: explode + one (doc_id, bucket) hash agg with map-side
+    partials; nothing global, no vocabulary state. Collisions are the
+    method's documented tradeoff (16 buckets here keeps the fixture's
+    collision structure visible; production uses 2^18+)."""
+    words = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.encode("w", "utf-8")), 1, 8), 16, 10).cast("long"),
+        F.lit(16),
+    )
+    return words.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )

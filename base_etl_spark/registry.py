@@ -140,6 +140,7 @@ ROUND7_WINDOW: list[str] = [
     "agg_mutual_info", "graph_triangle_count", "mm_image_dedup",
     "join_bloom_prefilter", "scan_xml_agg", "sim_topk_bitsign",
     "agg_benford_test", "events_changepoint", "events_cohort_survival",
+    "events_ohlc_hourly", "text_hashing_tf",
 ]
 
 # Round 6: execute the committed rotation plan — the driver window IS
