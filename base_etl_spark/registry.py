@@ -123,10 +123,12 @@ ROUND6_WINDOW: list[str] = [
     "stream_sliding_distinct", "win_rolling_median",
 ]
 
-# The final 24 — 14 D + all 10 R — after which every key has a driver
-# row. dedup_threshold_sweep and embedding_dim_stats were added in round
-# 6 (after the window plan was computed) and appended here per the
-# rotation rule: new keys join ROUND7_WINDOW at registration time.
+# The round-7 window: the 22 keys left over from the original plan
+# (12 D + all 10 R) plus the 17 keys registered during round 6, appended
+# per the rotation rule (new keys join ROUND7_WINDOW at registration
+# time). 39 entries as of the round-7 rotation; the driver checks the
+# first 50, so up to 11 keys added in round 7 can still land a row this
+# round by being appended here at registration time.
 ROUND7_WINDOW: list[str] = [
     "agg_pivot_native", "orders_cohort_ltv", "events_ab_cuped",
     "dedup_cluster_sizes", "sim_range_search", "text_bigram_nll",
@@ -143,11 +145,12 @@ ROUND7_WINDOW: list[str] = [
     "events_ohlc_hourly", "text_hashing_tf",
 ]
 
-# Round 6: execute the committed rotation plan — the driver window IS
-# ROUND6_WINDOW (50 D keys whose only evidence through r5 is the local
-# strict gate). tests/test_rotation_plan.py keeps this honest against
-# the committed CORRECTNESS_r0*.json history.
-DRIVER_PRIORITY: list[str] = list(ROUND6_WINDOW)
+# Round 7: execute the committed rotation plan — the driver window IS
+# ROUND7_WINDOW (the final never-driver-checked backlog + every key
+# registered in round 6). After this round's driver run every registry
+# key has a driver row. tests/test_rotation_plan.py keeps this honest
+# against the committed CORRECTNESS_r0*.json history.
+DRIVER_PRIORITY: list[str] = list(ROUND7_WINDOW)
 
 
 def _ordered() -> list[str]:
