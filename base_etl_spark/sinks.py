@@ -303,11 +303,14 @@ def _ensure_derived(path: str, state_key: str, build) -> None:
             try:
                 # stale = the LOCK ITSELF is old (builder died) AND its
                 # recorded owner pid is gone; a live builder keeps its
-                # lock however long the build takes
-                if (
-                    _time.time() - os.stat(lock).st_mtime > 300
-                    and _lock_owner_dead()
-                ):
+                # lock however long the build takes. The absolute
+                # ceiling defeats pid reuse: if a crashed builder's pid
+                # was recycled by an unrelated long-lived process,
+                # _lock_owner_dead stays False forever — but no
+                # legitimate fixture build runs for hours, so a lock
+                # that old is stolen regardless of pid liveness.
+                age = _time.time() - os.stat(lock).st_mtime
+                if age > 4 * 3600 or (age > 300 and _lock_owner_dead()):
                     os.unlink(lock)
                     # no ownership claimed: loop back into the O_EXCL
                     # race so at most one stealer wins

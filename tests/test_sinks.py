@@ -308,7 +308,10 @@ def test_ensure_derived_live_owner_lock_not_stolen(tmp_path):
     lock = target + ".lock"
     with open(lock, "w") as f:
         f.write(str(os.getpid()))  # a live owner (this very process)
-    os.utime(lock, ns=(0, 0))  # epoch mtime => stale by age alone
+    # past the 300 s age threshold but under the absolute pid-reuse
+    # ceiling — the band where pid liveness governs
+    aged = time.time() - 600
+    os.utime(lock, (aged, aged))
 
     built = []
 
@@ -325,3 +328,31 @@ def test_ensure_derived_live_owner_lock_not_stolen(tmp_path):
         f.write("k1")
     t.join(timeout=10)
     assert not t.is_alive() and not built
+
+
+def test_ensure_derived_pid_reuse_ceiling_steals(tmp_path):
+    """A lock older than the absolute ceiling is stolen even when its
+    recorded pid is alive: a crashed builder's pid recycled by an
+    unrelated long-lived process must not wedge waiters forever
+    (r6 ADVICE, sinks._lock_owner_dead pid-reuse hazard)."""
+    import os
+    import time
+
+    from base_etl_spark.sinks import _ensure_derived
+
+    target = str(tmp_path / "layout")
+    lock = target + ".lock"
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))  # "recycled" pid: alive, not a builder
+    ancient = time.time() - 5 * 3600  # past the 4 h ceiling
+    os.utime(lock, (ancient, ancient))
+
+    built = []
+
+    def build(p):
+        os.makedirs(p)
+        open(os.path.join(p, "part-0"), "w").close()
+        built.append(p)
+
+    _ensure_derived(target, "k1", build)
+    assert built and os.path.isdir(target)
