@@ -2966,3 +2966,111 @@ def events_ohlc_hourly(t: Tables) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+    WITH m AS (
+        SELECT n_name, date_trunc('month', o_orderdate) AS month,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT n_name, month, rev_c,
+               max(rev_c) OVER (PARTITION BY n_name ORDER BY month
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS run_peak_c
+        FROM m
+    ),
+    t AS (
+        SELECT n_name, month, rev_c, run_peak_c,
+               run_peak_c - rev_c AS dd_c
+        FROM d
+        QUALIFY row_number() OVER (PARTITION BY n_name
+                                   ORDER BY dd_c DESC, month ASC) = 1
+    )
+    SELECT t.n_name,
+           CAST(cnt.n_months AS BIGINT)        AS n_months,
+           cnt.peak_rev                        AS peak_rev,
+           round(t.dd_c / 100.0, 2)            AS max_drawdown,
+           CASE WHEN t.run_peak_c = 0 THEN 0.0
+                ELSE round(t.dd_c * 1.0 / t.run_peak_c, 6)
+           END                                 AS max_drawdown_pct,
+           t.month                             AS trough_month
+    FROM t
+    JOIN (
+        SELECT n_name, count(*) AS n_months,
+               round(max(rev_c) / 100.0, 2) AS peak_rev
+        FROM m GROUP BY n_name
+    ) cnt USING (n_name)
+    """,
+)
+def win_drawdown(t: Tables) -> DataFrame:
+    """Maximum drawdown of each nation's monthly-revenue curve: running
+    peak via a cumulative window, drawdown = peak − value, trough = the
+    month of the deepest dip (earliest month on ties — pinned). The
+    risk-report shape every KPI dashboard wants next to YoY growth.
+
+    Scale plan: the fact pass is ONE partial-aggregated shuffle to the
+    (nation, month) grid (~25 × n_months rows); every window below runs
+    on that post-aggregate grid, partitioned by nation — bounded by the
+    month calendar, never by fact rows. Revenue is summed in exact
+    integer cents (per-row rounding like join_q10_returns) so the
+    running peak and the trough CHOICE are sum-order-free; the two
+    floats are final-projection roundings. Trough selection is one
+    max(struct) hash agg — no second window, no self-join; the pct
+    denominator is the running peak AT the trough, carried in the
+    struct payload."""
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    m = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(cents).alias("rev_c"))
+    )
+    run = (
+        Window.partitionBy("n_name")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = m.withColumn("run_peak_c", F.max("rev_c").over(run)).withColumn(
+        "dd_c", F.col("run_peak_c") - F.col("rev_c")
+    )
+    # (dd_c, -epoch_day) lexicographic max = deepest dip, earliest month
+    # on ties; run_peak_c/month ride along as payload (month is unique
+    # per nation, so the key prefix is already total)
+    pick = F.max(
+        F.struct(
+            F.col("dd_c"),
+            (-F.unix_micros("month")).alias("neg_us"),
+            F.col("run_peak_c"),
+            F.col("month"),
+        )
+    ).alias("p")
+    agg = d.groupBy("n_name").agg(
+        pick,
+        F.count(F.lit(1)).alias("n_months"),
+        F.round(F.max("rev_c") / 100.0, 2).alias("peak_rev"),
+    )
+    dd_c, peak_c = F.col("p.dd_c"), F.col("p.run_peak_c")
+    return agg.select(
+        "n_name",
+        "n_months",
+        "peak_rev",
+        F.round(dd_c / 100.0, 2).alias("max_drawdown"),
+        F.when(peak_c == 0, F.lit(0.0))
+        .otherwise(F.round(dd_c * 1.0 / peak_c, 6))
+        .alias("max_drawdown_pct"),
+        F.col("p.month").alias("trough_month"),
+    )

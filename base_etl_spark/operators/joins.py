@@ -1166,3 +1166,113 @@ def join_bloom_prefilter(t: Tables) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'click'    THEN event_id END AS click_id,
+               CASE WHEN event_type = 'click'    THEN ts       END AS click_ts,
+               CASE WHEN event_type = 'purchase' THEN event_id END AS probe_id,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END    AS kind
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+        SELECT probe_id, user_id, ts,
+               last_value(click_id IGNORE NULLS)  OVER back AS b_click,
+               last_value(click_ts IGNORE NULLS)  OVER back AS b_ts,
+               first_value(click_id IGNORE NULLS) OVER fwd  AS f_click,
+               first_value(click_ts IGNORE NULLS) OVER fwd  AS f_ts
+        FROM ev
+        WINDOW back AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd  AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    g AS (
+        SELECT probe_id AS purchase_id, user_id, ts AS probe_ts,
+               b_click, f_click,
+               epoch_us(ts) - epoch_us(b_ts) AS gap_back,
+               epoch_us(f_ts) - epoch_us(ts) AS gap_fwd
+        FROM w WHERE probe_id IS NOT NULL
+    )
+    SELECT purchase_id, user_id, probe_ts,
+           CASE WHEN gap_back IS NULL AND gap_fwd IS NULL THEN NULL
+                WHEN gap_fwd IS NULL OR (gap_back IS NOT NULL
+                                         AND gap_back <= gap_fwd)
+                THEN b_click ELSE f_click END AS matched_click,
+           CASE WHEN gap_back IS NULL AND gap_fwd IS NULL THEN NULL
+                WHEN gap_fwd IS NULL OR (gap_back IS NOT NULL
+                                         AND gap_back <= gap_fwd)
+                THEN 'back' ELSE 'fwd' END AS direction,
+           CASE WHEN gap_back IS NULL AND gap_fwd IS NULL THEN NULL
+                WHEN gap_fwd IS NULL OR (gap_back IS NOT NULL
+                                         AND gap_back <= gap_fwd)
+                THEN gap_back ELSE gap_fwd END AS gap_us
+    FROM g
+    """,
+)
+def join_asof_nearest(t: Tables) -> DataFrame:
+    """NEAREST as-of join, completing the triad (backward join_asof,
+    forward join_asof_forward, bounded join_asof_tolerance): for each
+    purchase, the click closest in time per user, in EITHER direction —
+    the sensor-alignment semantics (pandas merge_asof
+    direction='nearest').
+
+    Still ONE shuffle and ONE sort: both directions ride the same
+    (user_id)-partitioned (ts, kind, event_id) ordering — backward as
+    last(IGNORE NULLS) over the preceding frame, forward as first(...)
+    over the following frame — then the winner is a projection over the
+    two integer-microsecond gaps. No second window pass, no self-join.
+
+    Tie policy (pinned both sides): clicks sort BEFORE purchases at
+    equal ts, so a same-instant click is a backward match at gap 0;
+    equal gaps prefer the backward (causal) side; same-ts click ties
+    resolve to highest event_id backward, lowest forward. Purchases
+    with no click at all keep a NULL match (left semantics)."""
+    ev = t.events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("probe_id"),
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+    )
+    order = [F.col("ts"), F.col("kind"), F.col("event_id")]
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    gap_back = F.unix_micros("ts") - F.unix_micros(F.col("b_ts"))
+    gap_fwd = F.unix_micros(F.col("f_ts")) - F.unix_micros("ts")
+    take_back = F.col("gap_fwd").isNull() | (
+        F.col("gap_back").isNotNull() & (F.col("gap_back") <= F.col("gap_fwd"))
+    )
+    none = F.col("gap_back").isNull() & F.col("gap_fwd").isNull()
+    pick = lambda b, f: F.when(none, F.lit(None)).when(take_back, b).otherwise(f)  # noqa: E731
+    return (
+        ev.withColumn("b_click", F.last("click_id", ignorenulls=True).over(back))
+        .withColumn("b_ts", F.last("click_ts", ignorenulls=True).over(back))
+        .withColumn("f_click", F.first("click_id", ignorenulls=True).over(fwd))
+        .withColumn("f_ts", F.first("click_ts", ignorenulls=True).over(fwd))
+        .filter(F.col("probe_id").isNotNull())
+        .withColumn("gap_back", gap_back)
+        .withColumn("gap_fwd", gap_fwd)
+        .select(
+            F.col("probe_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("probe_ts"),
+            pick(F.col("b_click"), F.col("f_click")).alias("matched_click"),
+            pick(F.lit("back"), F.lit("fwd")).alias("direction"),
+            pick(F.col("gap_back"), F.col("gap_fwd")).alias("gap_us"),
+        )
+    )

@@ -1246,3 +1246,160 @@ def text_hashing_tf(t: Tables) -> DataFrame:
     return words.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("tf")
     )
+
+
+@query(
+    "tokenizer_bpe_pairs",
+    oracle="""
+    WITH wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    sym AS (
+        SELECT w, freq,
+               list_append([substr(w, i, 1)
+                            FOR i IN generate_series(1, len(w))],
+                           '</w>') AS syms
+        FROM wc
+    ),
+    idx AS (
+        SELECT freq, syms,
+               unnest(generate_series(1, len(syms) - 1)) AS i
+        FROM sym
+    ),
+    pairs AS (
+        SELECT syms[i] AS left_sym, syms[i + 1] AS right_sym, freq
+        FROM idx
+    )
+    SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT 20
+    """,
+)
+def tokenizer_bpe_pairs(t: Tables) -> DataFrame:
+    """First BPE merge-selection pass: corpus-wide adjacent symbol-pair
+    counts over character sequences with a '</w>' end-of-word marker —
+    the statistic a byte-pair-encoding tokenizer trainer computes every
+    merge round (Sennrich et al. 2016, public algorithm). Top-20 under
+    the total order (count desc, pair asc), so the winning merge and
+    ties are deterministic.
+
+    Scale plan — the pass is VOCAB-bounded, not corpus-bounded: one
+    word-count hash agg (map-side partials) reduces the corpus to
+    distinct words + frequencies; pair generation is an in-row array
+    transform over that vocabulary (length ≤ max word length per word,
+    weighted by freq) — at 100 TB the exploded pair frame grows with
+    vocabulary size, which saturates, while the corpus-sized work stays
+    in the one word shuffle. Top-20 plans as TakeOrderedAndProject. A
+    full BPE trainer is this pass iterated with re-segmentation — each
+    round is the same vocab-bounded shape."""
+    wc = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = F.expr(
+        "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+        " array('</w>'))"
+    )
+    pair = F.expr(
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
+    )
+    return (
+        wc.select(F.col("freq"), syms.alias("syms"))
+        .select("freq", F.explode(pair).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(20)
+    )
+
+
+_PMI_MIN_SUPPORT = 3
+
+
+@query(
+    "text_pmi_cooccur",
+    oracle=f"""
+    WITH dw AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+        WHERE text <> ''
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dw),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY w),
+    pair AS (
+        SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n_docs_pair
+        FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY a.w, b.w
+        HAVING count(*) >= {_PMI_MIN_SUPPORT}
+    )
+    SELECT w1, w2, n_docs_pair, d1.df AS df1, d2.df AS df2,
+           round(ln(n_docs_pair * n.n_docs * 1.0 / (d1.df * d2.df)), 6)
+               AS pmi
+    FROM pair
+    JOIN df d1 ON w1 = d1.w
+    JOIN df d2 ON w2 = d2.w
+    CROSS JOIN n
+    """,
+)
+def text_pmi_cooccur(t: Tables) -> DataFrame:
+    """Document-level word co-occurrence with pointwise mutual
+    information — collocation mining (Church & Hanks 1990, public
+    method): for every unordered word pair appearing together in at
+    least _PMI_MIN_SUPPORT (3) documents,
+    PMI = ln(P(w1,w2)/(P(w1)P(w2))) under document-frequency
+    probabilities.
+
+    Scale plan: pairs are generated IN-ROW per document (nested array
+    transform over the sorted distinct words — fan-out bounded by
+    words-per-doc², like graph_triangle_count's per-order bound), so
+    there is NO doc_id self-join shuffle; one hash agg counts pairs,
+    whose key space is vocabulary², which saturates while the corpus
+    grows. The df/pair joins run on vocab-bounded frames (broadcast).
+    The output SET is decided by exact integer support, and PMI is a
+    final 6dp projection of a ratio of exact integers — no float enters
+    any ordering or filtering decision."""
+    dw = (
+        t.documents.filter(F.col("text") != "")
+        .select("doc_id", F.array_sort(F.array_distinct(F.split("text", " "))).alias("ws"))
+    )
+    pairs_inrow = F.expr(
+        "flatten(transform(ws, (x, i) ->"
+        " transform(slice(ws, i + 2, size(ws)), y -> struct(x AS w1, y AS w2))))"
+    )
+    pair = (
+        dw.select(F.explode(pairs_inrow).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_docs_pair"))
+        .filter(F.col("n_docs_pair") >= _PMI_MIN_SUPPORT)
+    )
+    df = (
+        dw.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = dw.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        pair.join(F.broadcast(df.withColumnRenamed("w", "w1").withColumnRenamed("df", "df1")), "w1")
+        .join(F.broadcast(df.withColumnRenamed("w", "w2").withColumnRenamed("df", "df2")), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "n_docs_pair",
+            "df1",
+            "df2",
+            F.round(
+                F.log(F.col("n_docs_pair") * F.col("n_docs") * 1.0 / (F.col("df1") * F.col("df2"))),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -143,6 +143,10 @@ ROUND7_WINDOW: list[str] = [
     "join_bloom_prefilter", "scan_xml_agg", "sim_topk_bitsign",
     "agg_benford_test", "events_changepoint", "events_cohort_survival",
     "events_ohlc_hourly", "text_hashing_tf",
+    # round-7 additions (appended at registration time per the rule;
+    # the window stays ≤50 so every entry lands a driver row this round)
+    "join_asof_nearest", "win_drawdown", "tokenizer_bpe_pairs",
+    "text_pmi_cooccur",
 ]
 
 # Round 7: execute the committed rotation plan — the driver window IS

@@ -598,3 +598,42 @@ def test_survival_pushes_purchase_filter(spark):
     plan = _plan(_QS["events_cohort_survival"](spark, SF_TEST))
     assert "EqualTo(event_type,purchase)" in plan
     assert "props" not in plan
+
+
+def test_asof_nearest_single_sort(spark):
+    """Both as-of directions must ride ONE (user_id)-shuffle and ONE
+    (ts, kind, event_id) sort — a second Sort or Exchange means the
+    forward leg is paying its own pass; and the events scan is filtered
+    to the two types with props/value never read."""
+    plan = _plan(_QS["join_asof_nearest"](spark, SF_TEST))
+    assert plan.count("- Sort (") == 1, plan[:3000]
+    assert plan.count("- Exchange (") == 1 and plan.count("- Window (") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "In(event_type, [click,purchase])" in plan
+    assert "props" not in plan
+
+
+def test_drawdown_prunes_orders(spark):
+    """The fact pass needs (o_custkey, o_totalprice, o_orderdate) only;
+    the windows below it run on the post-aggregate month grid."""
+    plan = _plan(_QS["win_drawdown"](spark, SF_TEST))
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp,o_totalprice:double>" in plan \
+        or "ReadSchema: struct<o_custkey:bigint,o_totalprice:double,o_orderdate:timestamp>" in plan, plan[:2500]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_pairs_topk_no_global_sort(spark):
+    """Top-20 must plan as TakeOrderedAndProject (per-partition heaps),
+    and the corpus pass reads only the text column."""
+    plan = _plan(_QS["tokenizer_bpe_pairs"](spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_pmi_no_self_join_on_docs(spark):
+    """Pairs are generated in-row: the plan must contain no join keyed
+    on doc_id (the naive formulation self-joins the exploded word list),
+    and the df/n sides must broadcast."""
+    plan = _plan(_QS["text_pmi_cooccur"](spark, SF_TEST))
+    assert "SortMergeJoin [doc_id" not in plan and "hashpartitioning(doc_id" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -1050,3 +1050,110 @@ def test_cohort_survival_planted_km(spark):
         for r in REGISTRY["events_cohort_survival"].fn.tables_fn(_T()).collect()
     }
     assert got == {1: (5, 2, 0.6), 3: (3, 1, 0.4), 5: (2, 1, 0.2)}
+
+
+def test_asof_nearest_direction_and_ties(spark):
+    """Planted timeline, one user: clicks at 10:00 and 10:10. A purchase
+    at 10:06 is closer to the LATER click (fwd), at 10:04 to the EARLIER
+    (back), at exactly 10:05 equidistant -> back wins (causal tie rule);
+    a purchase before any click matches forward; a user with no clicks
+    keeps a NULL match."""
+    import datetime as dt
+
+    T = lambda m, s=0: dt.datetime(2024, 1, 1, 10, m, s)  # noqa: E731
+    rows = [
+        (1, T(0), 100, "click"),
+        (1, T(10), 101, "click"),
+        (1, T(6), 200, "purchase"),   # fwd: gap 4 min < back 6 min
+        (1, T(4), 201, "purchase"),   # back: gap 4 min < fwd 6 min
+        (1, T(5), 202, "purchase"),   # tie 5 min -> back
+        (2, T(9), 102, "click"),
+        (2, T(1), 203, "purchase"),   # nothing before -> fwd
+        (3, T(2), 204, "purchase"),   # no clicks at all -> NULL
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    )
+
+    class _T:
+        events = ev
+
+    from base_etl_spark.registry import REGISTRY
+
+    out = {
+        r.purchase_id: r
+        for r in REGISTRY["join_asof_nearest"].fn.tables_fn(_T()).collect()
+    }
+    assert (out[200].matched_click, out[200].direction) == (101, "fwd")
+    assert (out[201].matched_click, out[201].direction) == (100, "back")
+    assert (out[202].matched_click, out[202].direction) == (100, "back")
+    assert out[202].gap_us == 5 * 60 * 1_000_000
+    assert (out[203].matched_click, out[203].direction) == (102, "fwd")
+    assert out[204].matched_click is None and out[204].direction is None
+
+
+def test_drawdown_planted_series(spark):
+    """Monthly revenue 100, 80, 120, 60, 90, 60: running peak
+    100,100,120,120,120,120 -> drawdowns 0,20,0,60,30,60. Deepest dip 60
+    occurs twice (months 4 and 6); the EARLIEST month must win, with the
+    pct against the running peak at that trough (60/120)."""
+    import datetime as dt
+
+    revs = [100.0, 80.0, 120.0, 60.0, 90.0, 60.0]
+    orders = spark.createDataFrame(
+        [(1, r, dt.datetime(2024, m + 1, 15)) for m, r in enumerate(revs)],
+        "o_custkey bigint, o_totalprice double, o_orderdate timestamp",
+    )
+
+    class _T:
+        pass
+
+    _T.orders = orders
+    _T.customer = spark.createDataFrame([(1, 7)], "c_custkey bigint, c_nationkey bigint")
+    _T.nation = spark.createDataFrame([(7, "FRANCE")], "n_nationkey bigint, n_name string")
+
+    from base_etl_spark.registry import REGISTRY
+
+    [r] = REGISTRY["win_drawdown"].fn.tables_fn(_T()).collect()
+    assert r.n_months == 6 and r.peak_rev == 120.0
+    assert r.max_drawdown == 60.0
+    assert r.max_drawdown_pct == 0.5
+    assert r.trough_month == dt.datetime(2024, 4, 1)
+
+
+def test_bpe_pairs_planted_counts(spark):
+    """Corpus 'ab ab b': word freqs ab:2, b:1. Symbol pairs weighted by
+    word frequency: (a,b) 2, (b,</w>) 2+1=3 — the end-of-word marker
+    pair must aggregate ACROSS words sharing the boundary symbol."""
+
+    class _T:
+        pass
+
+    _T.documents = spark.createDataFrame([(1, "ab ab b")], "doc_id bigint, text string")
+
+    from base_etl_spark.registry import REGISTRY
+
+    out = {
+        (r.left_sym, r.right_sym): r.pair_count
+        for r in REGISTRY["tokenizer_bpe_pairs"].fn.tables_fn(_T()).collect()
+    }
+    assert out == {("b", "</w>"): 3, ("a", "b"): 2}
+
+
+def test_pmi_planted_independence_is_zero(spark):
+    """4 docs: {x y} x3 + {x z w}: only (x,y) reaches support 3.
+    P(x)=1, so co-occurrence with x carries no information: PMI must be
+    exactly ln(3*4/(4*3)) = 0. Sub-support pairs must not appear."""
+
+    class _T:
+        pass
+
+    docs = [(1, "x y"), (2, "x y"), (3, "x y"), (4, "x z w")]
+    _T.documents = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    from base_etl_spark.registry import REGISTRY
+
+    rows = REGISTRY["text_pmi_cooccur"].fn.tables_fn(_T()).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r.w1, r.w2, r.n_docs_pair, r.df1, r.df2, r.pmi) == ("x", "y", 3, 4, 3, 0.0)
