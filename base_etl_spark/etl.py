@@ -1203,3 +1203,64 @@ def etl_time_travel(t: Tables) -> DataFrame:
         .crossJoin(F.broadcast(deleted))
         .crossJoin(F.broadcast(updated))
     )
+
+
+@query(
+    "etl_backfill_plan",
+    oracle="""
+    WITH present AS (
+        SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE) AS d
+        FROM orders
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM present),
+    expected AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    ),
+    missing AS (
+        SELECT e.d FROM expected e
+        LEFT JOIN present p ON e.d = p.d
+        WHERE p.d IS NULL
+    ),
+    grp AS (
+        SELECT d,
+               d - CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS g
+        FROM missing
+    )
+    SELECT min(d) AS range_start, max(d) AS range_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM grp GROUP BY g
+    """,
+)
+def etl_backfill_plan(t: Tables) -> DataFrame:
+    """Backfill planner for a date-partitioned layout: every calendar
+    date between the first and last o_orderdate that has ZERO orders,
+    coalesced into contiguous [range_start, range_end] runs via the
+    gaps-and-islands trick (date minus row_number is constant within a
+    run) — the work order an orchestrator submits as one backfill job
+    per range rather than one per day.
+
+    Scale plan: the fact table is reduced to DISTINCT partition dates
+    (one map-side-combined shuffle, output bounded by the CALENDAR, not
+    by rows); the expected-date spine is generated from a 1-row bounds
+    aggregate (F.sequence — no driver loop); missing dates come from a
+    broadcast anti join of two calendar-bounded frames. The one
+    partition-less window orders the missing-date set — bounded by the
+    calendar span (~10^3 rows per millennium), never by fact rows."""
+    present = t.orders.select(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("d")
+    ).distinct()
+    expected = (
+        present.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    missing = expected.join(F.broadcast(present), "d", "left_anti")
+    w = Window.orderBy("d")  # bounded: ≤ calendar span after the anti join
+    grp = missing.withColumn(
+        "g", F.datediff("d", F.lit("1970-01-01")) - F.row_number().over(w)
+    )
+    return grp.groupBy("g").agg(
+        F.min("d").alias("range_start"),
+        F.max("d").alias("range_end"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    ).drop("g")

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -992,3 +993,202 @@ def mm_image_dedup(t: Tables) -> DataFrame:
 _PHASH_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("img_hash", LongType())]
 )
+
+
+_SILENCE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("first_active", IntegerType()),
+        StructField("last_active", IntegerType()),
+        StructField("n_active", IntegerType()),
+        StructField("active_samples", LongType()),
+    ]
+)
+
+_TRIM_FLEN = 5  # samples per trim frame
+_TRIM_THRESH = _TRIM_FLEN * 1_000_000  # frame energy above => active (RMS > 1000)
+
+
+@query(
+    "mm_audio_silence_trim",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      16 + doc_id % 8        AS nfr,
+                      doc_id % 4             AS lead_s,
+                      (doc_id // 4) % 4      AS trail_s
+               FROM documents),
+         s AS (
+             SELECT doc_id, nfr, i // {_TRIM_FLEN} AS f,
+                    CASE WHEN i // {_TRIM_FLEN} < lead_s
+                           OR i // {_TRIM_FLEN} >= nfr - trail_s
+                         THEN (doc_id + i) % 201 - 100
+                         ELSE (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END)
+                              * (20000 + (doc_id * 31 + i * 7) % 10000)
+                    END AS smp
+             FROM d, LATERAL (SELECT unnest(generate_series(0,
+                      CAST({_TRIM_FLEN} * nfr - 1 AS INT))) AS i) g
+         ),
+         fe AS (
+             SELECT doc_id, nfr, f, sum(smp * smp) AS energy
+             FROM s GROUP BY doc_id, nfr, f
+         ),
+         act AS (
+             SELECT doc_id, max(nfr) AS nfr,
+                    min(CASE WHEN energy > {_TRIM_THRESH} THEN f END) AS fa,
+                    max(CASE WHEN energy > {_TRIM_THRESH} THEN f END) AS la,
+                    CAST(sum(CASE WHEN energy > {_TRIM_THRESH} THEN 1 ELSE 0 END)
+                         AS INT) AS n_active
+             FROM fe GROUP BY doc_id
+         )
+    SELECT doc_id                                   AS asset_id,
+           CAST(nfr AS INT)                         AS n_frames,
+           CAST(fa AS INT)                          AS first_active,
+           CAST(la AS INT)                          AS last_active,
+           n_active,
+           CAST((la - fa + 1) * {_TRIM_FLEN} AS BIGINT) AS active_samples
+    FROM act
+    """,
+)
+def mm_audio_silence_trim(t: Tables) -> DataFrame:
+    """Leading/trailing-silence trim over the REAL audio decode path —
+    the clip-preparation op every speech-training pipeline runs before
+    feature extraction. Per document a deterministic waveform with
+    PLANTED silent frames (lead = doc_id%4 and trail = (doc_id//4)%4
+    frames of |sample| ≤ 100; active frames alternate ±(20000..29999),
+    so the two classes are separated by orders of magnitude) is encoded
+    to a genuine WAV, decoded back through the chunk-walking parser,
+    framed at 5 samples, and trimmed at frame energy > RMS 1000 — the
+    trim points come from DECODED integers, never from the recipe.
+    active_samples spans first..last active frame INCLUSIVE of any
+    interior quiet frames (trim never cuts mid-clip — the contract that
+    distinguishes trimming from voice-activity masking).
+
+    Scale plan: same Arrow mapInPandas shape as mm_audio_decode (one
+    bounded row out per asset); declared Python-boundary key. The
+    oracle recomputes frame energies and the threshold rule in DuckDB
+    from the closed form, independent of the codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "n_frames": [], "first_active": [],
+                   "last_active": [], "n_active": [], "active_samples": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nfr = 16 + doc_id % 8
+                lead, trail = doc_id % 4, (doc_id // 4) % 4
+                i = np.arange(_TRIM_FLEN * nfr, dtype=np.int64)
+                f = i // _TRIM_FLEN
+                quiet = (doc_id + i) % 201 - 100
+                sign = np.where(i % 2 == 0, 1, -1)
+                loud = sign * (20000 + (doc_id * 31 + i * 7) % 10000)
+                smp = np.where((f < lead) | (f >= nfr - trail), quiet, loud)
+                _, wave = decode_wav_pcm16(encode_wav_pcm16(smp))
+                rec = np.rint(wave * 32768.0).astype(np.int64)
+                energy = (rec * rec).reshape(nfr, _TRIM_FLEN).sum(axis=1)
+                active = np.nonzero(energy > _TRIM_THRESH)[0]
+                fa, la = int(active[0]), int(active[-1])
+                out["asset_id"].append(doc_id)
+                out["n_frames"].append(nfr)
+                out["first_active"].append(fa)
+                out["last_active"].append(la)
+                out["n_active"].append(len(active))
+                out["active_samples"].append((la - fa + 1) * _TRIM_FLEN)
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    return docs.mapInPandas(run, schema=_SILENCE_SCHEMA)
+
+
+_SCENE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("delta", LongType()),
+        StructField("is_cut", BooleanType()),
+    ]
+)
+
+
+@query(
+    "mm_video_scene_cut",
+    oracle="""
+    WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+                      6 + doc_id % 5 AS nf, 2 + doc_id % 3 AS sl
+               FROM documents),
+         fr AS (
+             SELECT doc_id, w, h, sl, f, f // sl AS sc
+             FROM d, LATERAL (SELECT unnest(generate_series(0,
+                      CAST(nf - 1 AS INT))) AS f) g
+         ),
+         px AS (
+             SELECT doc_id, w, h, f,
+                    (doc_id * 7  + sc * 29 + i * 13) % 256 AS r,
+                    (doc_id * 11 + sc * 31 + i * 17) % 256 AS g2,
+                    (doc_id * 19 + sc * 37 + i * 23) % 256 AS b,
+                    i
+             FROM fr, LATERAL (SELECT unnest(generate_series(0,
+                      CAST(w * h - 1 AS INT))) AS i) gs
+         ),
+         dl AS (
+             SELECT cur.doc_id, cur.f, cur.w, cur.h,
+                    CAST(sum(abs(cur.r - prv.r) + abs(cur.g2 - prv.g2)
+                             + abs(cur.b - prv.b)) AS BIGINT) AS delta
+             FROM px cur
+             JOIN px prv ON cur.doc_id = prv.doc_id AND cur.i = prv.i
+                        AND prv.f = cur.f - 1
+             GROUP BY cur.doc_id, cur.f, cur.w, cur.h
+         )
+    SELECT doc_id           AS asset_id,
+           CAST(f AS INT)   AS frame_no,
+           delta,
+           delta > w * h * 3 * 8 AS is_cut
+    FROM dl
+    """,
+)
+def mm_video_scene_cut(t: Tables) -> DataFrame:
+    """Scene-cut detection over the REAL video decode path — the
+    frame-sampling front end of a video-training pipeline (pick one
+    keyframe per scene instead of every frame). Per document a
+    deterministic video with PLANTED scenes (nf = 6+doc_id%5 frames,
+    scene length sl = 2+doc_id%3; all frames of a scene share identical
+    planted_rgb content keyed by the SCENE index) is muxed into a
+    genuine AVI and demuxed back through the recursive RIFF walker;
+    per consecutive-frame pair the sum of absolute channel differences
+    is computed from DECODED pixels — zero within a scene, large across
+    a boundary — and a cut fires when the delta exceeds mean-abs-diff 8
+    per channel. Every frame f ≥ 1 emits its delta row, so the output
+    SET is threshold-independent (the flag is a projection).
+
+    Scale plan: Arrow mapInPandas, one demux per asset, ≤ nf−1 bounded
+    rows out — the mm_video_frames shape; the in-kernel lag is over the
+    asset's own frame list (never a Spark window over fact rows). The
+    oracle recomputes pixel content and the frame-pair deltas in DuckDB
+    from the closed form, codec-independent."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_no": [], "delta": [], "is_cut": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 3 + doc_id % 5, 2 + doc_id % 4
+                nf, sl = 6 + doc_id % 5, 2 + doc_id % 3
+                src = [planted_rgb(doc_id, w, h, frame=f // sl) for f in range(nf)]
+                dec = decode_avi_rgb24(encode_avi_rgb24(src))
+                thresh = w * h * 3 * 8
+                prev = None
+                for f, frame in enumerate(dec):
+                    fi = frame.astype(np.int64)
+                    if prev is not None:
+                        delta = int(np.abs(fi - prev).sum())
+                        out["asset_id"].append(doc_id)
+                        out["frame_no"].append(f)
+                        out["delta"].append(delta)
+                        out["is_cut"].append(delta > thresh)
+                    prev = fi
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    return docs.mapInPandas(run, schema=_SCENE_SCHEMA)

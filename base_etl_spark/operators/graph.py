@@ -112,6 +112,75 @@ def graph_pagerank(t: Tables) -> DataFrame:
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
+# SQL fragment shared by the two KNN-graph oracles: DISTINCT
+# (order, supplier) → same-order pair counts → symmetrize → top-5
+# nomination per node → undirected union-of-KNN edge set `e(u, v)` and
+# its degree table. Each oracle string embeds it so the DuckDB side
+# stays standalone.
+_KNN_EDGES_SQL = """
+    cs AS (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+    ),
+    pc AS (
+        SELECT a.s AS u, b.s AS v, count(*) AS w
+        FROM cs a JOIN cs b ON a.o = b.o AND a.s < b.s
+        GROUP BY a.s, b.s
+    ),
+    dir AS (
+        SELECT u AS a, v AS b, w FROM pc
+        UNION ALL
+        SELECT v AS a, u AS b, w FROM pc
+    ),
+    knn AS (
+        SELECT a, b FROM (
+            SELECT a, b,
+                   row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+            FROM dir
+        ) WHERE rn <= 5
+    ),
+    e AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM knn
+    ),
+    deg AS (
+        SELECT node, count(*) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node
+    )
+"""
+
+
+def _knn_partnership_edges(t: Tables) -> DataFrame:
+    """Undirected union-of-KNN supplier partnership edge set `(u, v)`,
+    u < v — the shared graph construction behind graph_triangle_count
+    and graph_jaccard_similarity (rationale in graph_triangle_count's
+    docstring: raw co-occurrence saturates to the complete graph on
+    uniform fixtures; per-order pair fan-out is line-count-bounded; the
+    5-partner nomination is deterministic under (w DESC, id)). Returned
+    persisted — every caller reads it more than once and it is tiny
+    next to the fact scan."""
+    cs = t.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = cs.alias("a"), cs.alias("b")
+    pc = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("pu"), F.col("b.s").alias("pv"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    direct = pc.select(
+        F.col("pu").alias("na"), F.col("pv").alias("nb"), "w"
+    ).unionByName(pc.select(F.col("pv").alias("na"), F.col("pu").alias("nb"), "w"))
+    knn_w = Window.partitionBy("na").orderBy(F.col("w").desc(), F.col("nb"))
+    knn = direct.withColumn("rn", F.row_number().over(knn_w)).filter(F.col("rn") <= 5)
+    return (
+        knn.select(
+            F.least("na", "nb").alias("u"), F.greatest("na", "nb").alias("v")
+        )
+        .distinct()
+        .persist()  # feeds degrees AND downstream joins; tiny vs the fact scan
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -215,27 +284,7 @@ def graph_triangle_count(t: Tables) -> DataFrame:
     scalar combine. Wedge count Σ deg(deg−1)/2 stays in exact integer
     arithmetic; the one float division is rounded to 6dp on both
     engines."""
-    cs = t.lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = cs.alias("a"), cs.alias("b")
-    pc = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("pu"), F.col("b.s").alias("pv"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    direct = pc.select(
-        F.col("pu").alias("na"), F.col("pv").alias("nb"), "w"
-    ).unionByName(pc.select(F.col("pv").alias("na"), F.col("pu").alias("nb"), "w"))
-    knn_w = Window.partitionBy("na").orderBy(F.col("w").desc(), F.col("nb"))
-    knn = direct.withColumn("rn", F.row_number().over(knn_w)).filter(F.col("rn") <= 5)
-    e = (
-        knn.select(
-            F.least("na", "nb").alias("u"), F.greatest("na", "nb").alias("v")
-        )
-        .distinct()
-        .persist()  # feeds degrees AND orientation; tiny vs the fact scan
-    )
+    e = _knn_partnership_edges(t)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -291,3 +340,87 @@ def graph_triangle_count(t: Tables) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "graph_jaccard_similarity",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL},
+    adj AS (
+        SELECT u AS node, v AS nb FROM e
+        UNION ALL
+        SELECT v AS node, u AS nb FROM e
+    ),
+    common AS (
+        SELECT a.node AS u, b.node AS v, CAST(count(*) AS BIGINT) AS n_common
+        FROM adj a JOIN adj b ON a.nb = b.nb AND a.node < b.node
+        GROUP BY a.node, b.node
+        HAVING count(*) >= 2
+    )
+    SELECT c.u, c.v, c.n_common,
+           CAST(du.deg AS BIGINT) AS deg_u, CAST(dv.deg AS BIGINT) AS deg_v,
+           round(c.n_common * 1.0 / (du.deg + dv.deg - c.n_common), 6)
+               AS jaccard,
+           (ed.u IS NOT NULL) AS is_edge
+    FROM common c
+    JOIN deg du ON c.u = du.node
+    JOIN deg dv ON c.v = dv.node
+    LEFT JOIN e ed ON c.u = ed.u AND c.v = ed.v
+    """,
+)
+def graph_jaccard_similarity(t: Tables) -> DataFrame:
+    """Neighbor-set Jaccard similarity over the supplier partnership
+    KNN graph (shared construction: _knn_partnership_edges): for every
+    node pair sharing at least 2 common neighbors,
+    |N(u)∩N(v)| / |N(u)∪N(v)| — the classic link-prediction score
+    (Liben-Nowell & Kleinberg 2003, public method). High-Jaccard pairs
+    with is_edge = false are the predicted missing links; existing
+    edges carry their structural-similarity strength.
+
+    Scale plan: candidate pairs are generated by ONE self-join of the
+    adjacency list on the NEIGHBOR key — each neighbor n contributes
+    C(deg(n), 2) wedge pairs, and degrees in the union-of-KNN graph are
+    nomination-bounded (≤ 5 out-nominations per node), so the wedge
+    fan-out is O(k²·n), never hub-quadratic like a raw co-occurrence
+    projection. The intersection count is one hash agg on the pair key;
+    union size comes from the exact inclusion–exclusion
+    deg_u + deg_v − common with degrees joined from the node-bounded
+    degree table (broadcast). The output SET is decided by the exact
+    integer support (≥2 common neighbors); the Jaccard itself is a
+    final 6dp projection of a ratio of exact integers."""
+    e = _knn_partnership_edges(t)
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    common = (
+        a.join(b, (F.col("a.nb") == F.col("b.nb")) & (F.col("a.node") < F.col("b.node")))
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    deg = (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    edge_flag = e.select("u", "v", F.lit(True).alias("is_e"))
+    return (
+        common.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .join(F.broadcast(edge_flag), ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            "deg_u",
+            "deg_v",
+            F.round(
+                F.col("n_common") * 1.0
+                / (F.col("deg_u") + F.col("deg_v") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.coalesce(F.col("is_e"), F.lit(False)).alias("is_edge"),
+        )
+    )

@@ -146,7 +146,8 @@ ROUND7_WINDOW: list[str] = [
     # round-7 additions (appended at registration time per the rule;
     # the window stays ≤50 so every entry lands a driver row this round)
     "join_asof_nearest", "win_drawdown", "tokenizer_bpe_pairs",
-    "text_pmi_cooccur",
+    "text_pmi_cooccur", "etl_backfill_plan", "graph_jaccard_similarity",
+    "mm_audio_silence_trim", "mm_video_scene_cut", "scan_json_permissive",
 ]
 
 # Round 7: execute the committed rotation plan — the driver window IS

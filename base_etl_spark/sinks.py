@@ -1046,3 +1046,94 @@ def etl_file_stats(t: Tables) -> DataFrame:
             "max_date",
         )
     )
+
+
+@query(
+    "scan_json_permissive",
+    oracle="""
+    SELECT 'good' AS row_class,
+           CAST(count(*) + 1 AS BIGINT) AS n_rows,
+           -- coalesce: on an EMPTY customer table the good class still
+           -- holds the injected drift row, so the sum is 12.75, not NULL
+           round(CAST(coalesce(sum(c_acctbal), 0.0) AS DOUBLE) + 12.75, 2)
+               AS sum_acctbal
+    FROM customer
+    UNION ALL
+    SELECT 'partial', 1, 5.25
+    UNION ALL
+    SELECT 'syntax', 1, NULL
+    """,
+)
+def scan_json_permissive(t: Tables) -> DataFrame:
+    """Malformed-JSON ingest contract — the JSONL twin of
+    scan_csv_permissive, covering the failure taxonomy JSON adds over
+    CSV: (a) SYNTAX-broken records (unclosed object) become fully-null
+    quarantine rows, (b) TYPE-mismatch records ("abc" where a long
+    belongs) parse PARTIALLY — the well-typed fields survive while
+    _corrupt_record still captures the raw line (probed Spark
+    behavior), and (c) schema-DRIFT records (an extra unknown field)
+    are NOT corrupt — the extra field drops and the row counts as good.
+    The report states all three classes with parsed-value sums, so a
+    load that silently reclassified any population flips the hash.
+
+    At 100 TB this is the ingest stance for event/JSON feeds:
+    PERMISSIVE + corrupt column + per-class counts published with the
+    load; FAILFAST wastes the cluster-night, DROPMALFORMED destroys the
+    audit trail, and partial rows are real recoverable data (their
+    typed fields are right there)."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    path = _derived_path(t.sf_dir, "customer_jsonl_dirty")
+
+    def build(p: str) -> None:
+        (
+            t.customer.select(
+                F.to_json(F.struct("c_custkey", "c_acctbal", "c_mktsegment")).alias("j")
+            ).write.mode("overwrite").text(p)
+        )
+        bad = os.path.join(p, "zz_injected.jsonl")
+        with open(bad, "w") as f:
+            # type mismatch: custkey unparseable as long -> partial row
+            f.write('{"c_custkey": "not_an_int", "c_acctbal": 5.25, "c_mktsegment": "BUILDING"}\n')
+            # syntax error: unclosed object -> fully corrupt row
+            f.write('{"c_custkey": 77, "c_acctbal":\n')
+            # schema drift: unknown extra field -> good row
+            f.write('{"c_custkey": 900001, "c_acctbal": 12.75, "c_mktsegment": "DRIFT", "new_col": true}\n')
+
+    _ensure_derived(path, _source_fingerprint(t.sf_dir, "customer"), build)
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_mktsegment", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        t.spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # same materialize-then-fan-out stance as scan_csv_permissive (Spark
+    # rejects plans pruned down to only the corrupt-record column, and
+    # parse-once is the production shape anyway)
+    df = df.cache()
+    cls = (
+        F.when(F.col("_corrupt_record").isNull(), F.lit("good"))
+        .when(F.col("c_acctbal").isNotNull(), F.lit("partial"))
+        .otherwise(F.lit("syntax"))
+    )
+    grouped = df.groupBy(cls.alias("row_class")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+    # all three classes are load-bearing even at count 0 (empty tier)
+    domain = t.spark.createDataFrame(
+        [("good",), ("partial",), ("syntax",)], "row_class string"
+    )
+    return domain.join(grouped, "row_class", "left").select(
+        "row_class",
+        F.coalesce("n_rows", F.lit(0).cast("long")).alias("n_rows"),
+        "sum_acctbal",
+    )

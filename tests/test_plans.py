@@ -227,6 +227,8 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "mm_image_resize": "MapInPandas",  # REAL BMP resize — two codec trips
         "mm_video_frames": "MapInPandas",  # REAL AVI demux — the boundary is the point
         "mm_image_dedup": "MapInPandas",  # REAL BMP decode feeding the hash dedup
+        "mm_audio_silence_trim": "MapInPandas",  # REAL WAV decode + energy trim
+        "mm_video_scene_cut": "MapInPandas",  # REAL AVI demux + frame deltas
         "udtf_python": "BatchEvalPython",  # Python-UDTF boundary (BatchEvalPythonUDTF node)
     }
     markers = (
@@ -637,3 +639,28 @@ def test_pmi_no_self_join_on_docs(spark):
     plan = _plan(_QS["text_pmi_cooccur"](spark, SF_TEST))
     assert "SortMergeJoin [doc_id" not in plan and "hashpartitioning(doc_id" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_backfill_plan_prunes_and_anti_joins(spark):
+    """The backfill planner needs exactly one fact column, and the
+    missing-date derivation must be a broadcast ANTI join of two
+    calendar-bounded frames — a shuffle here would move the spine."""
+    plan = _plan(_QS["etl_backfill_plan"](spark, SF_TEST))
+    assert "ReadSchema: struct<o_orderdate:timestamp>" in plan
+    assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_jaccard_prunes_lineitem_and_broadcasts_degrees(spark):
+    """Same fact projection as the triangle census — (orderkey, suppkey)
+    only; degree/edge-flag joins run broadcast on node-bounded frames."""
+    plan = _plan(_QS["graph_jaccard_similarity"](spark, SF_TEST))
+    assert "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_mm_trim_and_scene_cut_read_only_doc_id(spark):
+    """Both media kernels derive content from doc_id; scanning text
+    would read ~95% more bytes for nothing."""
+    for key in ("mm_audio_silence_trim", "mm_video_scene_cut"):
+        plan = _plan(_QS[key](spark, SF_TEST))
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, key

@@ -1157,3 +1157,91 @@ def test_pmi_planted_independence_is_zero(spark):
     assert len(rows) == 1
     [r] = rows
     assert (r.w1, r.w2, r.n_docs_pair, r.df1, r.df2, r.pmi) == ("x", "y", 3, 4, 3, 0.0)
+
+
+def test_backfill_plan_planted_gaps(spark):
+    """Orders on Jan 1,2,5,6,10: missing dates coalesce to exactly
+    [3-4] (2 days) and [7-9] (3 days) — islands, not per-day rows."""
+    import datetime as dt
+
+    class _T:
+        pass
+
+    days = [1, 2, 5, 6, 10]
+    _T.orders = spark.createDataFrame(
+        [(d, dt.datetime(2024, 1, d, 9, 30)) for d in days],
+        "o_orderkey bigint, o_orderdate timestamp",
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    got = {
+        (r.range_start.isoformat(), r.range_end.isoformat(), r.n_days)
+        for r in REGISTRY["etl_backfill_plan"].fn.tables_fn(_T()).collect()
+    }
+    assert got == {("2024-01-03", "2024-01-04", 2), ("2024-01-07", "2024-01-09", 3)}
+
+
+def test_jaccard_planted_link_prediction(spark):
+    """Co-occurrence orders {1,2},{1,3},{2,3},{1,4},{2,4} build edges
+    12,13,23,14,24. Exactly two pairs share >= 2 neighbors: the EDGE
+    (1,2) with J = 2/4, and the NON-edge (3,4) with J = 2/2 = 1.0 — the
+    predicted missing link must surface with is_edge = false."""
+
+    class _T:
+        pass
+
+    orders = [(10, 1), (10, 2), (11, 1), (11, 3), (12, 2), (12, 3),
+              (13, 1), (13, 4), (14, 2), (14, 4)]
+    _T.lineitem = spark.createDataFrame(
+        orders, "l_orderkey bigint, l_suppkey bigint"
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    rows = {
+        (r.u, r.v): r
+        for r in REGISTRY["graph_jaccard_similarity"].fn.tables_fn(_T()).collect()
+    }
+    assert set(rows) == {(1, 2), (3, 4)}
+    assert rows[(1, 2)].is_edge and rows[(1, 2)].jaccard == 0.5
+    assert not rows[(3, 4)].is_edge and rows[(3, 4)].jaccard == 1.0
+    assert rows[(3, 4)].n_common == 2 and rows[(3, 4)].deg_u == 2
+
+
+def test_silence_trim_planted_frames(spark):
+    """doc_id 13: 21 frames, 1 leading + 3 trailing silent frames ->
+    active span frames 1..17 (17 frames, 85 samples) — from DECODED
+    integers, and the planted quiet/loud classes are orders of
+    magnitude apart so the threshold can't sit near either."""
+
+    class _T:
+        pass
+
+    _T.documents = spark.createDataFrame([(13,)], "doc_id bigint")
+
+    from base_etl_spark.registry import REGISTRY
+
+    [r] = REGISTRY["mm_audio_silence_trim"].fn.tables_fn(_T()).collect()
+    assert (r.n_frames, r.first_active, r.last_active) == (21, 1, 17)
+    assert r.n_active == 17 and r.active_samples == 85
+
+
+def test_scene_cut_planted_boundaries(spark):
+    """doc_id 7: 8 frames, scene length 3 -> scenes 000 111 22; cuts
+    fire at frames 3 and 6 exactly; within-scene deltas are 0 (decoded
+    frames of one scene are bit-identical)."""
+
+    class _T:
+        pass
+
+    _T.documents = spark.createDataFrame([(7,)], "doc_id bigint")
+
+    from base_etl_spark.registry import REGISTRY
+
+    rows = {r.frame_no: r for r in
+            REGISTRY["mm_video_scene_cut"].fn.tables_fn(_T()).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 7}
+    assert {f for f, r in rows.items() if r.is_cut} == {3, 6}
+    assert all(r.delta == 0 for f, r in rows.items() if f not in (3, 6))
+    assert rows[3].delta > 0 and rows[6].delta > 0
