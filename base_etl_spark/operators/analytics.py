@@ -3074,3 +3074,122 @@ def win_drawdown(t: Tables) -> DataFrame:
         .alias("max_drawdown_pct"),
         F.col("p.month").alias("trough_month"),
     )
+
+
+@query(
+    "events_welch_ttest",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN (user_id * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END
+                   AS variant,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS ic
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    arms AS (
+        -- Σx and Σx² in HUGEINT: exact at ANY value magnitude (the fuzz
+        -- tier's 1e9-scale values overflow ic² in int64); Spark mirrors
+        -- with decimal(38,0)
+        SELECT variant, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(ic AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(sum(CAST(ic AS HUGEINT) * ic) AS HUGEINT) AS s2
+        FROM s GROUP BY variant
+    ),
+    w AS (
+        -- variance via the all-integer form (n·Σx² − (Σx)²)/(n(n−1)):
+        -- the numerator is one exact wide integer, converted to double
+        -- ONCE (both engines round that same integer identically)
+        SELECT
+            a.n AS n_a, b.n AS n_b,
+            a.s1 * 1.0 / a.n / 100.0 AS mean_a,
+            b.s1 * 1.0 / b.n / 100.0 AS mean_b,
+            (a.n * a.s2 - a.s1 * a.s1) * 1.0
+                / (a.n * 1.0 * (a.n - 1)) / 10000.0 AS var_a,
+            (b.n * b.s2 - b.s1 * b.s1) * 1.0
+                / (b.n * 1.0 * (b.n - 1)) / 10000.0 AS var_b
+        FROM (SELECT * FROM arms WHERE variant = 'A') a,
+             (SELECT * FROM arms WHERE variant = 'B') b
+        WHERE a.n >= 2 AND b.n >= 2
+    )
+    SELECT n_a, n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           CASE WHEN var_a / n_a + var_b / n_b > 0
+                THEN round((mean_a - mean_b)
+                           / sqrt(var_a / n_a + var_b / n_b), 6)
+           END AS t_stat,
+           CASE WHEN (var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                   + (var_b / n_b) * (var_b / n_b) / (n_b - 1) > 0
+                THEN round(
+                    (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+                    / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                       + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6)
+           END AS welch_df
+    FROM w
+    """,
+)
+def events_welch_ttest(t: Tables) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test on event VALUES
+    between the hash-assigned A/B arms — the mean-shift readout
+    completing the experimentation family (events_ab_test: conversion
+    rates; events_ks_test: full distribution; this: means under unequal
+    variances, the default recommendation over Student's t). t and the
+    Welch–Satterthwaite df are reported; the caller looks up p.
+
+    Exactness discipline: values are per-row rounded to integer cents
+    (the join_q10_returns rule), and the sufficient statistics
+    (n, Σx, Σx²) accumulate in EXACT wide integers — decimal(38,0) on
+    Spark, HUGEINT in DuckDB — so they are identical on both engines
+    regardless of sum order, parallelism, or value magnitude (the fuzz
+    tier's 1e9-scale values overflow Σx² in int64; found by
+    fuzz_check before this key ever shipped). The variance numerator
+    n·Σx² − (Σx)² is one exact integer converted to double once; all
+    remaining float algebra is a deterministic 1-row expression.
+    Zero-variance and single-row arms yield NULL (guarded identically
+    on both sides — Spark's x/0→NULL is not portable). Scale: one
+    map-side-combined hash agg to two rows, then scalar algebra; the
+    2-row cross combine is the events_ab_test shape
+    (BNLJ-allowlisted)."""
+    ic = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    s = t.events.filter(F.col("value").isNotNull()).select(
+        F.when((F.col("user_id") * 2654435761) % 100 < 50, "A")
+        .otherwise("B")
+        .alias("variant"),
+        ic.alias("ic"),
+    )
+    wide = F.col("ic").cast("decimal(19,0)")
+    arms = s.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(wide).alias("s1"),
+        F.sum(wide * wide).alias("s2"),
+    )
+    a = arms.filter(F.col("variant") == "A").select(
+        F.col("n").alias("n_a"), F.col("s1").alias("s1a"), F.col("s2").alias("s2a")
+    )
+    b = arms.filter(F.col("variant") == "B").select(
+        F.col("n").alias("n_b"), F.col("s1").alias("s1b"), F.col("s2").alias("s2b")
+    )
+    j = a.crossJoin(b).filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    mean_a = F.col("s1a").cast("double") / F.col("n_a") / 100.0
+    mean_b = F.col("s1b").cast("double") / F.col("n_b") / 100.0
+    var_a = (
+        (F.col("n_a") * F.col("s2a") - F.col("s1a") * F.col("s1a")).cast("double")
+        / (F.col("n_a") * 1.0 * (F.col("n_a") - 1))
+        / 10000.0
+    )
+    var_b = (
+        (F.col("n_b") * F.col("s2b") - F.col("s1b") * F.col("s1b")).cast("double")
+        / (F.col("n_b") * 1.0 * (F.col("n_b") - 1))
+        / 10000.0
+    )
+    se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
+    df_den = (var_a / F.col("n_a")) * (var_a / F.col("n_a")) / (F.col("n_a") - 1) + (
+        var_b / F.col("n_b")
+    ) * (var_b / F.col("n_b")) / (F.col("n_b") - 1)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.when(se2 > 0, F.round((mean_a - mean_b) / F.sqrt(se2), 6)).alias("t_stat"),
+        F.when(df_den > 0, F.round(se2 * se2 / df_den, 6)).alias("welch_df"),
+    )

@@ -1347,3 +1347,90 @@ def sim_topk_bitsign(t: Tables) -> DataFrame:
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return rerank.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+
+
+_RECALL_KS = (1, 3, 5)
+
+
+def _recall_oracle() -> str:
+    """Composed from the two retrieval keys' own oracle strings (nested
+    WITH-in-subquery, probed valid DuckDB) so the ground-truth and ANN
+    pipelines can never drift from what those keys actually certify."""
+    from base_etl_spark.registry import REGISTRY
+
+    exact = REGISTRY["sim_topk"].oracle
+    ann = REGISTRY["sim_topk_bitsign"].oracle
+    ks = ", ".join(str(k) for k in _RECALL_KS)
+    return f"""
+    WITH exact AS (SELECT * FROM ({exact}) x),
+    ann AS (SELECT * FROM ({ann}) y),
+    matches AS (
+        SELECT e.probe_id, greatest(e.rn, a.rn) AS m
+        FROM exact e JOIN ann a
+          ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+    ),
+    dom AS (
+        SELECT DISTINCT probe_id, k
+        FROM exact, (SELECT unnest([{ks}]) AS k)
+    )
+    SELECT d.probe_id, CAST(d.k AS INT) AS k,
+           CAST(coalesce(sum(CASE WHEN m.m <= d.k THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_hits,
+           round(coalesce(sum(CASE WHEN m.m <= d.k THEN 1 ELSE 0 END), 0)
+                 * 1.0 / d.k, 6) AS recall
+    FROM dom d LEFT JOIN matches m ON d.probe_id = m.probe_id
+    GROUP BY d.probe_id, d.k
+    """
+
+
+@query("sim_recall_at_k", oracle=_recall_oracle())
+def sim_recall_at_k(t: Tables) -> DataFrame:
+    """Recall@k report for the two-stage sign-sketch ANN
+    (sim_topk_bitsign) against brute-force ground truth (sim_topk), at
+    k ∈ (1, 3, 5) — the retrieval-quality measurement run before
+    trusting an ANN index in production, AS a data operation (the
+    dedup_threshold_sweep pattern: the tuning report is itself a
+    deterministic query). Both inputs are the existing keys' OWN
+    pipelines (tables_fn reuse on the Spark side, oracle-string
+    composition on the DuckDB side), so this report can never disagree
+    with what those keys certify.
+
+    A hit at k = a (probe, neighbor) pair ranked ≤ k by BOTH pipelines,
+    i.e. greatest(rn_exact, rn_ann) ≤ k — one equi-join of two
+    (probes × TOP_K)-bounded frames, then a probe×k domain left join so
+    zero-recall probes still report 0 (groupBy would drop them). Ranks
+    are deterministic on both sides (6dp-rounded cosine + id
+    tie-breaks), so n_hits is exact integer; recall is its final 6dp
+    ratio. Scale: the heavy lifting is inside the two reused retrieval
+    plans; this report adds joins over k·probes-bounded frames only."""
+    from base_etl_spark.registry import REGISTRY
+
+    exact = REGISTRY["sim_topk"].fn.tables_fn(t).select(
+        "probe_id", "neighbor_id", F.col("rn").alias("rn_e")
+    )
+    ann = REGISTRY["sim_topk_bitsign"].fn.tables_fn(t).select(
+        "probe_id", "neighbor_id", F.col("rn").alias("rn_a")
+    )
+    matches = exact.join(ann, ["probe_id", "neighbor_id"]).select(
+        "probe_id", F.greatest("rn_e", "rn_a").alias("m")
+    )
+    spark = t.embeddings.sparkSession
+    ks = spark.createDataFrame([(k,) for k in _RECALL_KS], "k int")
+    dom = exact.select("probe_id").distinct().crossJoin(F.broadcast(ks))
+    return (
+        dom.join(matches, "probe_id", "left")
+        .groupBy("probe_id", "k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("m") <= F.col("k"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "probe_id",
+            "k",
+            "n_hits",
+            F.round(F.col("n_hits") * 1.0 / F.col("k"), 6).alias("recall"),
+        )
+    )

@@ -148,6 +148,7 @@ ROUND7_WINDOW: list[str] = [
     "join_asof_nearest", "win_drawdown", "tokenizer_bpe_pairs",
     "text_pmi_cooccur", "etl_backfill_plan", "graph_jaccard_similarity",
     "mm_audio_silence_trim", "mm_video_scene_cut", "scan_json_permissive",
+    "sim_recall_at_k", "events_welch_ttest",
 ]
 
 # Round 7: execute the committed rotation plan — the driver window IS

@@ -196,6 +196,8 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "agg_benford_test",  # 1-row total-count scalar x 9-digit grid
         "events_changepoint",  # 1-row (total, n_days) scalar x day series
         "events_cohort_survival",  # 1-row horizon + total scalars x lag series
+        "sim_recall_at_k",  # reuses sim_topk + bitsign probe broadcasts; k-grid (3-row) cross
+        "events_welch_ttest",  # two 1-row arm summaries cross-joined (events_ab_test shape)
     }
     bad = []
     for k, fn in _QS.items():

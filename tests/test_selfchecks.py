@@ -1245,3 +1245,50 @@ def test_scene_cut_planted_boundaries(spark):
     assert {f for f, r in rows.items() if r.is_cut} == {3, 6}
     assert all(r.delta == 0 for f, r in rows.items() if f not in (3, 6))
     assert rows[3].delta > 0 and rows[6].delta > 0
+
+
+def test_welch_ttest_planted_arms(spark):
+    """Hand-placed users (hash-verified arms: 2,4 -> A; 1,3 -> B) with
+    values A={1,3}, B={2,6}: mean_a=2, mean_b=4, var_a=2, var_b=8 ->
+    t = -2/sqrt(5) = -0.894427, Welch df = 25/17 = 1.470588."""
+    import datetime as dt
+
+    class _T:
+        pass
+
+    rows = [(2, 1.00), (4, 3.00), (1, 2.00), (3, 6.00)]
+    _T.events = spark.createDataFrame(
+        [(u, v, dt.datetime(2024, 1, 1)) for u, v in rows],
+        "user_id bigint, value double, ts timestamp",
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    [r] = REGISTRY["events_welch_ttest"].fn.tables_fn(_T()).collect()
+    assert (r.n_a, r.n_b, r.mean_a, r.mean_b) == (2, 2, 2.0, 4.0)
+    assert r.t_stat == -0.894427
+    assert r.welch_df == 1.470588
+
+
+def test_recall_report_perfect_on_small_corpus(spark):
+    """12 deterministic vectors: the Hamming prefilter (top-100) keeps
+    the WHOLE corpus, so the two-stage rerank degenerates to exact brute
+    force and every probe's recall must be exactly 1.0 at every k —
+    the report's upper anchor. (The fixture-scale lower anchor, recall
+    0.96/0.8 vs brute force, is pinned in
+    test_bitsign_two_stage_recall_vs_brute_force.)"""
+
+    class _T:
+        pass
+
+    vecs = [
+        (i, [((i * 7 + j * 13) % 19) / 10.0 - 0.9 for j in range(8)])
+        for i in range(12)
+    ]
+    _T.embeddings = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+
+    from base_etl_spark.registry import REGISTRY
+
+    rows = REGISTRY["sim_recall_at_k"].fn.tables_fn(_T()).collect()
+    assert len(rows) == 30  # 10 probes x k in (1, 3, 5)
+    assert all(r.recall == 1.0 and r.n_hits == r.k for r in rows)
