@@ -198,6 +198,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "events_cohort_survival",  # 1-row horizon + total scalars x lag series
         "sim_recall_at_k",  # reuses sim_topk + bitsign probe broadcasts; k-grid (3-row) cross
         "events_welch_ttest",  # two 1-row arm summaries cross-joined (events_ab_test shape)
+        "text_pmi_cooccur",  # 1-row corpus-doc-count scalar
     }
     bad = []
     for k, fn in _QS.items():
