@@ -3193,3 +3193,123 @@ def events_welch_ttest(t: Tables) -> DataFrame:
         F.when(se2 > 0, F.round((mean_a - mean_b) / F.sqrt(se2), 6)).alias("t_stat"),
         F.when(df_den > 0, F.round(se2 * se2 / df_den, 6)).alias("welch_df"),
     )
+
+
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_H = 0.3, 0.2, 3
+
+
+@query(
+    "win_holt_linear",
+    oracle="""
+    WITH RECURSIVE m AS (
+        SELECT n_name, date_trunc('month', o_orderdate) AS month,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT n_name,
+               -- CAST first: a bare /100.0 would build a DECIMAL list
+               -- and run the whole fold in decimal arithmetic
+               list(CAST(rev_c AS DOUBLE) / 100.0 ORDER BY month) AS ys
+        FROM m GROUP BY n_name
+        HAVING count(*) >= 2
+    ),
+    ini AS (
+        -- l1 = a·y2 + (1−a)·(y1 + (y2−y1)); b1 = β·(l1−y1) + (1−β)·(y2−y1)
+        SELECT n_name, ys, len(ys) AS n,
+               0.3 * ys[2] + 0.7 * (ys[1] + (ys[2] - ys[1])) AS l1,
+               0.2 * ((0.3 * ys[2] + 0.7 * (ys[1] + (ys[2] - ys[1]))) - ys[1])
+                   + 0.8 * (ys[2] - ys[1]) AS b1
+        FROM arr
+    ),
+    -- recursive unroll, NOT list_reduce: this DuckDB's (1.0.0)
+    -- list_reduce mutates struct-accumulator fields IN PLACE during a
+    -- step, so a later field reads another field's NEW value (probed:
+    -- {'l': a.l+x.l, 'b': a.b+2*(a.l+x.l)} over 3 elements returns 124
+    -- where left-fold semantics give 118). The recursive CTE has
+    -- snapshot semantics by construction.
+    f AS (
+        SELECT n_name, ys, n, CAST(2 AS BIGINT) AS i,
+               CAST(l1 AS DOUBLE) AS l, CAST(b1 AS DOUBLE) AS b
+        FROM ini
+        UNION ALL
+        SELECT n_name, ys, n, i + 1,
+               0.3 * ys[i + 1] + 0.7 * (l + b),
+               0.2 * ((0.3 * ys[i + 1] + 0.7 * (l + b)) - l) + 0.8 * b
+        FROM f WHERE i < n
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_months,
+           round(l, 6) AS level,
+           round(b, 6) AS trend,
+           round(l + 3 * b, 6) AS forecast_h3
+    FROM f WHERE i = n
+    """,
+)
+def win_holt_linear(t: Tables) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (double smoothing,
+    public textbook method; α=0.3, β=0.2) over each nation's monthly
+    revenue, with the 3-month-ahead forecast level + 3·trend — the
+    capacity-planning readout one tier above win_ema_fold's single
+    smoothing. Standard init: l₁ from the first two points, b₁ = y₂−y₁.
+
+    The recursion is inherently sequential, so it runs as ONE in-row
+    fold (F.aggregate / list_reduce) over the post-aggregate month
+    series — both engines fold the SAME ordered double list in the same
+    order, so the float trajectory is bit-identical; the fact pass is
+    the win_drawdown shape (one partial-agg shuffle to the month grid,
+    exact integer cents). Series length is calendar-bounded (~10³ per
+    millennium), so the collected array is never fact-sized; nations
+    with fewer than 2 months are excluded on both sides (no init
+    exists). DuckDB's 2-arg list_reduce folds seed-prepend style —
+    probed; the arithmetic is forced to DOUBLE on the oracle side
+    (bare decimal literals would otherwise run the fold in DECIMAL)."""
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    m = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg((F.sum(cents) / 100.0).alias("y"))
+    )
+    arr = (
+        m.groupBy("n_name")
+        .agg(F.array_sort(F.collect_list(F.struct("month", "y"))).alias("pairs"))
+        .filter(F.size("pairs") >= 2)
+        .select("n_name", F.expr("transform(pairs, p -> p.y)").alias("ys"))
+    )
+    fold = F.expr(
+        "aggregate("
+        " slice(ys, 3, size(ys)),"
+        " named_struct("
+        "   'l', CAST(0.3 * element_at(ys, 2)"
+        "        + 0.7 * (element_at(ys, 1)"
+        "                 + (element_at(ys, 2) - element_at(ys, 1))) AS DOUBLE),"
+        "   'b', CAST(0.2 * ((0.3 * element_at(ys, 2)"
+        "                     + 0.7 * (element_at(ys, 1)"
+        "                              + (element_at(ys, 2) - element_at(ys, 1))))"
+        "                    - element_at(ys, 1))"
+        "        + 0.8 * (element_at(ys, 2) - element_at(ys, 1)) AS DOUBLE)),"
+        " (a, y) -> named_struct("
+        "   'l', 0.3 * y + 0.7 * (a.l + a.b),"
+        "   'b', 0.2 * ((0.3 * y + 0.7 * (a.l + a.b)) - a.l) + 0.8 * a.b))"
+    )
+    return arr.select(
+        "n_name",
+        F.size("ys").cast("long").alias("n_months"),
+        fold.alias("st"),
+    ).select(
+        "n_name",
+        "n_months",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + 3 * F.col("st.b"), 6).alias("forecast_h3"),
+    )

@@ -151,6 +151,14 @@ ROUND7_WINDOW: list[str] = [
     "sim_recall_at_k", "events_welch_ttest",
 ]
 
+# Round-8 spillover: keys registered AFTER ROUND7_WINDOW reached the
+# driver's 50 slots. They carry the full local gate now and land their
+# driver rows next round (round-8 rotation: DRIVER_PRIORITY =
+# list(ROUND8_WINDOW) — pad with re-checks if still short of 50).
+ROUND8_WINDOW: list[str] = [
+    "win_holt_linear",
+]
+
 # Round 7: execute the committed rotation plan — the driver window IS
 # ROUND7_WINDOW (the final never-driver-checked backlog + every key
 # registered in round 6). After this round's driver run every registry

@@ -1292,3 +1292,30 @@ def test_recall_report_perfect_on_small_corpus(spark):
     rows = REGISTRY["sim_recall_at_k"].fn.tables_fn(_T()).collect()
     assert len(rows) == 30  # 10 probes x k in (1, 3, 5)
     assert all(r.recall == 1.0 and r.n_hits == r.k for r in rows)
+
+
+def test_holt_linear_planted_series(spark):
+    """Textbook hand-run (alpha=.3, beta=.2) on 100,110,125,130:
+    l1=110, b1=10 -> l2=121.5, b2=10.3 -> l3=131.26, b3=10.192,
+    forecast_3 = 131.26 + 3*10.192 = 161.836. Also pins that Spark's
+    aggregate() lambda is PURE (the DuckDB 1.0.0 list_reduce in-place
+    field-mutation defect, probed and documented in the oracle, would
+    produce b3=9.6064 here)."""
+    import datetime as dt
+
+    class _T:
+        pass
+
+    revs = [100.0, 110.0, 125.0, 130.0]
+    _T.orders = spark.createDataFrame(
+        [(1, r, dt.datetime(2024, m + 1, 10)) for m, r in enumerate(revs)],
+        "o_custkey bigint, o_totalprice double, o_orderdate timestamp",
+    )
+    _T.customer = spark.createDataFrame([(1, 7)], "c_custkey bigint, c_nationkey bigint")
+    _T.nation = spark.createDataFrame([(7, "FRANCE")], "n_nationkey bigint, n_name string")
+
+    from base_etl_spark.registry import REGISTRY
+
+    [r] = REGISTRY["win_holt_linear"].fn.tables_fn(_T()).collect()
+    assert (r.n_months, r.level, r.trend) == (4, 131.26, 10.192)
+    assert r.forecast_h3 == 161.836
