@@ -640,3 +640,112 @@ def dedup_cluster_sizes(t: Tables) -> DataFrame:
         "n_clusters",
         "docs_dropped",
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, doc_id % 149 AS ck FROM documents
+    ),
+    canon AS (
+        -- the oracle derives the canonical form in CLOSED FORM from the
+        -- recipe (the mm-codec oracle pattern); Spark must PARSE its way
+        -- to the same string through parse_url + normalization rules
+        SELECT doc_id,
+               (CASE WHEN ck % 2 = 1 THEN 'https' ELSE 'http' END
+                || '://site' || (ck % 41) || '.example.com/p/' || ck
+                || '?id=' || ck || '&v=1') AS canonical
+        FROM k
+    ),
+    rep AS (
+        SELECT canonical, min(doc_id) AS rep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM canon GROUP BY canonical
+    )
+    SELECT c.doc_id, c.canonical, r.rep_doc_id, r.n_members,
+           c.doc_id <> r.rep_doc_id AS is_dup
+    FROM canon c JOIN rep r ON c.canonical = r.canonical
+    """,
+)
+def dedup_url_canonical(t: Tables) -> DataFrame:
+    """URL-canonicalization dedup — the cheapest, highest-yield dedup
+    pass in a web-crawl training pipeline (run BEFORE content hashing:
+    the same page refetched under tracking params / www / case / slash
+    variants collapses without touching the payload). Per document a
+    deterministic DIRTY url (canonical key ck = doc_id % 149; six
+    planted variation dims keyed by doc_id: scheme/host CASE, a www.
+    prefix, utm_* tracking params, kept-param ORDER, a #fragment, a
+    trailing slash) is normalized with the standard public rules —
+    lowercase scheme+host, strip www., drop utm_*, sort surviving query
+    params, drop the fragment, strip the trailing slash — and documents
+    group by the canonical string (min-doc_id representative, the
+    dedup_exact shape).
+
+    The Spark side must genuinely PARSE (parse_url PROTOCOL/HOST/PATH/
+    QUERY, then array ops on the param list); the oracle never parses —
+    it recomputes the canonical directly from the recipe (the codec-
+    oracle pattern), so a wrong normalization rule, a fragment leaking
+    into QUERY, or an unsorted param list flips the hash. Scale: dirty
+    URL synthesis and normalization are pure projections; the only
+    shuffle is the canonical-key hash agg + rep join-back — linear at
+    any corpus size, the same plan as dedup_exact."""
+    ck = F.col("doc_id") % 149
+    scheme_real = F.when(ck % 2 == 1, F.lit("https")).otherwise(F.lit("http"))
+    # doc_id%5==0 upper-cases the scheme; keep the underlying scheme tied
+    # to ck so case is the only thing normalization must undo
+    scheme_dirty = F.when(
+        F.col("doc_id") % 5 == 0, F.upper(scheme_real)
+    ).otherwise(scheme_real)
+    host_body = F.concat(F.lit("site"), (ck % 41).cast("string"), F.lit(".example.com"))
+    host_dirty = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.upper(host_body)).otherwise(host_body),
+    )
+    path_dirty = F.concat(
+        F.lit("/p/"), ck.cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    params_dirty = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("utm_source=x&utm_campaign=y&")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("v=1&id="), ck.cast("string")),
+        ).otherwise(F.concat(F.lit("id="), ck.cast("string"), F.lit("&v=1"))),
+    )
+    frag_dirty = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit("#sec"), F.col("doc_id").cast("string")),
+    ).otherwise(F.lit(""))
+    dirty = F.concat(
+        scheme_dirty, F.lit("://"), host_dirty, path_dirty, F.lit("?"),
+        params_dirty, frag_dirty,
+    )
+    u = t.documents.select("doc_id", dirty.alias("u"))
+    scheme = F.lower(F.parse_url("u", F.lit("PROTOCOL")))
+    host = F.regexp_replace(F.lower(F.parse_url("u", F.lit("HOST"))), "^www\\.", "")
+    path = F.regexp_replace(F.parse_url("u", F.lit("PATH")), "/$", "")
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.parse_url("u", F.lit("QUERY")), "&"),
+                lambda p: ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = u.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, path, F.lit("?"), q).alias("canonical"),
+    )
+    rep = canon.groupBy("canonical").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return canon.join(rep, "canonical").select(
+        "doc_id",
+        "canonical",
+        "rep_doc_id",
+        "n_members",
+        (F.col("doc_id") != F.col("rep_doc_id")).alias("is_dup"),
+    )

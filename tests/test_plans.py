@@ -667,3 +667,12 @@ def test_mm_trim_and_scene_cut_read_only_doc_id(spark):
     for key in ("mm_audio_silence_trim", "mm_video_scene_cut"):
         plan = _plan(_QS[key](spark, SF_TEST))
         assert "ReadSchema: struct<doc_id:bigint>" in plan, key
+
+
+def test_url_dedup_reads_only_doc_id_one_shuffle(spark):
+    """URL synthesis + normalization are pure projections; the only
+    exchange allowed is the canonical-key hash agg (+ AQE-chosen rep
+    join distribution). The scan reads doc_id alone."""
+    plan = _plan(_QS["dedup_url_canonical"](spark, SF_TEST))
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert "CartesianProduct" not in plan

@@ -1319,3 +1319,26 @@ def test_holt_linear_planted_series(spark):
     [r] = REGISTRY["win_holt_linear"].fn.tables_fn(_T()).collect()
     assert (r.n_months, r.level, r.trend) == (4, 131.26, 10.192)
     assert r.forecast_h3 == 161.836
+
+
+def test_url_dedup_planted_variants(spark):
+    """doc 0 carries EVERY dirty dim (uppercase scheme+host, www.,
+    utm params, swapped param order, trailing slash, fragment); doc 149
+    shares its canonical key (149 % 149 = 0) with NONE of the dirt.
+    Both must normalize to the identical canonical string and collapse
+    to rep 0."""
+
+    class _T:
+        pass
+
+    _T.documents = spark.createDataFrame([(0,), (149,)], "doc_id bigint")
+
+    from base_etl_spark.registry import REGISTRY
+
+    rows = {r.doc_id: r for r in
+            REGISTRY["dedup_url_canonical"].fn.tables_fn(_T()).collect()}
+    want = "http://site0.example.com/p/0?id=0&v=1"
+    assert rows[0].canonical == want and rows[149].canonical == want
+    assert rows[0].rep_doc_id == 0 and not rows[0].is_dup
+    assert rows[149].rep_doc_id == 0 and rows[149].is_dup
+    assert rows[149].n_members == 2
