@@ -1342,3 +1342,68 @@ def test_url_dedup_planted_variants(spark):
     assert rows[0].rep_doc_id == 0 and not rows[0].is_dup
     assert rows[149].rep_doc_id == 0 and rows[149].is_dup
     assert rows[149].n_members == 2
+
+
+def test_pca_power_planted_direction(spark):
+    """Embeddings = t·w + small orthogonal noise for a planted unit
+    direction w: the returned axis must align with w (|cos| > 0.99),
+    carry most of the variance, satisfy the positive-max sign pin, and
+    be unit length after rounding."""
+    import math
+    import random
+
+    class _T:
+        pass
+
+    dim = 64
+    rng = random.Random(3)
+    w = [math.sin(0.37 * i + 1.0) for i in range(dim)]
+    nw = math.sqrt(sum(c * c for c in w))
+    w = [c / nw for c in w]
+    rows = []
+    for vid in range(120):
+        t_ = rng.gauss(0, 5.0)  # dominant axis
+        vec = [t_ * w[i] + rng.gauss(0, 0.05) for i in range(dim)]
+        rows.append((vid, [float(c) for c in vec]))
+    _T.embeddings = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    from base_etl_spark.registry import REGISTRY
+
+    out = sorted(
+        REGISTRY["embedding_pca_power"].fn.tables_fn(_T()).collect(),
+        key=lambda r: r.dim,
+    )
+    v = [r.loading for r in out]
+    assert len(v) == 64
+    assert abs(sum(c * c for c in v) - 1.0) < 1e-4  # unit after 6dp
+    cos = abs(sum(a * b for a, b in zip(v, w)))
+    assert cos > 0.99, cos
+    k = max(range(dim), key=lambda i: abs(v[i]))
+    assert v[k] > 0  # sign pin
+    assert out[0].explained_share > 0.9
+    assert out[0].conv_delta < 1e-6
+
+
+def test_pca_power_residual_on_fixture(spark):
+    """Eigen residual ‖Cv − λv‖/λ on the real fixture: the fixed-60-
+    round iterate must be a near-eigenvector even on the isotropic
+    corpus (conv_delta reported, not hidden)."""
+    import numpy as np
+
+    from base_etl_spark import load_tables
+
+    t = load_tables(spark, SF_TEST)
+    rows = sorted(_QS["embedding_pca_power"](spark, SF_TEST).collect(),
+                  key=lambda r: r.dim)
+    v = np.array([r.loading for r in rows])
+    lam = rows[0].eigenvalue
+    X = np.array(
+        [list(r.embedding) for r in t.embeddings.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    Cv = Xc.T @ (Xc @ v) / len(X)
+    resid = np.linalg.norm(Cv - lam * v) / lam
+    assert resid < 0.05, resid
+    assert rows[0].conv_delta < 1e-3
