@@ -749,3 +749,105 @@ def dedup_url_canonical(t: Tables) -> DataFrame:
         "n_members",
         (F.col("doc_id") != F.col("rep_doc_id")).alias("is_dup"),
     )
+
+
+@query(
+    "dedup_spans",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               array_to_string(
+                   ws[(CAST(i AS BIGINT)*8+1):(CAST(i AS BIGINT)*8+8)],
+                   ' ') AS chunk
+        FROM w, unnest(range(COALESCE(len(ws) // 8, 0))) AS u(i)
+    ),
+    cnt AS (SELECT chunk, count(*) AS n_occ FROM chunks GROUP BY chunk),
+    per AS (
+        SELECT c.doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks
+        FROM chunks c JOIN cnt USING (chunk) GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_chunks, CAST(0 AS BIGINT)) AS n_chunks,
+           COALESCE(p.n_dup_chunks, CAST(0 AS BIGINT)) AS n_dup_chunks,
+           round(COALESCE(p.n_dup_chunks / nullif(p.n_chunks, 0), 0.0),
+                 6) AS dup_chunk_ratio,
+           COALESCE(p.n_dup_chunks / nullif(p.n_chunks, 0), 0.0) <= 0.5
+               AS keep
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def dedup_spans(t: Tables) -> DataFrame:
+    """Span-level (chunk) dedup — the C4/RefinedWeb-style pass one tier
+    BELOW document dedup: a page that is 60% boilerplate shared with
+    thousands of siblings survives whole-document hashing (the unique
+    40% changes the hash) but is caught here. Each document is cut into
+    consecutive non-overlapping 8-word chunks (partial tail ignored — a
+    stable, tokenizer-free span unit); a chunk occurrence is duplicated
+    when its exact text occurs >= 2 times corpus-wide (within- and
+    cross-document repeats both count, like the n_occ >= 2 rule of the
+    public C4 three-sentence-span dedup). Per document: full-chunk
+    count, duplicated-occurrence count, their ratio, and the keep
+    verdict (ratio <= 0.5) — fixture has both classes (sf0.001: 456
+    keep / 44 drop, the drop set dominated by the planted exact-dup
+    families whose every chunk collides).
+
+    Plan: chunking is IN-ROW (one transform over the split array — no
+    word-level explode, so the explode that follows is bounded by
+    n_words/8 per doc); corpus-wide occurrence counts come from ONE
+    window over the chunk hash partition (count over partitionBy(chunk)
+    — same shuffle a groupBy would need but without the join-back), then
+    one doc_id hash agg. Documents with fewer than 8 words NEVER enter
+    the chunk shuffle: they are unioned back as literal zero rows (an
+    explode_outer + NULL-partition window would funnel every short doc
+    into ONE task — the exact skew this avoids). At 100 TB the chunk
+    shuffle is the declared cost (it IS span dedup); chunk keys are
+    near-unique so no salting is needed, and the 8-word strings can be
+    swapped for xxhash64 keys to cut shuffle bytes (collision posture:
+    64-bit over ~1e12 chunks needs the sha256 escalation dedup_exact
+    documents)."""
+    from pyspark.sql import Window
+
+    docs = t.documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    long_docs = docs.filter(F.coalesce(F.size("ws"), F.lit(0)) >= 8)
+    chunks = long_docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) div 8 - 1),"
+                " i -> array_join(slice(ws, CAST(i*8+1 AS INT), 8), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    occ = chunks.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("chunk"))
+    )
+    per = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_chunks"),
+    )
+    short = docs.filter(F.coalesce(F.size("ws"), F.lit(0)) < 8).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_chunks"),
+        F.lit(0).cast("long").alias("n_dup_chunks"),
+    )
+    both = per.unionByName(short)
+    ratio = F.when(
+        F.col("n_chunks") > 0, F.col("n_dup_chunks") / F.col("n_chunks")
+    ).otherwise(F.lit(0.0))
+    return both.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        F.round(ratio, 6).alias("dup_chunk_ratio"),
+        (ratio <= 0.5).alias("keep"),
+    )

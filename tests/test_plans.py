@@ -676,3 +676,10 @@ def test_url_dedup_reads_only_doc_id_one_shuffle(spark):
     plan = _plan(_QS["dedup_url_canonical"](spark, SF_TEST))
     assert "ReadSchema: struct<doc_id:bigint>" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_spans_prunes_metadata_columns(spark):
+    """Span dedup needs only (doc_id, text); lang/source/n_chars must
+    not reach the scan."""
+    plan = _plan(_QS["dedup_spans"](spark, SF_TEST))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan

@@ -1407,3 +1407,43 @@ def test_pca_power_residual_on_fixture(spark):
     resid = np.linalg.norm(Cv - lam * v) / lam
     assert resid < 0.05, resid
     assert rows[0].conv_delta < 1e-3
+
+
+def test_dedup_spans_planted(spark):
+    """Planted chunk anatomy: a cross-document duplicated chunk (A), a
+    within-document repeat (D twice in one doc), a sub-8-word doc (zero
+    chunks, never enters the shuffle), and a partial tail (ignored).
+    Pins the n_occ >= 2 rule counting BOTH repeat kinds, the ratio
+    denominator being full chunks only, and keep = ratio <= 0.5
+    (boundary: exactly 0.5 keeps)."""
+
+    class _T:
+        pass
+
+    A = "a b c d e f g h"          # appears in docs 1 and 2
+    B = "i j k l m n o p"          # unique
+    C = "q r s t u v w x"          # unique
+    D = "r1 r2 r3 r4 r5 r6 r7 r8"  # twice within doc 3
+    _T.documents = spark.createDataFrame(
+        [
+            (1, f"{A} {B}"),
+            (2, f"{A} {C}"),
+            (3, f"{D} {D}"),
+            (4, "only seven words live in this doc"),
+            (5, f"{B.replace('i', 'zz')} tail1 tail2"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    rows = {r.doc_id: r for r in
+            REGISTRY["dedup_spans"].fn.tables_fn(_T()).collect()}
+    assert (rows[1].n_chunks, rows[1].n_dup_chunks, rows[1].keep) == (2, 1, True)
+    assert rows[1].dup_chunk_ratio == 0.5
+    assert (rows[2].n_chunks, rows[2].n_dup_chunks) == (2, 1)
+    assert (rows[3].n_chunks, rows[3].n_dup_chunks, rows[3].keep) == (2, 2, False)
+    assert rows[3].dup_chunk_ratio == 1.0
+    assert (rows[4].n_chunks, rows[4].n_dup_chunks, rows[4].keep) == (0, 0, True)
+    assert rows[4].dup_chunk_ratio == 0.0
+    assert (rows[5].n_chunks, rows[5].n_dup_chunks) == (1, 0)
