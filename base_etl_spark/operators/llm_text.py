@@ -1403,3 +1403,138 @@ def text_pmi_cooccur(t: Tables) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+_BPE_TRAIN_MERGES = 8
+
+
+@query("tokenizer_bpe_train")  # rows-only: iterative driver-bounded loop
+def tokenizer_bpe_train(t: Tables) -> DataFrame:
+    """Full BPE merge-table training for _BPE_TRAIN_MERGES rounds — the
+    iterated version of tokenizer_bpe_pairs (Sennrich et al. 2016,
+    public algorithm): each round counts adjacent symbol pairs over the
+    word vocabulary (weighted by word frequency, '</w>' end-of-word
+    marker), picks the winning pair under the deterministic total order
+    (count desc, then lexicographically smallest pair), and rewrites
+    every vocabulary word by merging that pair left-to-right
+    non-overlapping. Returns the learned merge table — the artifact a
+    tokenizer ships.
+
+    Rows-only by design (iterative; the per-round winner is a 1-row
+    bounded collect, the cluster_kmeans scalar pattern) — correctness is
+    pinned by tests/test_selfchecks.py, which replays the SAME word
+    frequencies through a pure-Python reference BPE and asserts the
+    merge tables are IDENTICAL, an exact external oracle stronger than a
+    row-count.
+
+    100 TB shape: the corpus is reduced ONCE to the word vocabulary
+    (one hash agg with map-side partials); every round after that is
+    vocab-bounded — an in-row pair transform + explode (pair rows ≤
+    symbols per word), one hash agg, a 1-row argmax collect, and one
+    in-row fold rewriting the symbol arrays (F.aggregate with a
+    pend/out accumulator — merged-pair emission, left-to-right). The
+    vocab frame is localCheckpoint'ed per round, so lineage stays flat
+    and each round's cost is honest; driver state is ONE (left, right,
+    count) row per round. Vocabulary saturates with corpus growth, so
+    round cost approaches a constant as data scales."""
+    from base_etl_spark import iterstats
+
+    spark = t.documents.sparkSession
+    syms0 = F.expr(
+        "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+        " array('</w>'))"
+    )
+    vocab = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", syms0.alias("syms"))
+        .localCheckpoint()
+    )
+    # size(syms) can reach 1 once a word is fully merged — and Spark's
+    # sequence(1, 0) DESCENDS ([1, 0]), driving element_at to index 0.
+    # Guard with an explicitly-typed empty array.
+    pair = F.expr(
+        "CASE WHEN size(syms) >= 2 THEN"
+        " transform(sequence(1, size(syms) - 1),"
+        "  i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
+        " ELSE CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) END"
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    rounds_used = 0
+    for rnd in range(1, _BPE_TRAIN_MERGES + 1):
+        [best] = (
+            vocab.select("freq", F.explode(pair).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("l"),
+                        F.col("r"),
+                    )
+                ).alias("best")
+            )
+            .collect()
+        )
+        if best.best is None:  # no pairs left (or empty corpus)
+            break
+        left, right, cnt = best.best.l, best.best.r, -int(best.best.nc)
+        merged = left + right
+        rounds_used = rnd
+        merges.append((rnd, left, right, merged, cnt))
+
+        # left-to-right non-overlapping merge: fold with a 1-symbol
+        # lookbehind ('pend'); Column lambdas keep arbitrary symbol
+        # text safe (no SQL-literal splicing). A factory (not default
+        # args) binds this round's pair — F.aggregate inspects the
+        # lambda's arity.
+        def _merge_factory(_l: str, _r: str, _m: str):
+            def _merge(a, s):
+                emit_merge = (
+                    a["pend"].isNotNull()
+                    & (a["pend"] == F.lit(_l))
+                    & (s == F.lit(_r))
+                )
+                return (
+                    F.when(
+                        a["pend"].isNull(),
+                        F.struct(a["out"].alias("out"), s.alias("pend")),
+                    )
+                    .when(
+                        emit_merge,
+                        F.struct(
+                            F.concat(a["out"], F.array(F.lit(_m))).alias("out"),
+                            F.lit(None).cast("string").alias("pend"),
+                        ),
+                    )
+                    .otherwise(
+                        F.struct(
+                            F.concat(a["out"], F.array(a["pend"])).alias("out"),
+                            s.alias("pend"),
+                        )
+                    )
+                )
+
+            return _merge
+
+        init = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        )
+        fin = lambda a: F.when(  # noqa: E731
+            a["pend"].isNull(), a["out"]
+        ).otherwise(F.concat(a["out"], F.array(a["pend"])))
+        vocab = vocab.withColumn(
+            "syms",
+            F.aggregate("syms", init, _merge_factory(left, right, merged), fin),
+        ).localCheckpoint()
+    iterstats.record("tokenizer_bpe_train", rounds_used)
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
+    )

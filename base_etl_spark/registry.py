@@ -157,7 +157,7 @@ ROUND7_WINDOW: list[str] = [
 # list(ROUND8_WINDOW) — pad with re-checks if still short of 50).
 ROUND8_WINDOW: list[str] = [
     "win_holt_linear", "dedup_url_canonical", "embedding_pca_power",
-    "dedup_spans",
+    "dedup_spans", "tokenizer_bpe_train",
 ]
 
 # Round 7: execute the committed rotation plan — the driver window IS

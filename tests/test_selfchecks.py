@@ -1447,3 +1447,89 @@ def test_dedup_spans_planted(spark):
     assert (rows[4].n_chunks, rows[4].n_dup_chunks, rows[4].keep) == (0, 0, True)
     assert rows[4].dup_chunk_ratio == 0.0
     assert (rows[5].n_chunks, rows[5].n_dup_chunks) == (1, 0)
+
+
+def _ref_bpe(word_freqs: dict, n_merges: int):
+    """Pure-Python reference BPE trainer (Sennrich 2016): pair counts
+    weighted by word freq, winner = (count desc, lexicographically
+    smallest pair), left-to-right non-overlapping merge application."""
+    vocab = {w: tuple(list(w) + ["</w>"]) for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = tuple(out)
+    return merges
+
+
+def test_bpe_train_matches_reference_planted(spark):
+    """Planted vocab with an overlap trap ('aaaa' → left-to-right gives
+    TWO 'aa' tokens, not three overlapping pairs merged) and a
+    count-tie broken lexicographically. The merge tables must be
+    IDENTICAL to the pure-Python reference — an exact external oracle
+    for the rows-only key."""
+
+    class _T:
+        pass
+
+    corpus = ["aaaa low low lower", "aaaa low newest newest", "widest"]
+    _T.documents = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corpus)], "doc_id bigint, text string"
+    )
+    freqs: dict = {}
+    for s in corpus:
+        for w in s.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+
+    from base_etl_spark.registry import REGISTRY
+
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in sorted(
+            REGISTRY["tokenizer_bpe_train"].fn.tables_fn(_T()).collect(),
+            key=lambda r: r.merge_rank,
+        )
+    ]
+    assert got == _ref_bpe(freqs, 8), got
+
+
+def test_bpe_train_matches_reference_fixture(spark):
+    """Same equivalence over the REAL sf0.001 corpus word frequencies —
+    the fixture-scale exact oracle for the iterative trainer."""
+    import duckdb
+
+    from base_etl_spark import queries
+
+    con = duckdb.connect()
+    freqs = dict(
+        con.sql(
+            f"""SELECT w, count(*) FROM (
+                   SELECT unnest(string_split(text, ' ')) AS w
+                   FROM '{SF_TEST}/documents.parquet')
+               WHERE w <> '' GROUP BY w"""
+        ).fetchall()
+    )
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in sorted(
+            queries()["tokenizer_bpe_train"](spark, SF_TEST).collect(),
+            key=lambda r: r.merge_rank,
+        )
+    ]
+    assert got == _ref_bpe(freqs, 8), got[:3]
