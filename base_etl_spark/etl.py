@@ -1264,3 +1264,77 @@ def etl_backfill_plan(t: Tables) -> DataFrame:
         F.max("d").alias("range_end"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     ).drop("g")
+
+
+@query(
+    "etl_partition_skew_report",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    top1 AS (
+        SELECT l_suppkey, n_rows FROM per_key
+        ORDER BY n_rows DESC, l_suppkey LIMIT 1
+    )
+    SELECT 'l_suppkey' AS key_col,
+           CAST((SELECT count(*) FROM per_key) AS BIGINT) AS n_keys,
+           CAST((SELECT sum(n_rows) FROM per_key) AS BIGINT) AS total_rows,
+           (SELECT l_suppkey FROM top1) AS hottest_key,
+           (SELECT n_rows FROM top1) AS max_rows,
+           round((SELECT sum(n_rows) FROM per_key) * 1.0
+                 / (SELECT count(*) FROM per_key), 6) AS avg_rows,
+           round((SELECT n_rows FROM top1)
+                 / ((SELECT sum(n_rows) FROM per_key) * 1.0
+                    / (SELECT count(*) FROM per_key)), 6) AS skew_ratio,
+           round((SELECT quantile_cont(n_rows, 0.5) FROM per_key), 6) AS p50,
+           round((SELECT quantile_cont(n_rows, 0.9) FROM per_key), 6) AS p90,
+           round((SELECT quantile_cont(n_rows, 0.99) FROM per_key), 6) AS p99
+    """,
+)
+def etl_partition_skew_report(t: Tables) -> DataFrame:
+    """Shuffle-key skew audit for the fact table's supplier key — the
+    observability pass that DECIDES whether join_skew_salted's salting
+    is needed before a 100 TB run: per-key row counts, the hottest key
+    (deterministic tie-break by key), max/avg skew ratio, and the
+    p50/p90/p99 of the per-key distribution. A skew_ratio near 1 means
+    hash partitioning balances; >> 1 means one task drags the stage.
+
+    Plan: ONE hash agg reduces the fact table to key cardinality
+    (map-side partials — the scan never shuffles raw rows), then every
+    statistic (max-by, exact interpolated percentiles, totals) runs
+    over the BOUNDED per-key frame; the final row is a single global
+    agg. Exact percentiles sort only the key-cardinality frame —
+    at extreme cardinalities swap for approx_percentile (the
+    agg_approx_quantile posture)."""
+    per_key = t.lineitem.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    return per_key.agg(
+        F.lit("l_suppkey").alias("key_col"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.max(
+            F.struct(
+                F.col("n_rows"), (-F.col("l_suppkey")).alias("neg_key")
+            )
+        ).alias("top"),
+        F.round(F.percentile("n_rows", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("n_rows", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("n_rows", F.lit(0.99)), 6).alias("p99"),
+    ).select(
+        "key_col",
+        "n_keys",
+        "total_rows",
+        (-F.col("top.neg_key")).cast("long").alias("hottest_key"),
+        F.col("top.n_rows").alias("max_rows"),
+        F.round(F.col("total_rows") * 1.0 / F.col("n_keys"), 6).alias("avg_rows"),
+        F.round(
+            F.col("top.n_rows")
+            / (F.col("total_rows") * 1.0 / F.col("n_keys")),
+            6,
+        ).alias("skew_ratio"),
+        "p50",
+        "p90",
+        "p99",
+    )

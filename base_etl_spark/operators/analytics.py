@@ -3313,3 +3313,68 @@ def win_holt_linear(t: Tables) -> DataFrame:
         F.round(F.col("st.b"), 6).alias("trend"),
         F.round(F.col("st.l") + 3 * F.col("st.b"), 6).alias("forecast_h3"),
     )
+
+
+@query(
+    "events_wilson_ci",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, conv,
+           round(conv * 1.0 / n, 6) AS p_hat,
+           round(((conv * 1.0 / n) + 1.96 * 1.96 / (2.0 * n))
+                     / (1.0 + 1.96 * 1.96 / n)
+                 - 1.96 * sqrt((conv * 1.0 / n) * (1.0 - conv * 1.0 / n) / n
+                               + 1.96 * 1.96 / (4.0 * n * n))
+                     / (1.0 + 1.96 * 1.96 / n), 6) AS ci_low,
+           round(((conv * 1.0 / n) + 1.96 * 1.96 / (2.0 * n))
+                     / (1.0 + 1.96 * 1.96 / n)
+                 + 1.96 * sqrt((conv * 1.0 / n) * (1.0 - conv * 1.0 / n) / n
+                               + 1.96 * 1.96 / (4.0 * n * n))
+                     / (1.0 + 1.96 * 1.96 / n), 6) AS ci_high
+    FROM s
+    """,
+)
+def events_wilson_ci(t: Tables) -> DataFrame:
+    """Wilson score 95% confidence interval on each event type's
+    high-value share (value >= 100) — the proportion-CI readout that
+    completes the experimentation family (rates: events_ab_test,
+    distributions: events_ks_test, means: events_welch_ttest). Wilson
+    beats the naive normal interval near 0/1 and at small n (public
+    formula, Wilson 1927); z = 1.96 two-sided.
+
+    Sufficient statistics are exact integers (n, conv per type — one
+    hash agg with map-side partials, 5 groups); the interval is a final
+    double projection written IDENTICALLY in both engines so the 6dp
+    rounding agrees. n >= 1 by construction (a group only exists with
+    rows), so no zero-division guard is needed; p(1-p) >= 0 keeps sqrt
+    total. Scales as a single aggregation pass at any corpus size."""
+    z = F.lit(1.96)
+    s = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") >= 100.0, 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+    )
+    n = F.col("n")
+    p = F.col("conv") * 1.0 / n
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (4.0 * n * n))
+        / denom
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "conv",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("ci_low"),
+        F.round(center + half, 6).alias("ci_high"),
+    )

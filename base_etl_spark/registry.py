@@ -157,7 +157,8 @@ ROUND7_WINDOW: list[str] = [
 # list(ROUND8_WINDOW) — pad with re-checks if still short of 50).
 ROUND8_WINDOW: list[str] = [
     "win_holt_linear", "dedup_url_canonical", "embedding_pca_power",
-    "dedup_spans", "tokenizer_bpe_train",
+    "dedup_spans", "tokenizer_bpe_train", "events_wilson_ci",
+    "etl_partition_skew_report",
 ]
 
 # Round 7: execute the committed rotation plan — the driver window IS

@@ -1533,3 +1533,51 @@ def test_bpe_train_matches_reference_fixture(spark):
         )
     ]
     assert got == _ref_bpe(freqs, 8), got[:3]
+
+
+def test_wilson_ci_planted(spark):
+    """n=4, conv=1 per planted type: the interval must equal the Wilson
+    formula evaluated in plain Python floats (independent of the Column
+    expression tree), and must stay inside [0, 1] — the regime where the
+    naive normal interval goes negative."""
+    import math
+
+    class _T:
+        pass
+
+    _T.events = spark.createDataFrame(
+        [(i, "x", 150.0 if i == 0 else 50.0) for i in range(4)],
+        "event_id bigint, event_type string, value double",
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    [r] = REGISTRY["events_wilson_ci"].fn.tables_fn(_T()).collect()
+    n, conv, z = 4, 1, 1.96
+    p = conv / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert (r.n, r.conv, r.p_hat) == (4, 1, 0.25)
+    assert r.ci_low == round(center - half, 6)
+    assert r.ci_high == round(center + half, 6)
+    assert 0.0 < r.ci_low < r.p_hat < r.ci_high < 1.0
+
+
+def test_partition_skew_report_planted(spark):
+    """Two tied hottest keys (5 rows each) must resolve to the SMALLER
+    key; avg/skew/percentiles hand-computed over counts [1, 5, 5]."""
+
+    class _T:
+        pass
+
+    rows = [(1,)] * 5 + [(2,)] * 5 + [(3,)]
+    _T.lineitem = spark.createDataFrame(rows, "l_suppkey bigint")
+
+    from base_etl_spark.registry import REGISTRY
+
+    [r] = REGISTRY["etl_partition_skew_report"].fn.tables_fn(_T()).collect()
+    assert (r.n_keys, r.total_rows, r.hottest_key, r.max_rows) == (3, 11, 1, 5)
+    assert r.avg_rows == round(11 / 3, 6)
+    assert r.skew_ratio == round(5 / (11 / 3), 6)
+    assert (r.p50, r.p90, r.p99) == (5.0, 5.0, 5.0)
