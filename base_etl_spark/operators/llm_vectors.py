@@ -1539,3 +1539,115 @@ def embedding_pca_power(t: Tables) -> DataFrame:
         "dim int, loading double, eigenvalue double, explained_share double,"
         " conv_delta double",
     )
+
+
+_PQ_SUBS = 8        # subspaces (64-dim -> 8 x 8-dim)
+_PQ_K = 16          # codes per subspace codebook
+_PQ_ROUNDS = 5      # fixed Lloyd rounds (invariance: no tolerance flip)
+
+
+@query("sim_pq_quantize", oracle=None)  # R: iterative (Lloyd per subspace);
+# exact numpy-replica oracle + planted-recovery tests pin correctness
+def sim_pq_quantize(t: Tables) -> DataFrame:
+    """Product-quantization codebook training (Jegou et al. 2011, public
+    method): the embedding is split into _PQ_SUBS contiguous subvectors
+    and each subspace learns its own _PQ_K-entry codebook by Lloyd
+    iteration — the memory side of the ANN stack (sim_topk_ivf prunes
+    the scan; PQ shrinks residency 64*4 bytes -> 8 code bytes per
+    vector, 32x). Returns per (sub_id, code): assignment count and mean
+    squared distortion — the codebook-quality report that decides
+    whether k or the subspace split needs revisiting.
+
+    Determinism contract: init = subvectors of the _PQ_K lowest vec_ids
+    (code order = vec_id order), FIXED _PQ_ROUNDS rounds (a tolerance
+    stop could flip round count under partition noise — the
+    embedding_pca_power lesson), assignment tie-break by lowest code
+    via min(struct(dist, code)), empty codes keep their centroid.
+    tests replay the IDENTICAL algorithm in numpy and require matching
+    assignment counts and 6dp distortions.
+
+    100 TB shape: the subvector frame is 8 rows/vector built IN-ROW
+    (one slice transform, no shuffle) and localCheckpoint'ed once; each
+    round is ONE broadcast join (128 centroid rows) + argmin agg on
+    (vec_id, sub_id) + a 128-row centroid update collect (the
+    cluster_kmeans bounded-driver pattern). All shuffles key on
+    (vec_id, sub_id) / (sub_id, code) — high cardinality, no skew."""
+    from base_etl_spark import iterstats
+
+    spark = t.embeddings.sparkSession
+    subdim = EMBEDDING_DIM // _PQ_SUBS
+    sub = (
+        t.embeddings.select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_SUBS - 1}),"
+                    f" s -> struct(CAST(s AS INT) AS sub_id,"
+                    f" transform(slice(embedding, CAST(s*{subdim}+1 AS INT),"
+                    f" {subdim}), x -> CAST(x AS DOUBLE)) AS sv))"
+                )
+            ).alias("p"),
+        )
+        .select("vec_id", F.col("p.sub_id").alias("sub_id"), F.col("p.sv").alias("sv"))
+        .localCheckpoint()
+    )
+    seed_ids = sorted(
+        r.vec_id
+        for r in t.embeddings.select("vec_id")
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    if not seed_ids:  # empty corpus: no codebook to train
+        return spark.createDataFrame(
+            [], "sub_id int, code int, n_vecs bigint, mse double"
+        )
+    code_of = {vid: c for c, vid in enumerate(seed_ids)}
+    cent_rows = [
+        (int(r.sub_id), code_of[r.vec_id], [float(x) for x in r.sv])
+        for r in sub.filter(F.col("vec_id").isin(seed_ids)).collect()
+    ]
+    schema = "sub_id int, code int, cent array<double>"
+
+    def assign(cdf):
+        scored = sub.join(F.broadcast(cdf), "sub_id").select(
+            "vec_id",
+            "sub_id",
+            "sv",
+            F.struct(
+                _l2sq(F.col("sv"), F.col("cent")).alias("d"),
+                F.col("code").alias("c"),
+            ).alias("dc"),
+        )
+        return scored.groupBy("vec_id", "sub_id").agg(
+            F.min("dc").alias("best"), F.first("sv").alias("sv")
+        )
+
+    for _ in range(_PQ_ROUNDS):
+        cdf = spark.createDataFrame(cent_rows, schema)
+        new_rows = {
+            (int(r.sub_id), int(r.code)): [float(x) for x in r.cent]
+            for r in assign(cdf)
+            .groupBy("sub_id", F.col("best.c").alias("code"))
+            .agg(*[F.avg(F.col("sv")[i]).alias(f"c{i}") for i in range(subdim)])
+            .select(
+                "sub_id",
+                "code",
+                F.array(*[F.col(f"c{i}") for i in range(subdim)]).alias("cent"),
+            )
+            .collect()
+        }
+        cent_rows = [
+            (s, c, new_rows.get((s, c), old)) for s, c, old in cent_rows
+        ]
+    iterstats.record("sim_pq_quantize", _PQ_ROUNDS)
+
+    final = assign(spark.createDataFrame(cent_rows, schema))
+    return (
+        final.groupBy("sub_id", F.col("best.c").alias("code"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg(F.col("best.d")), 6).alias("mse"),
+        )
+        .orderBy("sub_id", "code")
+    )

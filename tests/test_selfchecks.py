@@ -1581,3 +1581,74 @@ def test_partition_skew_report_planted(spark):
     assert r.avg_rows == round(11 / 3, 6)
     assert r.skew_ratio == round(5 / (11 / 3), 6)
     assert (r.p50, r.p90, r.p99) == (5.0, 5.0, 5.0)
+
+
+def test_pq_quantize_planted_exact_recovery(spark):
+    """120 vectors whose every subvector is one of 16 exact patterns
+    (vector i uses pattern i % 16, so the 16 seed vectors cover all
+    codes): init lands ON the true centers, every round is a fixed
+    point, distortion is exactly 0, and counts follow i % 16."""
+
+    class _T:
+        pass
+
+    def pat(c, s, j):
+        return float(c * 10 + s + j * 0.25)
+
+    rows = []
+    for i in range(120):
+        c = i % 16
+        vec = [pat(c, s, j) for s in range(8) for j in range(8)]
+        rows.append((i, vec))
+    _T.embeddings = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    from base_etl_spark.registry import REGISTRY
+
+    out = REGISTRY["sim_pq_quantize"].fn.tables_fn(_T()).collect()
+    assert len(out) == 8 * 16
+    for r in out:
+        assert r.mse == 0.0, (r.sub_id, r.code, r.mse)
+        assert r.n_vecs == len([i for i in range(120) if i % 16 == r.code])
+
+
+def test_pq_quantize_matches_numpy_replica(spark):
+    """Replays the EXACT declared algorithm (seed init by lowest
+    vec_ids, 5 fixed Lloyd rounds, lowest-code tie-break, empty codes
+    keep centroids) in numpy over the real fixture and requires
+    identical assignment counts and 6dp distortions — the external
+    oracle for the rows-only key."""
+    import numpy as np
+
+    from base_etl_spark import load_tables, queries
+
+    t = load_tables(spark, SF_TEST)
+    fix = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in t.embeddings.select("vec_id", "embedding").collect()
+    )
+    X = np.array([v for _, v in fix], dtype=np.float64)
+    got = {
+        (r.sub_id, r.code): (r.n_vecs, r.mse)
+        for r in queries()["sim_pq_quantize"](spark, SF_TEST).collect()
+    }
+    want = {}
+    for s in range(8):
+        sv = X[:, s * 8 : (s + 1) * 8]
+        C = sv[:16].copy()  # fix is vec_id-sorted; seeds = 16 lowest
+        for _ in range(5):
+            d = ((sv[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for c in range(16):
+                m = a == c
+                if m.any():
+                    C[c] = sv[m].mean(0)
+        d = ((sv[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for c in range(16):
+            m = a == c
+            if m.any():
+                want[(s, c)] = (int(m.sum()), float(d[m, c].mean()))
+    assert set(got) == set(want)
+    for k, (n, mse) in want.items():
+        assert got[k][0] == n, (k, got[k], n)
+        assert abs(got[k][1] - mse) < 2e-6, (k, got[k][1], mse)
