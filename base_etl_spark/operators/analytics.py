@@ -3378,3 +3378,80 @@ def events_wilson_ci(t: Tables) -> DataFrame:
         F.round(center - half, 6).alias("ci_low"),
         F.round(center + half, 6).alias("ci_high"),
     )
+
+
+@query(
+    "win_seasonal_decompose",
+    oracle="""
+    WITH m AS (
+        SELECT n_name, date_trunc('month', o_orderdate) AS month,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    tr AS (
+        SELECT n_name, month, CAST(rev_c AS DOUBLE) / 100.0 AS y,
+               avg(CAST(rev_c AS DOUBLE) / 100.0) OVER (
+                   PARTITION BY n_name ORDER BY month
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS trend
+        FROM m
+    ),
+    se AS (
+        SELECT n_name, month, y, trend,
+               avg(y - trend) OVER (
+                   PARTITION BY n_name, month(month)) AS seasonal
+        FROM tr
+    )
+    SELECT n_name, month, round(y, 2) AS y,
+           round(trend, 6) AS trend,
+           round(seasonal, 6) AS seasonal,
+           round(y - trend - seasonal, 6) AS resid
+    FROM se
+    """,
+)
+def win_seasonal_decompose(t: Tables) -> DataFrame:
+    """Classical additive seasonal decomposition of each nation's
+    monthly revenue (public textbook method): trend = centered 3-month
+    moving average (edges take the partial window — documented choice,
+    identical both engines), seasonal = month-of-year mean of the
+    detrended series per nation, residual = y − trend − seasonal. The
+    capacity-planning view one level deeper than win_yoy_growth:
+    separates drift from recurring calendar shape from noise.
+
+    Plan: the fact pass is the win_drawdown shape (broadcast dims, one
+    partial-agg shuffle to the nation×month grid in exact integer
+    cents); both windows then run on the calendar-bounded grid — the
+    trend window per nation ordered by month, the seasonal average per
+    (nation, month-of-year) — so no window ever sees fact-sized
+    partitions. All arithmetic after the grid is double with 6dp
+    rounding; y itself rounds at the exact-cents boundary (2dp)."""
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    m = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg((F.sum(cents).cast("double") / 100.0).alias("y"))
+    )
+    w_tr = (
+        Window.partitionBy("n_name").orderBy("month").rowsBetween(-1, 1)
+    )
+    tr = m.withColumn("trend", F.avg("y").over(w_tr))
+    w_se = Window.partitionBy("n_name", F.month("month"))
+    se = tr.withColumn("seasonal", F.avg(F.col("y") - F.col("trend")).over(w_se))
+    return se.select(
+        "n_name",
+        "month",
+        F.round("y", 2).alias("y"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
+    )

@@ -1652,3 +1652,36 @@ def test_pq_quantize_matches_numpy_replica(spark):
     for k, (n, mse) in want.items():
         assert got[k][0] == n, (k, got[k], n)
         assert abs(got[k][1] - mse) < 2e-6, (k, got[k][1], mse)
+
+
+def test_seasonal_decompose_planted(spark):
+    """Single nation, one year Jan-Apr [100, 110, 125, 130]: edge months
+    take the partial centered window (documented), and with only one
+    observation per month-of-year the seasonal term equals the detrended
+    value exactly, forcing resid == 0 everywhere — hand-computed."""
+    import datetime as dt
+
+    class _T:
+        pass
+
+    revs = [100.0, 110.0, 125.0, 130.0]
+    _T.orders = spark.createDataFrame(
+        [(1, r, dt.datetime(2024, m + 1, 10)) for m, r in enumerate(revs)],
+        "o_custkey bigint, o_totalprice double, o_orderdate timestamp",
+    )
+    _T.customer = spark.createDataFrame([(1, 7)], "c_custkey bigint, c_nationkey bigint")
+    _T.nation = spark.createDataFrame([(7, "FRANCE")], "n_nationkey bigint, n_name string")
+
+    from base_etl_spark.registry import REGISTRY
+
+    rows = sorted(
+        REGISTRY["win_seasonal_decompose"].fn.tables_fn(_T()).collect(),
+        key=lambda r: r.month,
+    )
+    assert [r.y for r in rows] == revs
+    want_trend = [105.0, round((100 + 110 + 125) / 3, 6),
+                  round((110 + 125 + 130) / 3, 6), 127.5]
+    assert [r.trend for r in rows] == want_trend
+    for r, tr in zip(rows, want_trend):
+        assert r.seasonal == round(r.y - tr, 6)
+        assert r.resid == 0.0
