@@ -1192,3 +1192,153 @@ def mm_video_scene_cut(t: Tables) -> DataFrame:
     n = t.documents.sparkSession.sparkContext.defaultParallelism
     docs = t.documents.select("doc_id").repartition(n, "doc_id")
     return docs.mapInPandas(run, schema=_SCENE_SCHEMA)
+
+
+_NEARDUP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("img_hash", LongType()),
+    ]
+)
+
+
+@query(
+    "mm_image_neardup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 74 AS kk, (doc_id % 74) % 37 AS k,
+               3 + ((doc_id % 74) % 37) % 5 AS w,
+               2 + ((doc_id % 74) % 37) % 4 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, w * h AS n, i,
+               CASE WHEN kk >= 37 AND i = 0 THEN
+                    ((k * 7 + 64) % 256) + ((k * 11 + 64) % 256)
+                    + ((k * 19 + 64) % 256)
+               ELSE (k * 7 + 13 * i) % 256 + (k * 11 + 17 * i) % 256
+                    + (k * 19 + 23 * i) % 256 END AS gray
+        FROM d, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) g
+    ),
+    tot AS (SELECT doc_id, sum(gray) AS sg, max(n) AS n
+            FROM px GROUP BY doc_id),
+    hs AS (
+        SELECT px.doc_id, max(px.w) AS w, max(px.h) AS h,
+               CAST(sum(CASE WHEN px.gray * tot.n > tot.sg
+                             THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END)
+                    AS BIGINT) AS img_hash
+        FROM px JOIN tot ON px.doc_id = tot.doc_id
+        GROUP BY px.doc_id
+    ),
+    uniq AS (
+        SELECT w, h, img_hash, CAST(count(*) AS BIGINT) AS n_members
+        FROM hs GROUP BY w, h, img_hash
+    )
+    SELECT a.w, a.h, a.img_hash AS hash_a, b.img_hash AS hash_b,
+           CAST(bit_count(xor(a.img_hash, b.img_hash)) AS BIGINT) AS hamming,
+           a.n_members AS n_members_a, b.n_members AS n_members_b
+    FROM uniq a JOIN uniq b
+      ON a.w = b.w AND a.h = b.h AND a.img_hash < b.img_hash
+    WHERE bit_count(xor(a.img_hash, b.img_hash)) BETWEEN 1 AND 2
+    """,
+)
+def mm_image_neardup(t: Tables) -> DataFrame:
+    """Image NEAR-dup pairs via hamming-banded aHash — the composable
+    next tier mm_image_dedup's docstring names: hashes come through the
+    REAL BMP encode→decode path (content key kk = doc_id % 74; kk >= 37
+    renders the kk % 37 base asset with pixel 0 shifted +64 per channel,
+    planting sibling pairs at measured hamming 0-3), then identical
+    hashes are COLLAPSED FIRST (the dedup_embedding production recipe —
+    exact-dup families never reach the pair stage) and only DISTINCT
+    hashes band into 3 equal bit-slices per (w, h) group. Two hashes at
+    hamming <= 2 must agree on >= 1 of 3 bands (pigeonhole), so the
+    banded candidate set provably covers the truth; bit_count(xor)
+    verification trims it exactly. Hamming 0 is excluded — that IS
+    mm_image_dedup. Hash comparisons stay within the same (w, h): aHash
+    bit-lengths differ across dimensions, so cross-size distances are
+    meaningless.
+
+    Output is distinct-HASH-pair level (with member counts), never
+    doc-pair level: a 37-sibling exact-dup family contributes ONE row
+    per qualifying hash pair, not C(n,2) — the report stays bounded by
+    distinct-asset density, the production near-dup shape. At 100 TB:
+    decode+hash is embarrassingly parallel mapInPandas; the collapse is
+    one hash-keyed shuffle; banding is in-row; the band-bucket
+    self-join is the declared pair cost, quadratic only within a band
+    bucket (band width tunes it, exactly like dedup_near_minhash's
+    banding)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "w": [], "h": [], "img_hash": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                kk = doc_id % 74
+                k = kk % 37
+                w, h = 3 + k % 5, 2 + k % 4
+                rgb = planted_rgb(k, w, h).astype(np.int64)
+                if kk >= 37:
+                    rgb[0, 0, :] = (rgb[0, 0, :] + 64) % 256
+                dec = decode_bmp24(encode_bmp24(rgb.astype(np.uint8))).astype(np.int64)
+                gray = dec.sum(axis=2).reshape(-1)
+                n = gray.size
+                bits = (gray * n > gray.sum()).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["img_hash"].append(
+                    int((bits << np.arange(n, dtype=np.int64)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    uniq = (
+        docs.mapInPandas(run, schema=_NEARDUP_SCHEMA)
+        .groupBy("w", "h", "img_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    )
+    band = F.expr(
+        "transform(sequence(0, 2), b -> struct("
+        " CAST(b AS INT) AS band_id,"
+        " CAST(shiftright(img_hash, CAST(b * ((w*h) div 3) AS INT))"
+        "  & (shiftleft(CAST(1 AS BIGINT),"
+        "      CAST(CASE WHEN b = 2 THEN w*h - 2*((w*h) div 3)"
+        "           ELSE (w*h) div 3 END AS INT)) - 1) AS BIGINT)"
+        "  AS band_val))"
+    )
+    banded = uniq.select(
+        "w", "h", "img_hash", "n_members", F.explode(band).alias("bd")
+    ).select(
+        "w",
+        "h",
+        F.col("bd.band_id").alias("band_id"),
+        F.col("bd.band_val").alias("band_val"),
+        "img_hash",
+        "n_members",
+    )
+    left = banded.select(
+        "w", "h", "band_id", "band_val",
+        F.col("img_hash").alias("hash_a"),
+        F.col("n_members").alias("n_members_a"),
+    )
+    right = banded.select(
+        "w", "h", "band_id", "band_val",
+        F.col("img_hash").alias("hash_b"),
+        F.col("n_members").alias("n_members_b"),
+    )
+    cand = (
+        left.join(right, ["w", "h", "band_id", "band_val"])
+        .filter(F.col("hash_a") < F.col("hash_b"))
+        .select("w", "h", "hash_a", "hash_b", "n_members_a", "n_members_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(hash_a ^ hash_b)").cast("long")
+    return cand.withColumn("hamming", ham).filter(
+        (F.col("hamming") >= 1) & (F.col("hamming") <= 2)
+    ).select(
+        "w", "h", "hash_a", "hash_b", "hamming",
+        "n_members_a", "n_members_b",
+    )

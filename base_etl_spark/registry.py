@@ -159,7 +159,7 @@ ROUND8_WINDOW: list[str] = [
     "win_holt_linear", "dedup_url_canonical", "embedding_pca_power",
     "dedup_spans", "tokenizer_bpe_train", "events_wilson_ci",
     "etl_partition_skew_report", "sim_pq_quantize",
-    "win_seasonal_decompose",
+    "win_seasonal_decompose", "mm_image_neardup",
 ]
 
 # Round 7: execute the committed rotation plan — the driver window IS

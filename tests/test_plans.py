@@ -230,6 +230,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "mm_image_resize": "MapInPandas",  # REAL BMP resize — two codec trips
         "mm_video_frames": "MapInPandas",  # REAL AVI demux — the boundary is the point
         "mm_image_dedup": "MapInPandas",  # REAL BMP decode feeding the hash dedup
+        "mm_image_neardup": "MapInPandas",  # REAL BMP decode feeding banded hamming pairs
         "mm_audio_silence_trim": "MapInPandas",  # REAL WAV decode + energy trim
         "mm_video_scene_cut": "MapInPandas",  # REAL AVI demux + frame deltas
         "udtf_python": "BatchEvalPython",  # Python-UDTF boundary (BatchEvalPythonUDTF node)

@@ -1685,3 +1685,54 @@ def test_seasonal_decompose_planted(spark):
     for r, tr in zip(rows, want_trend):
         assert r.seasonal == round(r.y - tr, 6)
         assert r.resid == 0.0
+
+
+def test_image_neardup_matches_allpairs_reference(spark):
+    """One full kk cycle (doc_ids 0..73): a numpy replay of the planted
+    closed form computes ALL distinct-hash pairs per (w, h) and their
+    hamming; the operator's banded output must equal the hamming-1..2
+    subset EXACTLY — pinning both pigeonhole recall (3 bands cover
+    hamming <= 2) and the exclusions (hamming 0 collapses upstream,
+    hamming >= 3 is out of contract)."""
+    import numpy as np
+
+    from base_etl_spark.multimodal import planted_rgb
+
+    class _T:
+        pass
+
+    _T.documents = spark.createDataFrame(
+        [(i,) for i in range(74)], "doc_id bigint"
+    )
+
+    def ahash(rgb):
+        g = rgb.astype(np.int64).sum(axis=2).reshape(-1)
+        n = g.size
+        bits = (g * n > g.sum()).astype(np.int64)
+        return int((bits << np.arange(n, dtype=np.int64)).sum())
+
+    groups: dict = {}
+    for kk in range(74):
+        k = kk % 37
+        w, h = 3 + k % 5, 2 + k % 4
+        rgb = planted_rgb(k, w, h).astype(np.int64)
+        if kk >= 37:
+            rgb[0, 0, :] = (rgb[0, 0, :] + 64) % 256
+        groups.setdefault((w, h), set()).add(ahash(rgb.astype(np.uint8)))
+    want = set()
+    for (w, h), hashes in groups.items():
+        hs = sorted(hashes)
+        for i in range(len(hs)):
+            for j in range(i + 1, len(hs)):
+                d = bin(hs[i] ^ hs[j]).count("1")
+                if 1 <= d <= 2:
+                    want.add((w, h, hs[i], hs[j], d))
+
+    from base_etl_spark.registry import REGISTRY
+
+    got = {
+        (r.w, r.h, r.hash_a, r.hash_b, r.hamming)
+        for r in REGISTRY["mm_image_neardup"].fn.tables_fn(_T()).collect()
+    }
+    assert got == want
+    assert want  # the planted siblings guarantee a non-empty contract
