@@ -406,3 +406,53 @@ def stream_sliding_distinct(t: Tables) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .select(F.col("window.start").alias("window_start"), "n_users")
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id  AS purchase_id,
+           p.user_id,
+           p.ts        AS purchase_ts,
+           c.event_id  AS click_id,
+           c.ts        AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_join(t: Tables) -> DataFrame:
+    """Batch twin of streaming/jobs.py::streaming_interval_join — ALL
+    (purchase, click) pairs per user within a 1-hour lookback, the
+    stream-stream interval join whose two-sided event-time bound is
+    what lets Structured Streaming expire buffered state. The streaming
+    surface already carries micro-batch == batch equivalence tests
+    (tests/test_streaming.py); this registry key puts the SAME join
+    expression under the driver's hash-oracle gate, so the semantics
+    the streaming twin inherits are externally verified. Differs from
+    events_attribution (as-of, LAST touch only): this emits every
+    qualifying pair — the fan-out shape feeding attribution models that
+    weight multiple touches.
+
+    Plan: both sides are pushdown-filtered event-type scans shuffled
+    once on user_id; the range predicate evaluates inside the sort-merge
+    join. At 100 TB the 1-hour bound is the state/fan-out bound — the
+    same bound that makes the streaming variant's state finite."""
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = t.events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")

@@ -1736,3 +1736,38 @@ def test_image_neardup_matches_allpairs_reference(spark):
     }
     assert got == want
     assert want  # the planted siblings guarantee a non-empty contract
+
+
+def test_stream_interval_join_planted(spark):
+    """Purchase at 12:00 matches clicks at 11:00:00..12:00 inclusive
+    (two-sided bound): 11:30 in, exactly-12:00 in, 10:59 out (beyond
+    lookback), 12:05 out (future click), other-user 11:30 out."""
+    import datetime as dt
+
+    class _T:
+        pass
+
+    T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, minutes):
+        return (eid, uid, typ, T0 + dt.timedelta(minutes=minutes))
+
+    _T.events = spark.createDataFrame(
+        [
+            ev(1, 1, "purchase", 0),
+            ev(10, 1, "click", -30),
+            ev(11, 1, "click", 0),
+            ev(12, 1, "click", -61),
+            ev(13, 1, "click", 5),
+            ev(14, 2, "click", -30),
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts timestamp",
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in REGISTRY["stream_interval_join"].fn.tables_fn(_T()).collect()
+    }
+    assert got == {(1, 10), (1, 11)}
