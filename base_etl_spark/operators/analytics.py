@@ -3455,3 +3455,65 @@ def win_seasonal_decompose(t: Tables) -> DataFrame:
         F.round("seasonal", 6).alias("seasonal"),
         F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
     )
+
+
+_QTE_GRID = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+@query(
+    "events_quantile_treatment_effect",
+    oracle=f"""
+    WITH s AS (
+        SELECT
+            quantile_cont(value, {_QTE_GRID})
+                FILTER (WHERE (user_id * 2654435761) % 100 < 50) AS qa,
+            quantile_cont(value, {_QTE_GRID})
+                FILTER (WHERE NOT ((user_id * 2654435761) % 100 < 50)
+                        OR user_id IS NULL) AS qb
+        FROM events
+    )
+    SELECT ({_QTE_GRID})[i] AS q,
+           round(qa[i], 6) AS q_a,
+           round(qb[i], 6) AS q_b,
+           round(qb[i] - qa[i], 6) AS qte
+    FROM s, unnest(generate_series(1, {len(_QTE_GRID)})) AS u(i)
+    """,
+)
+def events_quantile_treatment_effect(t: Tables) -> DataFrame:
+    """Quantile treatment effect: per-decile difference of the event
+    VALUE distribution between the two hash arms (the events_ab_test
+    assignment rule) — the experimentation readout that shows WHERE in
+    the distribution a treatment moves mass (a mean shift from whales
+    vs a broad lift look identical to events_welch_ttest but not
+    here; public QTE estimand, Doksum 1974).
+
+    Plan: ONE global aggregate computes both arms' exact interpolated
+    quantile vectors via conditional percentiles (percentile over a
+    CASE that nulls out the other arm — the FILTER-clause shape, no
+    pivot, no cross join, always exactly one row even on empty input),
+    then the q-grid explodes in-row. Exact percentiles sort the arm —
+    bounded here; at extreme scale swap approx_percentile (the
+    agg_approx_quantile posture). NULL user_ids fall to arm B in both
+    engines (CASE-null semantics, pinned in the oracle's OR clause)."""
+    in_a = F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(100)) < 50
+    qs = F.array(*[F.lit(q) for q in _QTE_GRID])
+    s = t.events.agg(
+        F.percentile(F.when(in_a, F.col("value")), qs).alias("qa"),
+        F.percentile(
+            F.when(~F.coalesce(in_a, F.lit(False)), F.col("value")), qs
+        ).alias("qb"),
+    )
+    # explode the LITERAL q-grid (not the data arrays): on empty input
+    # the global agg still returns one row with NULL arrays, and the
+    # grid must stay visible with NULL quantiles (oracle semantics) —
+    # posexplode(arrays_zip(NULL, NULL)) would emit zero rows instead
+    return s.select(F.posexplode(qs).alias("pos", "q"), "qa", "qb").select(
+        "q",
+        F.round(F.element_at("qa", F.col("pos") + 1), 6).alias("q_a"),
+        F.round(F.element_at("qb", F.col("pos") + 1), 6).alias("q_b"),
+        F.round(
+            F.element_at("qb", F.col("pos") + 1)
+            - F.element_at("qa", F.col("pos") + 1),
+            6,
+        ).alias("qte"),
+    )

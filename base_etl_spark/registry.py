@@ -160,7 +160,7 @@ ROUND8_WINDOW: list[str] = [
     "dedup_spans", "tokenizer_bpe_train", "events_wilson_ci",
     "etl_partition_skew_report", "sim_pq_quantize",
     "win_seasonal_decompose", "mm_image_neardup",
-    "stream_interval_join",
+    "stream_interval_join", "events_quantile_treatment_effect",
 ]
 
 # Round 7: execute the committed rotation plan — the driver window IS

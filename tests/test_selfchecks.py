@@ -1771,3 +1771,30 @@ def test_stream_interval_join_planted(spark):
         for r in REGISTRY["stream_interval_join"].fn.tables_fn(_T()).collect()
     }
     assert got == {(1, 10), (1, 11)}
+
+
+def test_qte_planted(spark):
+    """Arm A = {10, 20, 30, 40}, arm B = A + 100 (constant shift): every
+    quantile's treatment effect must be exactly 100, and the quantile
+    values must equal numpy's linear interpolation at p*(n-1)."""
+    import numpy as np
+
+    class _T:
+        pass
+
+    # find user_ids hashing to each arm
+    a_ids = [u for u in range(1, 200) if (u * 2654435761) % 100 < 50][:4]
+    b_ids = [u for u in range(1, 200) if (u * 2654435761) % 100 >= 50][:4]
+    vals = [10.0, 20.0, 30.0, 40.0]
+    rows = [(u, v) for u, v in zip(a_ids, vals)] + [
+        (u, v + 100.0) for u, v in zip(b_ids, vals)
+    ]
+    _T.events = spark.createDataFrame(rows, "user_id bigint, value double")
+
+    from base_etl_spark.registry import REGISTRY
+
+    got = {r.q: r for r in REGISTRY["events_quantile_treatment_effect"].fn.tables_fn(_T()).collect()}
+    assert set(got) == {0.1, 0.25, 0.5, 0.75, 0.9}
+    for q, r in got.items():
+        assert r.qte == 100.0, (q, r)
+        assert r.q_a == round(float(np.quantile(vals, q)), 6)
