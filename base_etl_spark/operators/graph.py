@@ -424,3 +424,46 @@ def graph_jaccard_similarity(t: Tables) -> DataFrame:
             F.coalesce(F.col("is_e"), F.lit(False)).alias("is_edge"),
         )
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL}
+    SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+    FROM deg
+    GROUP BY deg
+    """,
+)
+def graph_degree_distribution(t: Tables) -> DataFrame:
+    """Degree histogram of the KNN supplier-partnership graph — the
+    first sanity plot of any graph pipeline (heavy-tail check before
+    pagerank/triangles are worth running), over the SAME edge
+    construction graph_triangle_count and graph_jaccard_similarity
+    share (_knn_partnership_edges / _KNN_EDGES_SQL, so the census can
+    never disagree with the keys it summarizes).
+
+    Plan: degrees are one hash agg over the doubled edge list
+    (dim-bounded: supplier cardinality), the histogram a second agg
+    over node cardinality, and the share a window over the histogram —
+    partition-less but bounded by DISTINCT DEGREE count (≤ max degree,
+    ~2k here; inline-bounded like the other post-aggregate grids)."""
+    e = _knn_partnership_edges(t)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    # share window: runs over the degree HISTOGRAM (distinct degrees),
+    # never node- or edge-sized input
+    return hist.select(
+        "deg",
+        "n_nodes",
+        F.round(
+            F.col("n_nodes") * 1.0 / F.sum("n_nodes").over(Window.partitionBy()),
+            6,
+        ).alias("share"),
+    )

@@ -1798,3 +1798,21 @@ def test_qte_planted(spark):
     for q, r in got.items():
         assert r.qte == 100.0, (q, r)
         assert r.q_a == round(float(np.quantile(vals, q)), 6)
+
+
+def test_degree_distribution_planted(spark):
+    """A 4-clique of suppliers on one order: every node nominates its 3
+    partners (within the KNN cap of 5), so the histogram is one row
+    (deg 3, 4 nodes, share 1.0)."""
+
+    class _T:
+        pass
+
+    _T.lineitem = spark.createDataFrame(
+        [(1, s) for s in [10, 11, 12, 13]], "l_orderkey bigint, l_suppkey bigint"
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    rows = REGISTRY["graph_degree_distribution"].fn.tables_fn(_T()).collect()
+    assert [(r.deg, r.n_nodes, r.share) for r in rows] == [(3, 4, 1.0)]
