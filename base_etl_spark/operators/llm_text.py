@@ -1440,16 +1440,33 @@ def tokenizer_bpe_train(t: Tables) -> DataFrame:
     from base_etl_spark import iterstats
 
     spark = t.documents.sparkSession
+    merges, _ = _bpe_train(t.documents)
+    iterstats.record("tokenizer_bpe_train", len(merges))
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
+    )
+
+
+def _bpe_train(documents: DataFrame):
+    """Shared BPE training loop for tokenizer_bpe_train (merge table)
+    and tokenizer_bpe_apply (segmentation): returns (merges, vocab)
+    where merges is the list of (rank, left, right, merged, count)
+    rows and vocab the final per-word frame (w, freq, syms) after all
+    merges were applied. Full contract in tokenizer_bpe_train's
+    docstring."""
     syms0 = F.expr(
         "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
         " array('</w>'))"
     )
     vocab = (
-        t.documents.select(F.explode(F.split("text", " ")).alias("w"))
+        documents.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select("freq", syms0.alias("syms"))
+        .select("w", "freq", syms0.alias("syms"))
         .localCheckpoint()
     )
     # size(syms) can reach 1 once a word is fully merged — and Spark's
@@ -1462,7 +1479,6 @@ def tokenizer_bpe_train(t: Tables) -> DataFrame:
         " ELSE CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) END"
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    rounds_used = 0
     for rnd in range(1, _BPE_TRAIN_MERGES + 1):
         [best] = (
             vocab.select("freq", F.explode(pair).alias("p"))
@@ -1483,7 +1499,6 @@ def tokenizer_bpe_train(t: Tables) -> DataFrame:
             break
         left, right, cnt = best.best.l, best.best.r, -int(best.best.nc)
         merged = left + right
-        rounds_used = rnd
         merges.append((rnd, left, right, merged, cnt))
 
         # left-to-right non-overlapping merge: fold with a 1-symbol
@@ -1531,10 +1546,50 @@ def tokenizer_bpe_train(t: Tables) -> DataFrame:
             "syms",
             F.aggregate("syms", init, _merge_factory(left, right, merged), fin),
         ).localCheckpoint()
-    iterstats.record("tokenizer_bpe_train", rounds_used)
+    return merges, vocab
 
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left_sym string, right_sym string,"
-        " merged string, pair_count bigint",
+
+@query("tokenizer_bpe_apply")  # rows-only: consumes the iterative trainer
+def tokenizer_bpe_apply(t: Tables) -> DataFrame:
+    """Corpus segmentation under the learned BPE merge table — the
+    consumer half of tokenizer_bpe_train: every document's words are
+    tokenized by the final vocabulary state (the per-word symbol arrays
+    AFTER all _BPE_TRAIN_MERGES merges), and each language reports its
+    token economics: word occurrences, BPE tokens, characters, tokens
+    per word, and characters per token (the compression dial a
+    tokenizer budget review reads). Rows-only (inherits the trainer's
+    iterative loop); the pure-Python reference in tests replays
+    train+apply end-to-end and requires identical per-language totals.
+
+    100 TB shape: training is vocab-bounded (see _bpe_train); the apply
+    pass explodes doc words ONCE and joins the (word -> token count)
+    table on the word key — vocabulary-sized, so AQE broadcasts it
+    while it fits and falls back to a co-partitioned shuffle join when
+    a web-scale vocab outgrows memory; the per-language rollup is a
+    5-group hash agg. No per-round work touches the corpus."""
+    from base_etl_spark import iterstats
+
+    merges, vocab = _bpe_train(t.documents)
+    iterstats.record("tokenizer_bpe_apply", len(merges))
+    tok = vocab.select(
+        "w",
+        F.size("syms").cast("long").alias("n_tokens_word"),
+        (F.length("w")).cast("long").alias("n_chars_word"),
+    )
+    words = (
+        t.documents.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    per = words.join(tok, "w").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_tokens_word").cast("long").alias("n_tokens"),
+        F.sum("n_chars_word").cast("long").alias("n_chars"),
+    )
+    return per.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens") * 1.0 / F.col("n_words"), 6).alias("tokens_per_word"),
+        F.round(F.col("n_chars") * 1.0 / F.col("n_tokens"), 6).alias("chars_per_token"),
     )

@@ -161,7 +161,7 @@ ROUND8_WINDOW: list[str] = [
     "etl_partition_skew_report", "sim_pq_quantize",
     "win_seasonal_decompose", "mm_image_neardup",
     "stream_interval_join", "events_quantile_treatment_effect",
-    "graph_degree_distribution",
+    "graph_degree_distribution", "tokenizer_bpe_apply",
 ]
 
 # Round 7: execute the committed rotation plan — the driver window IS

@@ -1816,3 +1816,49 @@ def test_degree_distribution_planted(spark):
 
     rows = REGISTRY["graph_degree_distribution"].fn.tables_fn(_T()).collect()
     assert [(r.deg, r.n_nodes, r.share) for r in rows] == [(3, 4, 1.0)]
+
+
+def test_bpe_apply_matches_reference(spark):
+    """End-to-end train+apply replay in pure Python over sf0.001: the
+    per-language word/token/char totals must match exactly (extends the
+    merge-table oracle to the segmentation consumer)."""
+    import duckdb
+
+    from base_etl_spark import queries
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""SELECT lang, w, count(*) AS c FROM (
+               SELECT lang, unnest(string_split(text, ' ')) AS w
+               FROM '{SF_TEST}/documents.parquet')
+           WHERE w <> '' GROUP BY lang, w"""
+    ).fetchall()
+    freqs: dict = {}
+    for _, w, c in rows:
+        freqs[w] = freqs.get(w, 0) + c
+    merges = _ref_bpe(freqs, 8)
+    # re-apply the merge list to each word to get its final token count
+    def tok_len(w):
+        syms = list(w) + ["</w>"]
+        for _, l, r, m, _c in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want: dict = {}
+    for lang, w, c in rows:
+        n_words, n_toks, n_chars = want.get(lang, (0, 0, 0))
+        want[lang] = (n_words + c, n_toks + c * tok_len(w), n_chars + c * len(w))
+
+    got = {
+        r.lang: (r.n_words, r.n_tokens, r.n_chars)
+        for r in queries()["tokenizer_bpe_apply"](spark, SF_TEST).collect()
+    }
+    assert got == want
