@@ -456,3 +456,50 @@ def stream_interval_join(t: Tables) -> DataFrame:
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+@query(
+    "stream_interval_join_outer",
+    oracle="""
+    SELECT p.event_id  AS purchase_id,
+           p.user_id,
+           p.ts        AS purchase_ts,
+           c.event_id  AS click_id,
+           c.ts        AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_join_outer(t: Tables) -> DataFrame:
+    """Batch twin of streaming/jobs.py::streaming_interval_join_outer —
+    the LEFT OUTER variant of stream_interval_join: purchases with NO
+    qualifying click are still emitted with NULL click columns, the
+    attribution join where unattributed conversions matter as much as
+    attributed ones. In streaming mode the watermark is what makes the
+    null-extension provable (no future click can still match); in batch
+    the outer join states the same contract directly, so the driver's
+    hash gate certifies the semantics the streaming twin inherits.
+
+    Plan: identical to stream_interval_join with outer null-extension —
+    two pushdown-filtered scans, one user_id shuffle each, range
+    predicate inside the sort-merge join."""
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = t.events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")

@@ -1862,3 +1862,36 @@ def test_bpe_apply_matches_reference(spark):
         for r in queries()["tokenizer_bpe_apply"](spark, SF_TEST).collect()
     }
     assert got == want
+
+
+def test_stream_interval_join_outer_planted(spark):
+    """Same anatomy as the inner planted test plus a second purchase
+    with NO click in its window: it must survive with NULL click
+    columns (the unattributed-conversion contract)."""
+    import datetime as dt
+
+    class _T:
+        pass
+
+    T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, minutes):
+        return (eid, uid, typ, T0 + dt.timedelta(minutes=minutes))
+
+    _T.events = spark.createDataFrame(
+        [
+            ev(1, 1, "purchase", 0),
+            ev(2, 2, "purchase", 0),
+            ev(10, 1, "click", -30),
+            ev(14, 2, "click", -90),
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts timestamp",
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in REGISTRY["stream_interval_join_outer"].fn.tables_fn(_T()).collect()
+    }
+    assert got == {(1, 10), (2, None)}
