@@ -1574,10 +1574,37 @@ def sim_pq_quantize(t: Tables) -> DataFrame:
     (vec_id, sub_id) / (sub_id, code) — high cardinality, no skew."""
     from base_etl_spark import iterstats
 
-    spark = t.embeddings.sparkSession
+    trained = _pq_train(t.embeddings)
+    if trained is None:  # empty corpus: no codebook to train
+        return t.embeddings.sparkSession.createDataFrame(
+            [], "sub_id int, code int, n_vecs bigint, mse double"
+        )
+    assign, cent_rows, spark = trained
+    iterstats.record("sim_pq_quantize", _PQ_ROUNDS)
+
+    final = assign(spark.createDataFrame(cent_rows, _PQ_CENT_SCHEMA))
+    return (
+        final.groupBy("sub_id", F.col("best.c").alias("code"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg(F.col("best.d")), 6).alias("mse"),
+        )
+        .orderBy("sub_id", "code")
+    )
+
+
+_PQ_CENT_SCHEMA = "sub_id int, code int, cent array<double>"
+
+
+def _pq_train(emb: DataFrame):
+    """Shared PQ Lloyd trainer for sim_pq_quantize (codebook report)
+    and sim_topk_pq (ADC search): returns (assign_fn, final cent_rows,
+    spark) or None on an empty corpus. Full determinism contract in
+    sim_pq_quantize's docstring."""
+    spark = emb.sparkSession
     subdim = EMBEDDING_DIM // _PQ_SUBS
     sub = (
-        t.embeddings.select(
+        emb.select(
             "vec_id",
             F.explode(
                 F.expr(
@@ -1593,22 +1620,15 @@ def sim_pq_quantize(t: Tables) -> DataFrame:
     )
     seed_ids = sorted(
         r.vec_id
-        for r in t.embeddings.select("vec_id")
-        .orderBy("vec_id")
-        .limit(_PQ_K)
-        .collect()
+        for r in emb.select("vec_id").orderBy("vec_id").limit(_PQ_K).collect()
     )
-    if not seed_ids:  # empty corpus: no codebook to train
-        return spark.createDataFrame(
-            [], "sub_id int, code int, n_vecs bigint, mse double"
-        )
+    if not seed_ids:
+        return None
     code_of = {vid: c for c, vid in enumerate(seed_ids)}
     cent_rows = [
         (int(r.sub_id), code_of[r.vec_id], [float(x) for x in r.sv])
         for r in sub.filter(F.col("vec_id").isin(seed_ids)).collect()
     ]
-    schema = "sub_id int, code int, cent array<double>"
-
     def assign(cdf):
         scored = sub.join(F.broadcast(cdf), "sub_id").select(
             "vec_id",
@@ -1624,7 +1644,7 @@ def sim_pq_quantize(t: Tables) -> DataFrame:
         )
 
     for _ in range(_PQ_ROUNDS):
-        cdf = spark.createDataFrame(cent_rows, schema)
+        cdf = spark.createDataFrame(cent_rows, _PQ_CENT_SCHEMA)
         new_rows = {
             (int(r.sub_id), int(r.code)): [float(x) for x in r.cent]
             for r in assign(cdf)
@@ -1640,14 +1660,103 @@ def sim_pq_quantize(t: Tables) -> DataFrame:
         cent_rows = [
             (s, c, new_rows.get((s, c), old)) for s, c, old in cent_rows
         ]
-    iterstats.record("sim_pq_quantize", _PQ_ROUNDS)
+    return assign, cent_rows, spark
 
-    final = assign(spark.createDataFrame(cent_rows, schema))
-    return (
-        final.groupBy("sub_id", F.col("best.c").alias("code"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.round(F.avg(F.col("best.d")), 6).alias("mse"),
+
+@query("sim_topk_pq")  # rows-only: consumes the iterative PQ trainer
+def sim_topk_pq(t: Tables) -> DataFrame:
+    """ADC (asymmetric distance) top-5 retrieval over PQ codes — the
+    search half of the PQ stack (Jegou et al. 2011): the corpus is
+    reduced to 8 one-byte codes per vector by the shared _pq_train
+    codebooks, each probe precomputes its 8x16 subspace distance table,
+    and the approximate distance is the SUM of 8 table lookups — no
+    float vector is touched at query time. Each retrieved neighbor
+    carries an in_exact flag against the exact L2 top-5 (computed
+    inline, the sim_recall_at_k pattern), so the row set IS the recall
+    report. Distances round to 6dp BEFORE ranking (the sim_topk rule)
+    and ties break by neighbor_id, so ranks are partition-invariant.
+
+    100 TB shape: training + encoding are the _pq_train bounded-driver
+    loop; the distance tables are 10 probes x 128 entries built
+    DRIVER-SIDE from the collected probe vectors (bounded like ann.py's
+    probe fetch) and broadcast; the ADC join keys on (sub_id, code)
+    against the 8-rows-per-vector code frame and aggregates on
+    (probe_id, vec_id) — at scale this is exactly the byte-table scan
+    that makes PQ search memory-bound, not FLOP-bound. The exact-L2
+    verification leg is the declared brute-force tier (drop it in
+    production; it exists to measure recall)."""
+    from base_etl_spark import iterstats
+
+    out_schema = (
+        "probe_id bigint, rank int, neighbor_id bigint,"
+        " adc_dist double, in_exact boolean"
+    )
+    trained = _pq_train(t.embeddings)
+    if trained is None:
+        return t.embeddings.sparkSession.createDataFrame([], out_schema)
+    assign, cent_rows, spark = trained
+    iterstats.record("sim_topk_pq", _PQ_ROUNDS)
+    subdim = EMBEDDING_DIM // _PQ_SUBS
+
+    codes = assign(spark.createDataFrame(cent_rows, _PQ_CENT_SCHEMA)).select(
+        "vec_id", "sub_id", F.col("best.c").alias("code")
+    )
+    probe_rows = (
+        t.embeddings.filter(F.col("vec_id") < N_PROBES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    dtab_rows = []
+    for pr in probe_rows:
+        pv = [float(x) for x in pr.embedding]
+        for s, c, cent in cent_rows:
+            d = sum(
+                (pv[s * subdim + j] - cent[j]) ** 2 for j in range(subdim)
+            )
+            dtab_rows.append((int(pr.vec_id), s, c, float(d)))
+    dtab = spark.createDataFrame(
+        dtab_rows, "probe_id bigint, sub_id int, code int, pdist double"
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("pdist"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    approx = adc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+    probes = F.broadcast(
+        t.embeddings.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
         )
-        .orderBy("sub_id", "code")
+    )
+    exact_scored = (
+        probes.crossJoin(t.embeddings.select("vec_id", "embedding"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_l2sq(F.col("p_emb"), F.col("embedding")), 6).alias("l2"),
+        )
+    )
+    we = Window.partitionBy("probe_id").orderBy(F.asc("l2"), F.asc("neighbor_id"))
+    exact = (
+        exact_scored.withColumn("re", F.row_number().over(we))
+        .filter(F.col("re") <= TOP_K)
+        .select("probe_id", "neighbor_id", F.lit(True).alias("in_exact"))
+    )
+    return (
+        approx.join(exact, ["probe_id", "neighbor_id"], "left")
+        .select(
+            "probe_id",
+            "rank",
+            "neighbor_id",
+            "adc_dist",
+            F.coalesce(F.col("in_exact"), F.lit(False)).alias("in_exact"),
+        )
     )

@@ -162,7 +162,7 @@ ROUND8_WINDOW: list[str] = [
     "win_seasonal_decompose", "mm_image_neardup",
     "stream_interval_join", "events_quantile_treatment_effect",
     "graph_degree_distribution", "tokenizer_bpe_apply",
-    "stream_interval_join_outer",
+    "stream_interval_join_outer", "sim_topk_pq",
 ]
 
 # Round 7: execute the committed rotation plan — the driver window IS

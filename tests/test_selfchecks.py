@@ -1895,3 +1895,68 @@ def test_stream_interval_join_outer_planted(spark):
         for r in REGISTRY["stream_interval_join_outer"].fn.tables_fn(_T()).collect()
     }
     assert got == {(1, 10), (2, None)}
+
+
+def test_topk_pq_matches_numpy_replica(spark):
+    """Full ADC replay in numpy over the fixture: train (the
+    sim_pq_quantize replica), encode, build each probe's 8x16 distance
+    table, rank by 6dp-rounded ADC sum with neighbor_id tie-break, and
+    compare the exact-L2 top-5 flags — the retrieved (probe, rank,
+    neighbor, in_exact) tuples must match EXACTLY."""
+    import numpy as np
+
+    from base_etl_spark import load_tables, queries
+
+    t = load_tables(spark, SF_TEST)
+    fix = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in t.embeddings.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([i for i, _ in fix])
+    X = np.array([v for _, v in fix], dtype=np.float64)
+
+    # train replica (identical to test_pq_quantize_matches_numpy_replica)
+    cents = {}
+    for s in range(8):
+        sv = X[:, s * 8 : (s + 1) * 8]
+        C = sv[:16].copy()
+        for _ in range(5):
+            d = ((sv[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for c in range(16):
+                m = a == c
+                if m.any():
+                    C[c] = sv[m].mean(0)
+        cents[s] = C
+    # encode
+    codes = np.stack(
+        [
+            ((X[:, s * 8 : (s + 1) * 8][:, None, :] - cents[s][None, :, :]) ** 2)
+            .sum(-1)
+            .argmin(1)
+            for s in range(8)
+        ],
+        axis=1,
+    )  # (n, 8)
+    want = set()
+    for p in range(10):
+        pi = int(np.where(ids == p)[0][0])
+        pv = X[pi]
+        tab = np.stack(
+            [((pv[s * 8 : (s + 1) * 8] - cents[s]) ** 2).sum(-1) for s in range(8)]
+        )  # (8, 16)
+        adc = np.round(
+            sum(tab[s][codes[:, s]] for s in range(8)), 6
+        )
+        mask = ids != p
+        order = sorted(zip(adc[mask], ids[mask]))[:5]
+        l2 = np.round(((X - pv) ** 2).sum(-1), 6)
+        exact5 = {int(i) for _, i in sorted(zip(l2[mask], ids[mask]))[:5]}
+        for rk, (d, nid) in enumerate(order, 1):
+            want.add((p, rk, int(nid), float(d), int(nid) in exact5))
+
+    got = {
+        (r.probe_id, r.rank, r.neighbor_id, r.adc_dist, r.in_exact)
+        for r in queries()["sim_topk_pq"](spark, SF_TEST).collect()
+    }
+    assert got == want
