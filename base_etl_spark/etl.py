@@ -1338,3 +1338,51 @@ def etl_partition_skew_report(t: Tables) -> DataFrame:
         "p90",
         "p99",
     )
+
+
+@query(
+    "etl_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+        SELECT DISTINCT sha256(text) AS h
+        FROM documents WHERE doc_id % 10 < 8
+    ),
+    batch AS (
+        SELECT doc_id, sha256(text) AS h
+        FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT b.doc_id,
+           hist.h IS NULL AS is_novel
+    FROM batch b LEFT JOIN hist ON b.h = hist.h
+    """,
+)
+def etl_incremental_dedup(t: Tables) -> DataFrame:
+    """Incremental-ingest dedup: the arriving batch (doc_id % 10 >= 8 —
+    the deterministic 20% 'today' slice) is checked against the
+    HISTORICAL corpus's content-hash set (the other 80%), and each new
+    document gets an is_novel verdict — the daily-crawl gate that keeps
+    a training corpus append-only without ever re-deduplicating
+    history (dedup_exact rebuilds the full collapse map; this touches
+    history only through its hash set).
+
+    Plan: both sides reduce to sha256 hashes in-scan; the historical
+    side is a DISTINCT hash projection (one shuffle, hash-cardinality
+    sized) left-joined to the batch on the hash key. At 100 TB the
+    historical hash set is a precomputed bucketed table in practice —
+    the join is then co-located and history is never rescanned; the
+    oracle's recompute-both-sides shape is the fixture-scale stand-in.
+    NULL text hashes to NULL on both engines, never matching — a NULL
+    batch doc stays novel (LEFT JOIN on NULL key), same verdict both
+    sides."""
+    hist = (
+        t.documents.filter(F.col("doc_id") % 10 < 8)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    batch = t.documents.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    return batch.join(hist, "h", "left").select(
+        "doc_id", F.col("seen").isNull().alias("is_novel")
+    )

@@ -1960,3 +1960,31 @@ def test_topk_pq_matches_numpy_replica(spark):
         for r in queries()["sim_topk_pq"](spark, SF_TEST).collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_planted(spark):
+    """Batch doc 18 repeats historical doc 1's text (not novel); batch
+    doc 19 is unseen (novel); batch doc 28 repeats ANOTHER batch doc's
+    text but no historical one (still novel — the gate checks history,
+    not the batch itself)."""
+
+    class _T:
+        pass
+
+    _T.documents = spark.createDataFrame(
+        [
+            (1, "alpha"),
+            (2, "beta"),
+            (18, "alpha"),
+            (19, "gamma"),
+            (28, "delta"),
+            (29, "delta"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    got = {r.doc_id: r.is_novel for r in
+           REGISTRY["etl_incremental_dedup"].fn.tables_fn(_T()).collect()}
+    assert got == {18: False, 19: True, 28: True, 29: True}
