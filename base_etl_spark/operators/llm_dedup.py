@@ -851,3 +851,52 @@ def dedup_spans(t: Tables) -> DataFrame:
         F.round(ratio, 6).alias("dup_chunk_ratio"),
         (ratio <= 0.5).alias("keep"),
     )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT sha256(norm) AS norm_hash,
+           min(doc_id) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_raw_variants
+    FROM n GROUP BY sha256(norm)
+    """,
+)
+def dedup_exact_normalized(t: Tables) -> DataFrame:
+    """Normalization-aware exact dedup — the C4-style 'fuzzy-exact'
+    tier between dedup_exact (byte-identical only) and the shingle
+    near-dup family: text is lowercased, stripped to [a-z0-9 ], and
+    whitespace-collapsed BEFORE hashing, so case/punctuation/spacing
+    reposts collapse into one group. n_raw_variants per group is the
+    dividend report: groups with n_raw_variants > 1 are exactly the
+    duplicates byte-hashing missed.
+
+    Plan: identical to dedup_exact — normalization is a pure in-scan
+    projection (lower + two regexp_replace, codegen), one hash-keyed
+    shuffle. Spark's regexp_replace is global by default; the oracle
+    needs DuckDB's explicit 'g' flag (probed) — a missed flag leaves
+    first-match-only normalization and flips the hash."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        t.documents.select("doc_id", "text", F.sha2(norm, 256).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("text").cast("long").alias("n_raw_variants"),
+        )
+    )

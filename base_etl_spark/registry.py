@@ -163,7 +163,7 @@ ROUND8_WINDOW: list[str] = [
     "stream_interval_join", "events_quantile_treatment_effect",
     "graph_degree_distribution", "tokenizer_bpe_apply",
     "stream_interval_join_outer", "sim_topk_pq",
-    "etl_incremental_dedup",
+    "etl_incremental_dedup", "dedup_exact_normalized",
 ]
 
 # Round 7: execute the committed rotation plan — the driver window IS

@@ -1988,3 +1988,34 @@ def test_incremental_dedup_planted(spark):
     got = {r.doc_id: r.is_novel for r in
            REGISTRY["etl_incremental_dedup"].fn.tables_fn(_T()).collect()}
     assert got == {18: False, 19: True, 28: True, 29: True}
+
+
+def test_dedup_exact_normalized_planted(spark):
+    """Case/punctuation/spacing variants of one sentence collapse into a
+    single normalized group (n_copies 3, n_raw_variants 3, keeper = min
+    doc_id) while a genuinely different doc stays alone — the duplicates
+    byte-hashing (dedup_exact) would have missed."""
+
+    class _T:
+        pass
+
+    _T.documents = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD."),
+            (4, "goodbye world"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    rows = sorted(
+        REGISTRY["dedup_exact_normalized"].fn.tables_fn(_T()).collect(),
+        key=lambda r: r.keeper_doc_id,
+    )
+    assert [(r.keeper_doc_id, r.n_copies, r.n_raw_variants) for r in rows] == [
+        (1, 3, 3),
+        (4, 1, 1),
+    ]
