@@ -900,3 +900,115 @@ def dedup_exact_normalized(t: Tables) -> DataFrame:
             F.countDistinct("text").cast("long").alias("n_raw_variants"),
         )
     )
+
+
+@query(
+    "dedup_span_scrub",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws,
+               COALESCE(len(string_split(text, ' ')) // 8, 0) AS nch
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               array_to_string(
+                   ws[(CAST(i AS BIGINT)*8+1):(CAST(i AS BIGINT)*8+8)],
+                   ' ') AS chunk
+        FROM w, unnest(range(nch)) AS u(i)
+    ),
+    cnt AS (SELECT chunk, count(*) AS n_occ FROM chunks GROUP BY chunk),
+    per AS (
+        SELECT c.doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               string_agg(CASE WHEN n_occ < 2 THEN c.chunk END,
+                          ' ' ORDER BY c.i) AS kept_txt
+        FROM chunks c JOIN cnt USING (chunk) GROUP BY c.doc_id
+    )
+    SELECT w.doc_id,
+           COALESCE(p.n_chunks, CAST(0 AS BIGINT)) AS n_chunks,
+           COALESCE(p.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+           CASE WHEN w.text IS NULL THEN NULL
+                ELSE concat_ws(' ', p.kept_txt,
+                               nullif(array_to_string(
+                                   ws[(nch*8+1):len(ws)], ' '), ''))
+           END AS cleaned_text
+    FROM w LEFT JOIN per p USING (doc_id)
+    """,
+)
+def dedup_span_scrub(t: Tables) -> DataFrame:
+    """The ACTION half of dedup_spans (C4-style): duplicated 8-word
+    chunks (corpus-wide occurrence >= 2) are REMOVED from each
+    document and the text is reassembled from the surviving chunks plus
+    the partial tail — the rewrite a cleaning pipeline actually applies,
+    where dedup_spans only reports. split('text')/array_to_string(' ')
+    round-trips are lossless (empty tokens survive inside chunks), so a
+    document with nothing removed reassembles BYTE-IDENTICAL — pinned in
+    the planted test. Docs under 8 words pass through unchanged (and
+    never enter the chunk shuffle — the dedup_spans skew rule); NULL
+    text stays NULL on both engines.
+
+    Plan: dedup_spans' exact chunk lineage (in-row chunking, ONE window
+    over the chunk partition) plus an ordered in-row reassembly
+    (collect filtered (i, chunk) structs, array_sort, array_join — the
+    events_session_paths per-group ordering pattern, never a global
+    sort); the per-doc tail is carried as a projected column so the
+    fact table is scanned once."""
+    from pyspark.sql import Window
+
+    nch = F.expr("COALESCE(size(ws) div 8, 0)")
+    docs = t.documents.select(
+        "doc_id",
+        "text",
+        F.split(F.col("text"), " ").alias("ws"),
+    ).select(
+        "doc_id",
+        "text",
+        "ws",
+        nch.alias("nch"),
+        F.expr(
+            "array_join(slice(ws, nch*8+1, greatest(size(ws) - nch*8, 0)), ' ')"
+        ).alias("tail"),
+    )
+    long_docs = docs.filter(F.col("nch") >= 1)
+    chunks = long_docs.select(
+        "doc_id",
+        "tail",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, nch - 1),"
+                " i -> array_join(slice(ws, CAST(i*8+1 AS INT), 8), ' '))"
+            )
+        ).alias("i", "chunk"),
+    )
+    occ = chunks.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("chunk"))
+    )
+    per = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.expr(
+            "array_join(transform(array_sort("
+            " collect_list(CASE WHEN n_occ < 2 THEN struct(i, chunk) END)),"
+            " p -> p.chunk), ' ')"
+        ).alias("kept_txt"),
+        F.first("tail").alias("tail"),
+    )
+    short = docs.filter(F.col("nch") < 1).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_chunks"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.col("text").alias("cleaned_text"),
+    )
+    cleaned = F.concat_ws(
+        " ",
+        F.nullif(F.col("kept_txt"), F.lit("")),
+        F.nullif(F.col("tail"), F.lit("")),
+    )
+    return per.select(
+        "doc_id", "n_chunks", "n_removed", cleaned.alias("cleaned_text")
+    ).unionByName(short)

@@ -2019,3 +2019,38 @@ def test_dedup_exact_normalized_planted(spark):
         (1, 3, 3),
         (4, 1, 1),
     ]
+
+
+def test_span_scrub_planted(spark):
+    """The duplicated chunk A is scrubbed from both carriers while
+    unique chunks and partial tails survive in order; a doc with
+    nothing removed reassembles BYTE-IDENTICAL (split/join losslessness
+    incl. a double space); sub-8-word docs pass through untouched."""
+
+    class _T:
+        pass
+
+    A = "a b c d e f g h"
+    B = "i j k l m n o p"
+    C = "q r s t u v w x"
+    _T.documents = spark.createDataFrame(
+        [
+            (1, f"{A} {B} t1 t2"),      # A scrubbed, B + tail stay
+            (2, f"{C} {A}"),            # A scrubbed at the END
+            (3, f"{B.replace('i', 'zz')} y1  y2"),  # untouched, double space
+            (4, "short doc here"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    rows = {r.doc_id: r for r in
+            REGISTRY["dedup_span_scrub"].fn.tables_fn(_T()).collect()}
+    assert (rows[1].n_chunks, rows[1].n_removed) == (2, 1)
+    assert rows[1].cleaned_text == f"{B} t1 t2"
+    assert (rows[2].n_chunks, rows[2].n_removed) == (2, 1)
+    assert rows[2].cleaned_text == C
+    assert rows[3].n_removed == 0
+    assert rows[3].cleaned_text == f"{B.replace('i', 'zz')} y1  y2"
+    assert rows[4].cleaned_text == "short doc here"
