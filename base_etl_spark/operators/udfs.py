@@ -287,3 +287,65 @@ def udaf_arrow_group(t: Tables) -> DataFrame:
         .groupBy("event_type")
         .applyInArrow(_type_stats_arrow, schema="event_type string, n_events long, total_cents long, max_cents long")
     )
+
+
+@query(
+    "udtf_arrow_chunks",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               CAST(i * 16 AS INT) AS start_tok,
+               CAST(least(len(ws) - i * 16, 16) AS INT) AS n_toks,
+               array_to_string(
+                   ws[(CAST(i AS BIGINT)*16+1):(CAST(i AS BIGINT)*16+16)],
+                   ' ') AS chunk
+        FROM w, unnest(range((len(ws) + 15) // 16)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx, start_tok, n_toks,
+           CAST(length(chunk) AS BIGINT) AS chunk_chars
+    FROM c
+    """,
+)
+def udtf_arrow_chunks(t: Tables) -> DataFrame:
+    """Arrow-OPTIMIZED Python UDTF (`@udtf(useArrow=True)`, Spark 4):
+    the same document-chunking generator as udtf_python but crossing
+    the Python boundary in Arrow batches instead of pickled rows — the
+    ArrowEvalPythonUDTF plan node (plan-asserted), the serialization
+    tier that makes Python UDTFs viable on wide scans. Unlike the R
+    udtf_python (which pins the legacy boundary), this key is
+    HASH-CHECKED: the chunk spans are recomputed in closed form by the
+    oracle, so a batching bug, a dropped partial tail, or an off-by-one
+    in the Arrow path flips the driver hash. NULL text emits no rows on
+    both engines (the generator returns early; the oracle filters).
+
+    At 100 TB: one corpus scan through the Arrow boundary, output rows
+    bounded by tokens/16 per doc; no shuffle at all — the UDTF is a
+    pure row-expander (LATERAL), so it pipelines inside the scan
+    stage."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_idx int, start_tok int, n_toks int, chunk string",
+        useArrow=True,
+    )
+    class ChunkDocArrow:
+        def eval(self, text: str, size: int):  # noqa: ANN001
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i in range(0, len(toks), size):
+                part = toks[i : i + size]
+                yield i // size, i, len(part), " ".join(part)
+
+    t.spark.udtf.register("chunk_doc_arrow", ChunkDocArrow)
+    return t.spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.start_tok, c.n_toks,
+               CAST(length(c.chunk) AS BIGINT) AS chunk_chars
+        FROM documents, LATERAL chunk_doc_arrow(text, 16) AS c
+        """
+    )

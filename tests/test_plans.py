@@ -235,6 +235,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "mm_audio_silence_trim": "MapInPandas",  # REAL WAV decode + energy trim
         "mm_video_scene_cut": "MapInPandas",  # REAL AVI demux + frame deltas
         "udtf_python": "BatchEvalPython",  # Python-UDTF boundary (BatchEvalPythonUDTF node)
+        "udtf_arrow_chunks": "ArrowEvalPython",  # Arrow UDTF tier (ArrowEvalPythonUDTF node)
     }
     markers = (
         "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
@@ -685,3 +686,11 @@ def test_dedup_spans_prunes_metadata_columns(spark):
     not reach the scan."""
     plan = _plan(_QS["dedup_spans"](spark, SF_TEST))
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_udtf_arrow_uses_arrow_node(spark):
+    """The Arrow UDTF tier must plan as ArrowEvalPythonUDTF (not the
+    pickled BatchEvalPythonUDTF) — the serialization tier IS the key's
+    contract."""
+    plan = _plan(_QS["udtf_arrow_chunks"](spark, SF_TEST))
+    assert "ArrowEvalPythonUDTF" in plan
