@@ -1342,3 +1342,87 @@ def mm_image_neardup(t: Tables) -> DataFrame:
         "w", "h", "hash_a", "hash_b", "hamming",
         "n_members_a", "n_members_b",
     )
+
+
+_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_in", IntegerType()),
+        StructField("n_out", IntegerType()),
+        StructField("ssq_in", LongType()),
+        StructField("ssq_out", LongType()),
+        StructField("sum_out", LongType()),
+    ]
+)
+
+
+@query(
+    "mm_audio_resample",
+    oracle="""
+    WITH d AS (SELECT doc_id, 64 + (doc_id % 16) * 8 AS n_in
+               FROM documents),
+         s AS (
+             SELECT doc_id, n_in, i,
+                    (doc_id * 31 + i * 7) % 20001 - 10000 AS smp
+             FROM d, LATERAL (SELECT unnest(generate_series(0,
+                      CAST(n_in - 1 AS INT))) AS i) g
+         )
+    SELECT doc_id AS asset_id,
+           CAST(max(n_in) AS INT) AS n_in,
+           CAST((max(n_in) + 1) // 2 AS INT) AS n_out,
+           CAST(sum(smp * smp) AS BIGINT) AS ssq_in,
+           CAST(sum(CASE WHEN i % 2 = 0 THEN smp * smp ELSE 0 END)
+                AS BIGINT) AS ssq_out,
+           CAST(sum(CASE WHEN i % 2 = 0 THEN smp ELSE 0 END)
+                AS BIGINT) AS sum_out
+    FROM s GROUP BY doc_id
+    """,
+)
+def mm_audio_resample(t: Tables) -> DataFrame:
+    """16 kHz → 8 kHz downsample (decimation by 2) through TWO real WAV
+    codec trips — the sample-rate normalization every speech corpus
+    runs before batching (mm_image_resize's two-trip pattern for
+    audio): per document a deterministic waveform is encoded to a
+    genuine 16 kHz PCM16 WAV, decoded back through the chunk-walking
+    parser, decimated (every 2nd decoded sample), re-encoded at 8 kHz,
+    and decoded AGAIN; the report (lengths, integer sum-of-squares
+    energies, output checksum) is computed from the second decode, so a
+    wrong stride, header rate, or byte order in EITHER trip flips the
+    driver hash against the closed-form oracle. All columns are exact
+    integers — no float energy, no rounding channel.
+
+    At 100 TB: embarrassingly parallel mapInPandas over doc-partitioned
+    batches (two in-memory codec trips per asset, no shuffle); the
+    output is one bounded row per asset. Production escalation: proper
+    anti-aliasing (polyphase FIR) replaces bare decimation — the
+    Spark-side plumbing (schema, batching, two-trip kernel) is
+    identical, only the kernel's inner filter changes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("asset_id", "n_in", "n_out", "ssq_in", "ssq_out", "sum_out")}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n_in = 64 + (doc_id % 16) * 8
+                i = np.arange(n_in, dtype=np.int64)
+                smp = ((doc_id * 31 + i * 7) % 20001 - 10000).astype(np.int16)
+                _, dec1 = decode_wav_pcm16(encode_wav_pcm16(smp, 16_000))
+                # decode yields float64 k/32768 — recover the exact
+                # integer samples before decimating / re-encoding
+                d1 = np.rint(dec1 * 32768.0).astype(np.int64)
+                ds = d1[::2].astype(np.int16)
+                rate2, dec2 = decode_wav_pcm16(encode_wav_pcm16(ds, 8_000))
+                assert rate2 == 8_000
+                d2 = np.rint(dec2 * 32768.0).astype(np.int64)
+                out["asset_id"].append(doc_id)
+                out["n_in"].append(len(d1))
+                out["n_out"].append(len(d2))
+                out["ssq_in"].append(int((d1 * d1).sum()))
+                out["ssq_out"].append(int((d2 * d2).sum()))
+                out["sum_out"].append(int(d2.sum()))
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    return docs.mapInPandas(run, schema=_RESAMPLE_SCHEMA)

@@ -233,6 +233,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "mm_image_dedup": "MapInPandas",  # REAL BMP decode feeding the hash dedup
         "mm_image_neardup": "MapInPandas",  # REAL BMP decode feeding banded hamming pairs
         "mm_audio_silence_trim": "MapInPandas",  # REAL WAV decode + energy trim
+        "mm_audio_resample": "MapInPandas",  # two REAL WAV codec trips (16k -> 8k)
         "mm_video_scene_cut": "MapInPandas",  # REAL AVI demux + frame deltas
         "udtf_python": "BatchEvalPython",  # Python-UDTF boundary (BatchEvalPythonUDTF node)
         "udtf_arrow_chunks": "ArrowEvalPython",  # Arrow UDTF tier (ArrowEvalPythonUDTF node)

@@ -2054,3 +2054,24 @@ def test_span_scrub_planted(spark):
     assert rows[3].n_removed == 0
     assert rows[3].cleaned_text == f"{B.replace('i', 'zz')} y1  y2"
     assert rows[4].cleaned_text == "short doc here"
+
+
+def test_audio_resample_planted(spark):
+    """Hand-checkable asset 0 (64 samples): both codec trips must be
+    lossless, so n halves exactly and the decimated energy/checksum
+    equal the even-index closed form."""
+
+    class _T:
+        pass
+
+    _T.documents = spark.createDataFrame([(0,)], "doc_id bigint")
+
+    from base_etl_spark.registry import REGISTRY
+
+    [r] = REGISTRY["mm_audio_resample"].fn.tables_fn(_T()).collect()
+    smp = [((0 * 31 + i * 7) % 20001) - 10000 for i in range(64)]
+    even = smp[::2]
+    assert (r.n_in, r.n_out) == (64, 32)
+    assert r.ssq_in == sum(s * s for s in smp)
+    assert r.ssq_out == sum(s * s for s in even)
+    assert r.sum_out == sum(even)
