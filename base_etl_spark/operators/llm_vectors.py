@@ -1760,3 +1760,101 @@ def sim_topk_pq(t: Tables) -> DataFrame:
             F.coalesce(F.col("in_exact"), F.lit(False)).alias("in_exact"),
         )
     )
+
+
+_MRL_DIM = 16  # truncated prefix dimensionality (64 -> 16, 4x cheaper)
+
+
+@query(
+    "sim_recall_matryoshka",
+    oracle=f"""
+    WITH p AS (
+        SELECT vec_id AS probe_id, embedding FROM embeddings
+        WHERE vec_id < {N_PROBES}
+    ),
+    sc AS (
+        SELECT p.probe_id, c.vec_id AS nid,
+               round(list_inner_product(p.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[])
+                     / (sqrt(list_inner_product(p.embedding::DOUBLE[],
+                                                p.embedding::DOUBLE[]))
+                        * sqrt(list_inner_product(c.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]))),
+                     6) AS cs_full,
+               round(list_inner_product((p.embedding[1:{_MRL_DIM}])::DOUBLE[],
+                                        (c.embedding[1:{_MRL_DIM}])::DOUBLE[])
+                     / (sqrt(list_inner_product(
+                            (p.embedding[1:{_MRL_DIM}])::DOUBLE[],
+                            (p.embedding[1:{_MRL_DIM}])::DOUBLE[]))
+                        * sqrt(list_inner_product(
+                            (c.embedding[1:{_MRL_DIM}])::DOUBLE[],
+                            (c.embedding[1:{_MRL_DIM}])::DOUBLE[]))),
+                     6) AS cs_trunc
+        FROM p JOIN embeddings c ON c.vec_id <> p.probe_id
+    ),
+    rk AS (
+        SELECT probe_id, nid,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cs_full DESC, nid) AS rf,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cs_trunc DESC, nid) AS rt
+        FROM sc
+    )
+    SELECT probe_id,
+           CAST(sum(CASE WHEN rf <= {TOP_K} AND rt <= {TOP_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN rf <= {TOP_K} AND rt <= {TOP_K}
+                          THEN 1 ELSE 0 END) * 1.0 / {TOP_K}, 6) AS recall
+    FROM rk GROUP BY probe_id
+    """,
+)
+def sim_recall_matryoshka(t: Tables) -> DataFrame:
+    """Matryoshka truncation recall (Kusupati et al. 2022, public MRL
+    method): rank the corpus per probe by FULL 64-dim cosine and by the
+    16-dim PREFIX cosine (the 4x-cheaper first-stage an MRL-trained
+    embedding store actually serves), and report per-probe recall@5 of
+    the truncated ranking against the full one — the measurement that
+    decides whether the cheap prefix tier is safe to deploy. Uses the
+    sim_topk determinism protocol end to end: 6dp round-then-rank,
+    neighbor_id tie-break, self-pairs excluded.
+
+    Plan: ONE probe-broadcast x corpus scan computes BOTH cosines per
+    pair (the truncated dot is a slice of the same row — no second
+    scan), then two rank windows over the same scored frame (partition
+    = probe, the declared sim-family shape) and a 10-group agg. At
+    production scale the full-rank leg is the verification tier (this
+    key IS the measurement); the serving path ranks by prefix alone."""
+    probes = F.broadcast(
+        t.embeddings.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+        )
+    )
+    sl = f"slice({{0}}, 1, {_MRL_DIM})"
+    scored = (
+        probes.crossJoin(t.embeddings.select("vec_id", "embedding"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("nid"),
+            F.round(cosine(F.col("p_emb"), F.col("embedding")), 6).alias("cs_full"),
+            F.round(
+                cosine(
+                    F.expr(sl.format("p_emb")), F.expr(sl.format("embedding"))
+                ),
+                6,
+            ).alias("cs_trunc"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.desc("cs_full"), F.asc("nid"))
+    wt = Window.partitionBy("probe_id").orderBy(F.desc("cs_trunc"), F.asc("nid"))
+    rk = scored.select(
+        "probe_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    hit = F.when((F.col("rf") <= TOP_K) & (F.col("rt") <= TOP_K), 1).otherwise(0)
+    return rk.groupBy("probe_id").agg(
+        F.sum(hit).cast("long").alias("n_hits"),
+        F.round(F.sum(hit) * 1.0 / TOP_K, 6).alias("recall"),
+    )

@@ -165,6 +165,7 @@ ROUND8_WINDOW: list[str] = [
     "stream_interval_join_outer", "sim_topk_pq",
     "etl_incremental_dedup", "dedup_exact_normalized",
     "dedup_span_scrub", "udtf_arrow_chunks", "mm_audio_resample",
+    "sim_recall_matryoshka",
 ]
 
 # Round 7: execute the committed rotation plan — the driver window IS

@@ -170,6 +170,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "sim_mmr_rerank",   # 10-row probe broadcast x corpus (top-20 feed)
         "sim_topk_bitsign",  # 10-row probe sketch broadcast x corpus signatures
         "sim_topk_pq",      # 10-row probe broadcast x corpus (exact-recall leg)
+        "sim_recall_matryoshka",  # 10-row probe broadcast x corpus (both cosines)
         "pack_sequences",   # 1-row max-doc-id bucketing scalar
         "corpus_mix_weights",  # 1-row corpus-totals scalar
         "cluster_kmeans",   # k-row (8) centroid broadcast x corpus scan

@@ -2075,3 +2075,47 @@ def test_audio_resample_planted(spark):
     assert r.ssq_in == sum(s * s for s in smp)
     assert r.ssq_out == sum(s * s for s in even)
     assert r.sum_out == sum(even)
+
+
+def test_matryoshka_planted(spark):
+    """Planted 3-probe corpus where the 16-dim prefix either preserves
+    or inverts the full-dim ranking by construction: probe 0's top
+    neighbors agree on prefix and full (recall 1.0); probe 1's nearest
+    full-dim neighbor hides its similarity in dims 17-64, so the
+    truncated ranking misses it (recall < 1)."""
+    import numpy as np
+
+    class _T:
+        pass
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # probes 0-2: random base vectors
+    base = rng.rand(3, 64).astype(float)
+    for i in range(3):
+        rows.append((i, [float(x) for x in base[i]]))
+    # 10..15: aligned with probe 0 in ALL dims (prefix agrees)
+    for j in range(6):
+        v = base[0] + rng.rand(64) * 0.01
+        rows.append((10 + j, [float(x) for x in v]))
+    # 20: aligned with probe 1 ONLY in dims 17-64 (prefix orthogonalish)
+    v = base[1].copy()
+    v[:16] = rng.rand(16) * 5  # scramble the prefix hard
+    rows.append((20, [float(x) for x in v]))
+    # 21..26: mild noise vectors
+    for j in range(6):
+        rows.append((21 + j, [float(x) for x in rng.rand(64)]))
+    _T.embeddings = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    # N_PROBES = 10 so probes are vec_ids 0..2 here (others >= 10)
+    out = {r.probe_id: r for r in
+           REGISTRY["sim_recall_matryoshka"].fn.tables_fn(_T()).collect()}
+    assert out[0].recall == 1.0
+    assert out[1].recall < 1.0
+    for r in out.values():
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_hits == round(r.recall * 5)
