@@ -3517,3 +3517,83 @@ def events_quantile_treatment_effect(t: Tables) -> DataFrame:
             6,
         ).alias("qte"),
     )
+
+
+_EWMA_TAU_US = 3_600_000_000  # 1-hour decay constant, integer microseconds
+
+
+@query(
+    "win_ewma_time_decay",
+    oracle=f"""
+    WITH RECURSIVE arr AS (
+        SELECT user_id,
+               list(struct_pack(t := epoch_us(ts), v := value)
+                    ORDER BY ts, event_id) AS xs
+        FROM events GROUP BY user_id
+    ),
+    f AS (
+        SELECT user_id, xs, len(xs) AS n, CAST(1 AS BIGINT) AS i,
+               CAST(xs[1].v AS DOUBLE) AS score, xs[1].t AS pt
+        FROM arr
+        UNION ALL
+        SELECT user_id, xs, n, i + 1,
+               xs[i + 1].v
+                   + exp(-CAST(xs[i + 1].t - pt AS DOUBLE)
+                         / {float(_EWMA_TAU_US)}) * score,
+               xs[i + 1].t
+        FROM f WHERE i < n
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(score, 6) AS decayed_score
+    FROM f WHERE i = n
+    """,
+)
+def win_ewma_time_decay(t: Tables) -> DataFrame:
+    """Irregular-gap exponential decay score per user: score_i = v_i +
+    exp(-Δt_i/τ)·score_{i-1} with Δt the ACTUAL microsecond gap between
+    consecutive events (τ = 1 h) — the continuous-time upgrade of
+    win_ema_fold's fixed-α row-step smoothing, and the state one would
+    keep per key in a streaming scorer (events_time_decay_score is the
+    one-shot sum against a fixed reference; this is the recursive
+    carried state). The recursion is order-sequential, so it runs as
+    ONE in-row fold over the (ts, event_id)-ordered value array —
+    both engines fold the SAME list with the SAME exp arguments
+    (integer-µs gaps), so trajectories are bit-identical before the
+    6dp rounding. Oracle unrolls via WITH RECURSIVE (the win_holt
+    lesson: DuckDB 1.0.0 list_reduce mutates struct accumulators in
+    place).
+
+    Scale: one user_id shuffle to per-user arrays (bounded by events
+    per user); the fold is O(n) per user with O(1) state — at unbounded
+    per-user volumes the same recurrence runs incrementally under
+    applyInPandasWithState (stream_stateful's machinery)."""
+    arr = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("t"),
+                        F.col("event_id").alias("eid"),
+                        F.col("value").alias("v"),
+                    )
+                )
+            ).alias("xs")
+        )
+    )
+    fold = F.expr(
+        f"aggregate("
+        f" slice(xs, 2, size(xs) - 1),"
+        f" named_struct('score', CAST(element_at(xs, 1).v AS DOUBLE),"
+        f"              'pt', element_at(xs, 1).t),"
+        f" (a, x) -> named_struct("
+        f"   'score', x.v + exp(-CAST(x.t - a.pt AS DOUBLE)"
+        f"                      / {float(_EWMA_TAU_US)}) * a.score,"
+        f"   'pt', x.t),"
+        f" a -> a.score)"
+    )
+    return arr.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        F.round(fold, 6).alias("decayed_score"),
+    )

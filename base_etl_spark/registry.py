@@ -152,9 +152,11 @@ ROUND7_WINDOW: list[str] = [
 ]
 
 # Round-8 spillover: keys registered AFTER ROUND7_WINDOW reached the
-# driver's 50 slots. They carry the full local gate now and land their
-# driver rows next round (round-8 rotation: DRIVER_PRIORITY =
-# list(ROUND8_WINDOW) — pad with re-checks if still short of 50).
+# driver's 50 slots (3 at the first round-7 snapshot + 20 from the
+# round-7 continuation session). They carry the full local gate now and
+# land their driver rows next round (round-8 rotation: DRIVER_PRIORITY =
+# list(ROUND8_WINDOW) — pad the remaining slots with re-checks of the
+# oldest driver rows if still short of 50 at rotation time).
 ROUND8_WINDOW: list[str] = [
     "win_holt_linear", "dedup_url_canonical", "embedding_pca_power",
     "dedup_spans", "tokenizer_bpe_train", "events_wilson_ci",
@@ -165,7 +167,7 @@ ROUND8_WINDOW: list[str] = [
     "stream_interval_join_outer", "sim_topk_pq",
     "etl_incremental_dedup", "dedup_exact_normalized",
     "dedup_span_scrub", "udtf_arrow_chunks", "mm_audio_resample",
-    "sim_recall_matryoshka",
+    "sim_recall_matryoshka", "win_ewma_time_decay",
 ]
 
 # Round 7: execute the committed rotation plan — the driver window IS

@@ -2119,3 +2119,32 @@ def test_matryoshka_planted(spark):
     for r in out.values():
         assert 0.0 <= r.recall <= 1.0
         assert r.n_hits == round(r.recall * 5)
+
+
+def test_ewma_time_decay_planted(spark):
+    """Three events at 0 min / 60 min / 90 min with values 10/20/5:
+    decayed score = 5 + e^-0.5 * (20 + e^-1 * 10) — hand-computed with
+    plain math.exp, pinning the integer-microsecond gap arithmetic and
+    the (ts, event_id) fold order."""
+    import datetime as dt
+    import math
+
+    class _T:
+        pass
+
+    T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    _T.events = spark.createDataFrame(
+        [
+            (1, 7, T0, 10.0),
+            (2, 7, T0 + dt.timedelta(hours=1), 20.0),
+            (3, 7, T0 + dt.timedelta(minutes=90), 5.0),
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    [r] = REGISTRY["win_ewma_time_decay"].fn.tables_fn(_T()).collect()
+    want = 5.0 + math.exp(-0.5) * (20.0 + math.exp(-1.0) * 10.0)
+    assert (r.user_id, r.n_events) == (7, 3)
+    assert r.decayed_score == round(want, 6)
