@@ -1386,3 +1386,53 @@ def etl_incremental_dedup(t: Tables) -> DataFrame:
     return batch.join(hist, "h", "left").select(
         "doc_id", F.col("seen").isNull().alias("is_novel")
     )
+
+
+@query(
+    "etl_scd3",
+    oracle="""
+    WITH upd AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT c_custkey,
+           CASE WHEN upd.o_custkey IS NOT NULL
+                THEN 'PRIORITY' ELSE c_mktsegment END AS segment_current,
+           CASE WHEN upd.o_custkey IS NOT NULL
+                THEN c_mktsegment END AS segment_prev,
+           upd.o_custkey IS NOT NULL AS changed
+    FROM customer LEFT JOIN upd ON c_custkey = upd.o_custkey
+    """,
+)
+def etl_scd3(t: Tables) -> DataFrame:
+    """SCD Type-3 dimension update — the third member of the
+    slowly-changing family (type 2: etl_scd2 full history rows; type 1
+    would overwrite): customers with at least one 1-URGENT order move
+    to the 'PRIORITY' segment while the PREVIOUS value is preserved in
+    a prior-value COLUMN (one level of history, the type-3 contract),
+    everyone else keeps their segment with a NULL prior. The pattern a
+    reporting dim uses when only 'current vs before the reorg' matters.
+
+    Plan: the update key set is a DISTINCT projection of the fact
+    (pushdown-filtered on priority) left-joined to the dimension —
+    AQE broadcasts the key set while it fits; at 100 TB it shuffles on
+    the dim key like every other dim-maintenance op."""
+    upd = (
+        t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        t.customer.join(upd, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            F.when(F.col("hit").isNotNull(), F.lit("PRIORITY"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment_current"),
+            F.when(F.col("hit").isNotNull(), F.col("c_mktsegment")).alias(
+                "segment_prev"
+            ),
+            F.col("hit").isNotNull().alias("changed"),
+        )
+    )

@@ -1012,3 +1012,107 @@ def dedup_span_scrub(t: Tables) -> DataFrame:
     return per.select(
         "doc_id", "n_chunks", "n_removed", cleaned.alias("cleaned_text")
     ).unionByName(short)
+
+
+def _funnel_oracle() -> str:
+    """Composes the funnel oracle from the SIBLING KEYS' own oracle
+    strings (the sim_recall_at_k pattern) so the report can never
+    drift from what the parent keys certify."""
+    from base_etl_spark.registry import REGISTRY
+
+    spans_sql = REGISTRY["dedup_spans"].oracle
+    return f"""
+    WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+    ex AS (
+        SELECT CAST(count(DISTINCT sha256(text)) AS BIGINT) AS kept
+        FROM documents
+    ),
+    nrm AS (
+        SELECT CAST(count(DISTINCT sha256(
+                   trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                       ' +', ' ', 'g')))) AS BIGINT) AS kept
+        FROM documents
+    ),
+    sp AS (
+        SELECT CAST(count(*) AS BIGINT) AS kept
+        FROM ({spans_sql}) WHERE keep
+    ),
+    legs AS (
+        SELECT 0 AS stage_ord, 'raw' AS stage, total AS docs_kept FROM tot
+        UNION ALL SELECT 1, 'exact', kept FROM ex
+        UNION ALL SELECT 2, 'exact_normalized', kept FROM nrm
+        UNION ALL SELECT 3, 'span', kept FROM sp
+    )
+    SELECT stage_ord, stage, docs_kept,
+           tot.total - docs_kept AS docs_removed,
+           round(docs_kept * 1.0 / nullif(tot.total, 0), 6) AS pct_kept
+    FROM legs CROSS JOIN tot
+    """
+
+
+@query("dedup_funnel_report", oracle=_funnel_oracle())
+def dedup_funnel_report(t: Tables) -> DataFrame:
+    """The dedup-family capstone: one funnel table showing how many
+    documents each INDEPENDENT dedup tier would keep over the full
+    corpus — raw count, exact (sha256), normalization-aware exact
+    (dedup_exact_normalized's recipe), and span-level keep verdicts
+    (dedup_spans' ratio <= 0.5 rule) — the one-page report a corpus
+    owner reads before choosing which tiers to run in sequence. Tiers
+    are measured independently (not chained), so each row answers
+    'what does this tier alone buy'; the Spark span leg REUSES
+    dedup_spans' registered body and the oracle nests that key's own
+    oracle string (the sim_recall_at_k composition pattern), so the
+    report cannot disagree with the keys it summarizes.
+
+    Plan: three independent 1-row aggregates (two distinct-hash counts,
+    one span-verdict count over the dedup_spans lineage) unioned with
+    the raw count and joined to the 1-row total (broadcast combine, the
+    events_ab_test allowlisted shape). Each leg is the SAME plan its
+    parent key ships; nothing new shuffles."""
+    from base_etl_spark.registry import REGISTRY
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    tot = t.documents.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    ex = t.documents.agg(
+        F.countDistinct(F.sha2("text", 256)).cast("long").alias("kept")
+    )
+    nrm = t.documents.agg(
+        F.countDistinct(F.sha2(norm, 256)).cast("long").alias("kept")
+    )
+    sp = REGISTRY["dedup_spans"].fn.tables_fn(t).agg(
+        # coalesce: sum over an EMPTY corpus is NULL where the oracle's
+        # count(*) is 0 — found by the empty-tier sweep pre-commit
+        F.coalesce(F.sum(F.when(F.col("keep"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("kept")
+    )
+
+    def leg(df, ord_, name):
+        return df.select(
+            F.lit(ord_).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.col(df.columns[0]).alias("docs_kept"),
+        )
+
+    legs = (
+        leg(tot, 0, "raw")
+        .unionByName(leg(ex, 1, "exact"))
+        .unionByName(leg(nrm, 2, "exact_normalized"))
+        .unionByName(leg(sp, 3, "span"))
+    )
+    return legs.crossJoin(F.broadcast(tot)).select(
+        "stage_ord",
+        "stage",
+        "docs_kept",
+        (F.col("total") - F.col("docs_kept")).alias("docs_removed"),
+        F.round(
+            F.col("docs_kept") * 1.0 / F.nullif(F.col("total"), F.lit(0)), 6
+        ).alias("pct_kept"),
+    )

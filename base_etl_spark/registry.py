@@ -168,6 +168,7 @@ ROUND8_WINDOW: list[str] = [
     "etl_incremental_dedup", "dedup_exact_normalized",
     "dedup_span_scrub", "udtf_arrow_chunks", "mm_audio_resample",
     "sim_recall_matryoshka", "win_ewma_time_decay",
+    "dedup_funnel_report", "etl_scd3",
 ]
 
 # Round 7: execute the committed rotation plan — the driver window IS

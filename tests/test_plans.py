@@ -171,6 +171,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "sim_topk_bitsign",  # 10-row probe sketch broadcast x corpus signatures
         "sim_topk_pq",      # 10-row probe broadcast x corpus (exact-recall leg)
         "sim_recall_matryoshka",  # 10-row probe broadcast x corpus (both cosines)
+        "dedup_funnel_report",  # four 1-row funnel legs x 1-row total combine
         "pack_sequences",   # 1-row max-doc-id bucketing scalar
         "corpus_mix_weights",  # 1-row corpus-totals scalar
         "cluster_kmeans",   # k-row (8) centroid broadcast x corpus scan

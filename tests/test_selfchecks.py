@@ -2148,3 +2148,60 @@ def test_ewma_time_decay_planted(spark):
     want = 5.0 + math.exp(-0.5) * (20.0 + math.exp(-1.0) * 10.0)
     assert (r.user_id, r.n_events) == (7, 3)
     assert r.decayed_score == round(want, 6)
+
+
+def test_dedup_funnel_planted(spark):
+    """4-doc corpus: two byte-identical docs, one punctuation variant of
+    the same sentence, one long self-repeating doc. exact keeps 3 of 4,
+    normalization keeps 2, span flags the self-repeater — each tier's
+    row hand-computed."""
+
+    class _T:
+        pass
+
+    D = "a b c d e f g h"
+    _T.documents = spark.createDataFrame(
+        [
+            (1, "Hello World"),
+            (2, "Hello World"),         # byte dup of 1
+            (3, "hello,   world!"),     # normalized dup of 1
+            (4, f"{D} {D}"),            # span self-repeater (ratio 1.0)
+        ],
+        "doc_id bigint, text string",
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    rows = {r.stage: r for r in
+            REGISTRY["dedup_funnel_report"].fn.tables_fn(_T()).collect()}
+    assert rows["raw"].docs_kept == 4 and rows["raw"].docs_removed == 0
+    assert rows["exact"].docs_kept == 3          # docs 1+2 collapse
+    assert rows["exact_normalized"].docs_kept == 2  # 1+2+3 collapse
+    assert rows["span"].docs_kept == 3           # doc 4 dropped
+    assert rows["span"].pct_kept == 0.75
+
+
+def test_scd3_planted(spark):
+    """Customer 1 has an urgent order: current flips to PRIORITY with
+    the old segment preserved in the prior column; customer 2 keeps its
+    segment with a NULL prior."""
+
+    class _T:
+        pass
+
+    _T.customer = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], "c_custkey bigint, c_mktsegment string"
+    )
+    _T.orders = spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 2, "3-MEDIUM")],
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string",
+    )
+
+    from base_etl_spark.registry import REGISTRY
+
+    rows = {r.c_custkey: r for r in
+            REGISTRY["etl_scd3"].fn.tables_fn(_T()).collect()}
+    assert (rows[1].segment_current, rows[1].segment_prev, rows[1].changed) == (
+        "PRIORITY", "BUILDING", True)
+    assert (rows[2].segment_current, rows[2].segment_prev, rows[2].changed) == (
+        "MACHINERY", None, False)
