@@ -171,12 +171,16 @@ ROUND8_WINDOW: list[str] = [
     "dedup_funnel_report", "etl_scd3",
 ]
 
-# Round 7: execute the committed rotation plan — the driver window IS
-# ROUND7_WINDOW (the final never-driver-checked backlog + every key
-# registered in round 6). After this round's driver run every registry
-# key has a driver row. tests/test_rotation_plan.py keeps this honest
-# against the committed CORRECTNESS_r0*.json history.
-DRIVER_PRIORITY: list[str] = list(ROUND7_WINDOW)
+# Round 8: execute the committed rotation plan — the driver window IS
+# ROUND8_WINDOW (the 25 spillover keys registered after the round-7
+# window filled; all 25 were judge-pre-verified green at sf0.01 in the
+# r7 VERDICT). Keys registered during round 8 are appended to
+# ROUND8_WINDOW at registration time (25 free slots before the driver's
+# 50-key window fills); any remainder is padded by registration order —
+# re-checks of the oldest driver rows, not claims.
+# tests/test_rotation_plan.py keeps this honest against the committed
+# CORRECTNESS_r0*.json history.
+DRIVER_PRIORITY: list[str] = list(ROUND8_WINDOW)
 
 
 def _ordered() -> list[str]:
