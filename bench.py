@@ -40,6 +40,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# LOAD GUARD (r8, VERDICT r7 task 2): BENCH_r07 was recorded while the
+# exit-gate's full sweeps ran on the same box — hybrid_rrf read 2.12x its
+# anchor purely from contention (judge re-run on the quiet box: 1.11x).
+# A contaminated artifact must never ship silently as the round's number:
+# wait (bounded) for 1-min loadavg to drop below the threshold, and stamp
+# the observed loadavg into the JSON either way so a dirty recording is
+# self-describing.
+LOAD_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+LOAD_WAIT_SECS = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+
+
+def _loadavg_1min() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None  # non-Linux: no guard, JSON carries null
+
+
+def _wait_for_quiet() -> float | None:
+    load = _loadavg_1min()
+    if load is None:
+        return None
+    deadline = time.time() + LOAD_WAIT_SECS
+    while load > LOAD_THRESHOLD and time.time() < deadline:
+        print(
+            f"# load guard: 1-min loadavg {load:.2f} > {LOAD_THRESHOLD}"
+            f" — waiting for quiet box", file=sys.stderr,
+        )
+        time.sleep(15)
+        load = _loadavg_1min()
+    return load
+
 # bench key -> registry key (BASELINE.md shapes + LLM headliners).
 # Every key now has a measured ≤2x anchor: the original 8 in BASELINE.md
 # "Measured baseline @ sf0.1", the later 5 (sim_topk, dedup_minhash,
@@ -61,12 +94,19 @@ HEADLINE = {
     "q9_profit": "join_q9_profit",
     "q21_waiting": "join_q21_waiting",
     "hybrid_rrf": "sim_hybrid_rrf",
+    # round-7/8 capstone families (r7 VERDICT task 5): the 2x gate now
+    # covers the heaviest new LLM shapes, not only r1-r6 query forms.
+    # Anchors in BASELINE.md "Local anchors ... (round 8)".
+    "dedup_spans": "dedup_spans",
+    "bpe_train": "tokenizer_bpe_train",
+    "matryoshka": "sim_recall_matryoshka",
 }
 
 
 def main() -> None:
     from base_etl_spark import build_session, execute_fully, queries
 
+    load_start = _wait_for_quiet()
     spark = build_session(
         "bench",
         # keep stderr to the per-query lines: the stage progress bar
@@ -97,6 +137,10 @@ def main() -> None:
         print(f"# {name} ({key}): {times[name]}s, {n} rows", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    load_end = _loadavg_1min()
+    # loadavg at the start includes THIS process's own session spin-up;
+    # contamination means the box was busy before we started.
+    contaminated = load_start is not None and load_start > LOAD_THRESHOLD
     print(
         json.dumps(
             {
@@ -105,6 +149,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
+                "load_contaminated": contaminated,
                 "methodology": (
                     "best-of-3 noop-sink since r6 (full materialization; "
                     "warm2 = best-of-2 attempts, r1-r4; r1-r5 engine "

@@ -35,11 +35,25 @@ KEYS = [
     ("hybrid_rrf", "sim_hybrid_rrf"),
 ]
 
+# round-8 additions (r7 VERDICT task 5): heaviest new LLM capstones.
+# tokenizer_bpe_train is an R key (no oracle) — the DuckDB column is
+# n/a for it; the anchor is the stock-session PySpark warm number.
+KEYS_R8 = [
+    ("dedup_spans", "dedup_spans"),
+    ("bpe_train", "tokenizer_bpe_train"),
+    ("matryoshka", "sim_recall_matryoshka"),
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--r8", action="store_true",
+        help="measure the round-8 capstone keys instead of the r6 five",
+    )
     args = ap.parse_args()
+    keys = KEYS_R8 if args.r8 else KEYS
 
     import duckdb
 
@@ -65,9 +79,12 @@ def main() -> None:
 
     print("| bench key | registry key | DuckDB | PySpark cold | PySpark warm | rows out |")
     print("|---|---|---:|---:|---:|---:|")
-    for bench_key, reg_key in KEYS:
+    for bench_key, reg_key in keys:
         dt = []
         for _ in range(2):
+            if reg_key not in osql:  # R key: no oracle, no DuckDB column
+                dt.append(float("nan"))
+                break
             t0 = time.time()
             nrows = len(con.sql(osql[reg_key]).fetchall())
             dt.append(time.time() - t0)
