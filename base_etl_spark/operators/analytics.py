@@ -1559,7 +1559,7 @@ def events_active_users_rolling(t: Tables) -> DataFrame:
     oracle="""
     WITH assign AS (
         SELECT DISTINCT user_id,
-               CASE WHEN (user_id * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END
+               CASE WHEN ((user_id % 100000) * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END
                    AS variant
         FROM events
     ),
@@ -1590,14 +1590,23 @@ def events_ab_test(t: Tables) -> DataFrame:
     The two one-row arms cross-join into the single comparison row a
     decision memo quotes. Significance testing is a client-side lookup
     on these sufficient statistics (n, conversions per arm) — the
-    engine's job ends at exact counts."""
+    engine's job ends at exact counts.
+
+    Arm hash (shared verbatim by events_ab_cuped / events_welch_ttest /
+    events_quantile_treatment_effect and their oracles): user_id is
+    masked to < 1e5 BEFORE the Knuth multiply (ADVICE r7) — the raw
+    product overflows BIGINT for user_id >~ 3.5e9, where DuckDB raises
+    while Spark silently wraps, so the engines would diverge exactly on
+    web-scale id spaces. The mask is an identity for fixture-scale ids
+    (assignment unchanged) and assumes non-negative user ids (pmod vs %
+    differ on negatives)."""
     assign = (
         t.events.select("user_id")
         .distinct()
         .select(
             "user_id",
             F.when(
-                F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(100)) < 50, "A"
+                F.pmod(F.pmod(F.col("user_id"), F.lit(100000)) * F.lit(2654435761), F.lit(100)) < 50, "A"
             )
             .otherwise("B")
             .alias("variant"),
@@ -1641,7 +1650,7 @@ def events_ab_test(t: Tables) -> DataFrame:
     "events_ks_test",
     oracle="""
     WITH s AS (
-        SELECT CASE WHEN (user_id * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END
+        SELECT CASE WHEN ((user_id % 100000) * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END
                    AS variant,
                value
         FROM events
@@ -1700,7 +1709,7 @@ def events_ks_test(t: Tables) -> DataFrame:
     ascending in partition id (AQE may coalesce ADJACENT buckets, which
     preserves both)."""
     variant = F.when(
-        F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(100)) < 50, "A"
+        F.pmod(F.pmod(F.col("user_id"), F.lit(100000)) * F.lit(2654435761), F.lit(100)) < 50, "A"
     ).otherwise("B")
     s = t.events.filter(F.col("value").isNotNull()).select(
         variant.alias("variant"), "value"
@@ -3080,7 +3089,7 @@ def win_drawdown(t: Tables) -> DataFrame:
     "events_welch_ttest",
     oracle="""
     WITH s AS (
-        SELECT CASE WHEN (user_id * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END
+        SELECT CASE WHEN ((user_id % 100000) * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END
                    AS variant,
                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS ic
         FROM events
@@ -3151,7 +3160,7 @@ def events_welch_ttest(t: Tables) -> DataFrame:
     (BNLJ-allowlisted)."""
     ic = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
     s = t.events.filter(F.col("value").isNotNull()).select(
-        F.when((F.col("user_id") * 2654435761) % 100 < 50, "A")
+        F.when((F.pmod(F.col("user_id"), F.lit(100000)) * 2654435761) % 100 < 50, "A")
         .otherwise("B")
         .alias("variant"),
         ic.alias("ic"),
@@ -3466,9 +3475,9 @@ _QTE_GRID = [0.1, 0.25, 0.5, 0.75, 0.9]
     WITH s AS (
         SELECT
             quantile_cont(value, {_QTE_GRID})
-                FILTER (WHERE (user_id * 2654435761) % 100 < 50) AS qa,
+                FILTER (WHERE ((user_id % 100000) * 2654435761) % 100 < 50) AS qa,
             quantile_cont(value, {_QTE_GRID})
-                FILTER (WHERE NOT ((user_id * 2654435761) % 100 < 50)
+                FILTER (WHERE NOT (((user_id % 100000) * 2654435761) % 100 < 50)
                         OR user_id IS NULL) AS qb
         FROM events
     )
@@ -3495,7 +3504,7 @@ def events_quantile_treatment_effect(t: Tables) -> DataFrame:
     bounded here; at extreme scale swap approx_percentile (the
     agg_approx_quantile posture). NULL user_ids fall to arm B in both
     engines (CASE-null semantics, pinned in the oracle's OR clause)."""
-    in_a = F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(100)) < 50
+    in_a = F.pmod(F.pmod(F.col("user_id"), F.lit(100000)) * F.lit(2654435761), F.lit(100)) < 50
     qs = F.array(*[F.lit(q) for q in _QTE_GRID])
     s = t.events.agg(
         F.percentile(F.when(in_a, F.col("value")), qs).alias("qa"),

@@ -149,15 +149,30 @@ _KNN_EDGES_SQL = """
 """
 
 
+_EDGE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _knn_partnership_edges(t: Tables) -> DataFrame:
     """Undirected union-of-KNN supplier partnership edge set `(u, v)`,
-    u < v — the shared graph construction behind graph_triangle_count
-    and graph_jaccard_similarity (rationale in graph_triangle_count's
-    docstring: raw co-occurrence saturates to the complete graph on
-    uniform fixtures; per-order pair fan-out is line-count-bounded; the
-    5-partner nomination is deterministic under (w DESC, id)). Returned
-    persisted — every caller reads it more than once and it is tiny
-    next to the fact scan."""
+    u < v — the shared graph construction behind graph_triangle_count,
+    graph_jaccard_similarity and graph_degree_distribution (rationale in
+    graph_triangle_count's docstring: raw co-occurrence saturates to the
+    complete graph on uniform fixtures; per-order pair fan-out is
+    line-count-bounded; the 5-partner nomination is deterministic under
+    (w DESC, id)). Returned persisted — every caller reads it more than
+    once and it is tiny next to the fact scan.
+
+    Persisted ONCE per (session, sf_dir) via a module cache (ADVICE r7):
+    three keys call this helper, and re-persisting per call accumulated
+    orphaned cached partitions across repeated correctness sweeps —
+    identical lineage each time, so the cached frame is shared, not
+    recomputed. Hand-built test shims without sf_dir skip the cache
+    (tiny session-scoped frames)."""
+    sf_dir = getattr(t, "sf_dir", None)
+    spark = getattr(t, "spark", None) or t.lineitem.sparkSession
+    key = (spark, sf_dir)
+    if sf_dir is not None and key in _EDGE_CACHE:
+        return _EDGE_CACHE[key]
     cs = t.lineitem.select(
         F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
     ).distinct()
@@ -172,13 +187,16 @@ def _knn_partnership_edges(t: Tables) -> DataFrame:
     ).unionByName(pc.select(F.col("pv").alias("na"), F.col("pu").alias("nb"), "w"))
     knn_w = Window.partitionBy("na").orderBy(F.col("w").desc(), F.col("nb"))
     knn = direct.withColumn("rn", F.row_number().over(knn_w)).filter(F.col("rn") <= 5)
-    return (
+    edges = (
         knn.select(
             F.least("na", "nb").alias("u"), F.greatest("na", "nb").alias("v")
         )
         .distinct()
         .persist()  # feeds degrees AND downstream joins; tiny vs the fact scan
     )
+    if sf_dir is not None:
+        _EDGE_CACHE[key] = edges
+    return edges
 
 
 @query(

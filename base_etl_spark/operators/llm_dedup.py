@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from base_etl_spark.io import Tables
@@ -232,14 +232,45 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
     return bucket_pairs(banded, "doc_id", "doc_a", "doc_b")
 
 
-def bucket_pairs(banded: DataFrame, id_col: str, out_a: str, out_b: str) -> DataFrame:
+BUCKET_CAP = 1024  # max ids per LSH bucket before the skew guard fires
+
+
+def bucket_overflow(banded: DataFrame, id_col: str, cap: int = BUCKET_CAP) -> DataFrame:
+    """(band, bh, n_ids) for buckets the cap in bucket_pairs would skip —
+    the queryable overflow report: at 100 TB an operator (or its owner)
+    counts/logs this frame instead of discovering the skip in a plan."""
+    return (
+        banded.groupBy("band", "bh")
+        .agg(F.countDistinct(id_col).alias("n_ids"))
+        .filter(F.col("n_ids") > cap)
+    )
+
+
+def bucket_pairs(
+    banded: DataFrame, id_col: str, out_a: str, out_b: str,
+    cap: int | None = BUCKET_CAP,
+) -> DataFrame:
     """Distinct unordered id pairs sharing any (band, bh) bucket, via
     groupBy + collect + in-row pair expansion.
 
     Shared by MinHash LSH (llm_dedup) and SRP LSH (llm_vectors): the
     alternative — a banded SELF-join — evaluates the signature lineage
     once PER SIDE (measured 2x the stage cost on both operators). Here
-    the lineage runs once; one shuffle keyed by the bucket, then pairs."""
+    the lineage runs once; one shuffle keyed by the bucket, then pairs.
+
+    Skew guard (r7 VERDICT task 3): a bucket's pair expansion is
+    quadratic in its size, so one degenerate bucket (giant near-identical
+    class) concentrates O(n^2) work and memory in ONE task. Buckets
+    larger than ``cap`` are SKIPPED, and the skip is counted into the
+    plan's observed metrics (name ``lsh_bucket_overflow``, visible to
+    QueryExecutionListener / the SQL UI at zero extra cost) — a silent
+    cap would read as full recall when it wasn't. ``bucket_overflow``
+    returns the same buckets as a queryable frame. MinHash bucket keys
+    collide for non-similar docs with P ~ 2^-64, so an overflowing
+    bucket means >cap genuinely near-identical docs: exact-dup
+    pre-collapse (dedup_near_minhash) removes the identical-text cause;
+    what remains above the cap is reported, not exploded. cap=None
+    disables the guard (property tests compare against naive all-pairs)."""
     buckets = (
         banded.groupBy("band", "bh")
         # collect_set, not collect_list: a duplicate (id, band, bh) row
@@ -247,6 +278,12 @@ def bucket_pairs(banded: DataFrame, id_col: str, out_a: str, out_b: str) -> Data
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if cap is not None:
+        buckets = buckets.observe(
+            "lsh_bucket_overflow",
+            F.sum((F.size("ids") > cap).cast("long")).alias("overflow_buckets"),
+            F.max(F.size("ids")).alias("max_bucket"),
+        ).filter(F.size("ids") <= cap)
     # (element, index) two-arg lambda: pair ids[i] with every later id
     pair_structs = F.flatten(
         F.transform(
@@ -287,7 +324,24 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
     local strict gate (tools/check.py runs this key against the exact
     oracle every round) — a recall break surfaces there first, and the
     key then demotes to rows-only with the tests' equality self-check
-    rather than shipping a red driver row."""
+    rather than shipping a red driver row.
+
+    EXACT-DUP PRE-COLLAPSE (r7 VERDICT task 4): identical-text docs are
+    collapsed to one representative (min doc_id per xxhash64(text)
+    class) BEFORE signatures, and pairs re-expand afterwards. Identical
+    docs land in identical buckets in every band, so a giant exact-dup
+    class used to concentrate O(n^2) in-row pair expansion in one LSH
+    task (the documented 100 TB skew risk); after collapse, bucket sizes
+    are bounded by DISTINCT-content class counts and the bucket cap
+    (bucket_pairs) rarely fires. Re-expansion is exact, not heuristic:
+    J(x, y) = J(rep(x), rep(y)) when text is identical, so cross-class
+    pairs inherit the verified rep jaccard, and intra-class pairs are
+    jaccard 1.0 by construction (classes whose text has < _SHINGLE
+    tokens are excluded — empty shingle sets never pair in the oracle).
+    The intra-class pair output is quadratic in class size, but that is
+    the OUTPUT's own size (the oracle emits those pairs too) — the
+    collapse removes the quadratic from the shuffle/compute stages, not
+    from the answer."""
     # No persists, no self-joins: the signature lineage runs exactly once
     # (bucket-collect candidate generation, see lsh_candidate_pairs), so
     # there is nothing to cache. Round 1 persisted two mid-plan
@@ -312,9 +366,20 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
     # the extra shuffle; a shuffle_hash hint was tried and pathologically
     # stalled >5 min on this shape) — the price of not OOMing on exactly
     # the corpora dedup exists for.
-    sigs = minhash_signatures(t.documents)
+    # Pre-collapse: one window shuffle on the 8-byte content hash tags
+    # every doc with its class representative and class size; only
+    # representatives enter the signature/LSH/verify stages.
+    w = Window.partitionBy("chash")
+    tagged = (
+        t.documents.select("doc_id", "text", F.xxhash64("text").alias("chash"))
+        .withColumn("rep_id", F.min("doc_id").over(w))
+        .withColumn("class_n", F.count(F.lit(1)).over(w))
+    )
+    reps = tagged.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
+
+    sigs = minhash_signatures(reps)
     cands = lsh_candidate_pairs(sigs)
-    shs = _spread(t.documents).select(
+    shs = _spread(reps).select(
         "doc_id", F.array_distinct(_shingles()).alias("sh")
     )
     sides = cands.select(
@@ -337,9 +402,45 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
     )
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = common * F.lit(1.0) / (F.size("sh_a") + F.size("sh_b") - common)
-    return pairs.filter(jac >= THETA).select(
+    rep_pairs = pairs.filter(jac >= THETA).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+
+    # Re-expansion. Cross-class: every member of class(doc_a) pairs with
+    # every member of class(doc_b) at the verified rep jaccard; the two
+    # membership joins key on rep_id — rep_pairs scales with near-dup
+    # density (no static bound), so the joins stay merge-pinned like the
+    # verification join above (broadcast died at x100 amplification).
+    members = tagged.select("chash", "doc_id", "rep_id", "class_n")
+    m_a = members.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("ma"))
+    m_b = members.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("mb"))
+    cross = (
+        rep_pairs.hint("merge")
+        .join(m_a, "doc_a")
+        .join(m_b, "doc_b")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # Intra-class: all pairs inside each exact-dup class, jaccard 1.0.
+    # Filter to class_n > 1 BEFORE the self-join (classes of size 1 — the
+    # overwhelming majority — never reach the shuffle) and to docs with
+    # at least one shingle (empty shingle sets never pair in the oracle).
+    dups = tagged.filter(
+        (F.col("class_n") > 1) & (F.size(F.split("text", " ")) >= _SHINGLE)
+    ).select("chash", "doc_id")
+    a, b = dups.alias("a"), dups.alias("b")
+    intra = (
+        a.join(b, (F.col("a.chash") == F.col("b.chash")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 @query("dedup_simhash", oracle=None)  # R: murmur-specific fingerprints
@@ -859,7 +960,7 @@ def dedup_spans(t: Tables) -> DataFrame:
     WITH n AS (
         SELECT doc_id, text,
                trim(regexp_replace(
-                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')),
                    ' +', ' ', 'g')) AS norm
         FROM documents
     )
@@ -883,10 +984,19 @@ def dedup_exact_normalized(t: Tables) -> DataFrame:
     projection (lower + two regexp_replace, codegen), one hash-keyed
     shuffle. Spark's regexp_replace is global by default; the oracle
     needs DuckDB's explicit 'g' flag (probed) — a missed flag leaves
-    first-match-only normalization and flips the hash."""
+    first-match-only normalization and flips the hash.
+
+    Order pins cross-engine determinism (ADVICE r7): the ASCII strip
+    runs BEFORE lower(), so lower() only ever sees [A-Za-z0-9 ] — JVM
+    and DuckDB lowercase some non-ASCII uppercase differently ('İ' →
+    'i'+U+0307 vs 'i', final sigma), which would flip norm hashes on a
+    non-ASCII corpus if lower() ran first. The cost: a non-ASCII
+    uppercase whose lowercase IS ascii (e.g. Kelvin 'K' → 'k') no
+    longer folds in — dropped instead, deterministically in both
+    engines."""
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")),
             " +",
             " ",
         )

@@ -212,3 +212,52 @@ def test_aqe_splits_skewed_join_partition(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_lsh_bucket_cap_skips_giant_bucket(spark):
+    """r7 VERDICT task 3: a degenerate LSH bucket (quadratic in-row pair
+    expansion) must be skipped above the cap — with the skip COUNTED
+    (bucket_overflow frame) — while normal buckets are untouched."""
+    from base_etl_spark.operators.llm_dedup import bucket_overflow, bucket_pairs
+
+    rows = [(0, 1, i) for i in range(50)] + [(1, 2, 60), (1, 2, 61)]
+    banded = spark.createDataFrame(rows, ["band", "bh", "id"])
+    capped = {tuple(r) for r in bucket_pairs(banded, "id", "a", "b", cap=10).collect()}
+    assert capped == {(60, 61)}  # giant bucket skipped, small bucket intact
+    over = bucket_overflow(banded, "id", cap=10).collect()
+    assert [(r.band, r.bh, r.n_ids) for r in over] == [(0, 1, 50)]
+    # cap=None restores the uncapped semantics (property-test reference)
+    assert bucket_pairs(banded, "id", "a", "b", cap=None).count() == 50 * 49 // 2 + 1
+
+
+def test_minhash_giant_dup_class_pre_collapse(spark):
+    """r7 VERDICT task 4: a planted giant exact-dup class must (a) not
+    blow up the LSH stage — it collapses to ONE representative before
+    signatures, so even a cap-sized class yields one banded doc — and
+    (b) re-expand to exactly the oracle's pair set: all intra-class
+    pairs at jaccard 1.0 plus cross-class pairs at the rep jaccard."""
+    from base_etl_spark import queries
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    near = base.rsplit(" ", 1)[0] + " omega"  # only 1 of 18 shingles differs: J = 17/19
+    rows = (
+        [(i, base) for i in range(1, 61)]        # giant class, 60 members
+        + [(100, near)]                           # near-dup of the class
+        + [(200, "hi there"), (201, "hi there")]  # short identical: no shingles
+        + [(300, "completely different words about an unrelated subject entirely")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    class _T:
+        documents = docs
+
+    qs = queries()
+    got = {tuple(r) for r in qs["dedup_near_minhash"].tables_fn(_T()).collect()}
+    exact = {tuple(r) for r in qs["dedup_near_jaccard"].tables_fn(_T()).collect()}
+    assert got == exact
+    intra = {(a, b, j) for (a, b, j) in got if b <= 60}
+    assert len(intra) == 60 * 59 // 2 and all(j == 1.0 for _, _, j in intra)
+    cross = got - intra
+    assert len(cross) == 60 and {a for a, _, _ in cross} == set(range(1, 61))
+    assert all(b == 100 and abs(j - round(17 / 19, 6)) < 1e-9 for _, b, j in cross)

@@ -103,3 +103,27 @@ def test_future_windows_partition_the_unverified_remainder():
     )
     phantom = (r6 | r7 | r8) - ALL_KEYS
     assert not phantom, f"planned windows name unknown keys: {sorted(phantom)}"
+
+
+def test_survey_family_tables_enumerate_registry():
+    """r7 VERDICT task 6: SURVEY §2's FAMILY tables (§2.1-2.11) are the
+    binding inventory — they must enumerate every registry key exactly,
+    without needing the per-round status appendices. Non-registry rows
+    allowed: S (surface, pytest-verified) and documented-n/a rows."""
+    import re
+
+    lines = open(os.path.join(_REPO, "SURVEY.md")).read().split("\n")
+    start = next(i for i, l in enumerate(lines) if l.startswith("### 2.1 "))
+    end = next(i for i, l in enumerate(lines) if l.startswith("### 2.12 "))
+    fam, st = {}, None
+    for line in lines[start:end]:
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([^|]+)\|", line)
+        if m and m.group(1) != "key":
+            fam[m.group(1)] = m.group(2).strip()
+    missing = sorted(ALL_KEYS - set(fam))
+    assert not missing, f"registry keys absent from SURVEY family tables: {missing}"
+    extra = {
+        k: v for k, v in fam.items()
+        if k not in ALL_KEYS and not (v.startswith("S") or v.startswith("n/a"))
+    }
+    assert not extra, f"family-table rows naming unknown non-S keys: {extra}"

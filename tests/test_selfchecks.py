@@ -1385,9 +1385,13 @@ def test_pca_power_planted_direction(spark):
 
 
 def test_pca_power_residual_on_fixture(spark):
-    """Eigen residual ‖Cv − λv‖/λ on the real fixture: the fixed-60-
+    """Eigen residual ‖Cv − λv‖/λ on the real fixture: the fixed-15-
     round iterate must be a near-eigenvector even on the isotropic
-    corpus (conv_delta reported, not hidden)."""
+    corpus (conv_delta reported, not hidden). Bounds re-measured when
+    r8 cut the round contract 60→15 (the 60-round sweep cost 184 s at
+    sf0.01, ~25x any other key, for a residual gain of 0.03→0.05 on a
+    corpus with no real top axis): sf0.001 resid 0.0524 / conv_delta
+    1.4e-3 measured 2026-08-15."""
     import numpy as np
 
     from base_etl_spark import load_tables
@@ -1405,8 +1409,8 @@ def test_pca_power_residual_on_fixture(spark):
     Xc = X - mu
     Cv = Xc.T @ (Xc @ v) / len(X)
     resid = np.linalg.norm(Cv - lam * v) / lam
-    assert resid < 0.05, resid
-    assert rows[0].conv_delta < 1e-3
+    assert resid < 0.08, resid
+    assert rows[0].conv_delta < 2e-3
 
 
 def test_dedup_spans_planted(spark):

@@ -356,3 +356,18 @@ def test_ensure_derived_pid_reuse_ceiling_steals(tmp_path):
 
     _ensure_derived(target, "k1", build)
     assert built and os.path.isdir(target)
+
+
+def test_avro_registration_matches_jar_probe(spark):
+    """scan_avro_agg registers iff the spark-avro module jar is on the
+    classpath (r7 VERDICT task 8): the key self-registers the day the
+    jar ships, and until then stays a documented n/a instead of a red
+    driver row. When present, the round trip must actually work."""
+    from base_etl_spark import queries
+    from base_etl_spark.sinks import _avro_available
+    from tests.conftest import SF_TEST  # noqa: F401
+
+    qs = queries()
+    assert ("scan_avro_agg" in qs) == _avro_available()
+    if _avro_available():  # pragma: no cover — jar absent in this sandbox
+        assert qs["scan_avro_agg"](spark, SF_TEST).count() > 0
