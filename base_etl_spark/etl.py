@@ -1436,3 +1436,64 @@ def etl_scd3(t: Tables) -> DataFrame:
             F.col("hit").isNotNull().alias("changed"),
         )
     )
+
+
+@query(
+    "etl_late_arriving_dim",
+    oracle="""
+    WITH dim AS (
+        SELECT * FROM customer WHERE c_custkey % 10 <> 3
+    ),
+    fact_keys AS (SELECT DISTINCT o_custkey FROM orders),
+    inferred AS (
+        SELECT o_custkey AS c_custkey
+        FROM fact_keys LEFT JOIN dim ON o_custkey = c_custkey
+        WHERE dim.c_custkey IS NULL
+    ),
+    aug AS (
+        SELECT c_mktsegment AS segment, FALSE AS is_inferred, c_acctbal
+        FROM dim
+        UNION ALL
+        SELECT 'INFERRED', TRUE, NULL FROM inferred
+    )
+    SELECT segment, is_inferred,
+           CAST(count(*) AS BIGINT)          AS n_members,
+           round(sum(c_acctbal), 2)          AS total_bal
+    FROM aug GROUP BY segment, is_inferred
+    """,
+)
+def etl_late_arriving_dim(t: Tables) -> DataFrame:
+    """Late-arriving dimension handling (the Kimball pattern): facts may
+    reference dimension keys whose member rows have not landed yet —
+    the load must NOT drop those facts or fail the FK audit, it mints
+    INFERRED placeholder members (key only, attributes defaulted) that
+    the real dimension row later overwrites in place (etl_scd2's update
+    path). Lateness is simulated deterministically (every 10th customer
+    key withheld from the dim) so the oracle recomputes the same split;
+    output is the augmented dimension's per-segment census with the
+    inferred block visible as its own segment.
+
+    Plan: fact keys reduce to DISTINCT key cardinality FIRST (map-side
+    combined — the only fact-sized stage), then a left-anti join against
+    the dim finds the missing keys; AQE broadcasts whichever side fits.
+    The inferred frame unions into the dim census: one dim-bounded agg.
+    At 100 TB the inferred-member write is an append to the dimension
+    (idempotent by key), never a fact rewrite."""
+    dim = t.customer.filter(F.col("c_custkey") % 10 != 3)
+    fact_keys = t.orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    inferred = fact_keys.join(dim.select("c_custkey"), "c_custkey", "left_anti")
+    aug = dim.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(False).alias("is_inferred"),
+        F.col("c_acctbal"),
+    ).unionByName(
+        inferred.select(
+            F.lit("INFERRED").alias("segment"),
+            F.lit(True).alias("is_inferred"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+        )
+    )
+    return aug.groupBy("segment", "is_inferred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

@@ -1426,3 +1426,96 @@ def mm_audio_resample(t: Tables) -> DataFrame:
     n = t.documents.sparkSession.sparkContext.defaultParallelism
     docs = t.documents.select("doc_id").repartition(n, "doc_id")
     return docs.mapInPandas(run, schema=_RESAMPLE_SCHEMA)
+
+
+_GAIN_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("peak_in", LongType()),
+        StructField("peak_out", LongType()),
+        StructField("ssq_out", LongType()),
+        StructField("sum_out", LongType()),
+    ]
+)
+
+
+@query(
+    "mm_audio_gain_normalize",
+    oracle="""
+    WITH d AS (SELECT doc_id, 64 + (doc_id % 16) * 8 AS n
+               FROM documents),
+         s AS (
+             SELECT doc_id, n, i,
+                    (doc_id * 17 + i * 11) % 16001 - 8000 AS smp
+             FROM d, LATERAL (SELECT unnest(generate_series(0,
+                      CAST(n - 1 AS INT))) AS i) g
+         ),
+         m AS (SELECT doc_id, max(abs(smp)) AS pk FROM s GROUP BY doc_id),
+         o AS (
+             SELECT s.doc_id, n, pk,
+                    CASE WHEN pk = 0 THEN smp
+                         ELSE CAST(floor(smp * 29490.0 / pk + 0.5) AS BIGINT)
+                    END AS y
+             FROM s JOIN m ON s.doc_id = m.doc_id
+         )
+    SELECT doc_id AS asset_id,
+           CAST(max(n) AS INT)          AS n_samples,
+           max(pk)                      AS peak_in,
+           max(abs(y))                  AS peak_out,
+           CAST(sum(y * y) AS BIGINT)   AS ssq_out,
+           CAST(sum(y) AS BIGINT)       AS sum_out
+    FROM o GROUP BY doc_id
+    """,
+)
+def mm_audio_gain_normalize(t: Tables) -> DataFrame:
+    """Peak gain normalization (target peak 0.9 full scale = 29490)
+    through TWO real WAV codec trips — the loudness-leveling pass every
+    speech/audio corpus runs before batching so quiet and hot
+    recordings train at comparable amplitude. Per document: encode the
+    deterministic waveform to genuine PCM16, decode through the
+    chunk-walking parser, measure the integer peak, scale every sample
+    by 29490/peak with floor(x+0.5) rounding (NOT banker's rint — both
+    engines' half-up floor agrees bit-exactly on IEEE doubles, rint
+    would diverge from SQL round on exact halves), re-encode, decode
+    AGAIN, and report exact integer stats from the second decode: a
+    wrong gain, rounding mode, or codec stride flips the hash against
+    the closed-form oracle. Zero-peak assets pass through unscaled.
+
+    At 100 TB: embarrassingly parallel mapInPandas over doc-partitioned
+    batches, no shuffle, one bounded row per asset (the mm_audio_resample
+    shape). Production escalation: LUFS loudness (EBU R128) replaces
+    peak — the two-trip plumbing is identical, only the level
+    measurement changes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("asset_id", "n_samples", "peak_in", "peak_out",
+                    "ssq_out", "sum_out")}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + (doc_id % 16) * 8
+                i = np.arange(n, dtype=np.int64)
+                smp = ((doc_id * 17 + i * 11) % 16001 - 8000).astype(np.int16)
+                _, dec1 = decode_wav_pcm16(encode_wav_pcm16(smp, 16_000))
+                d1 = np.rint(dec1 * 32768.0).astype(np.int64)
+                pk = int(np.abs(d1).max())
+                if pk == 0:
+                    y = d1
+                else:
+                    y = np.floor(d1 * 29490.0 / pk + 0.5).astype(np.int64)
+                _, dec2 = decode_wav_pcm16(encode_wav_pcm16(
+                    y.astype(np.int16), 16_000))
+                d2 = np.rint(dec2 * 32768.0).astype(np.int64)
+                out["asset_id"].append(doc_id)
+                out["n_samples"].append(len(d2))
+                out["peak_in"].append(pk)
+                out["peak_out"].append(int(np.abs(d2).max()))
+                out["ssq_out"].append(int((d2 * d2).sum()))
+                out["sum_out"].append(int(d2.sum()))
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    return docs.mapInPandas(run, schema=_GAIN_SCHEMA)

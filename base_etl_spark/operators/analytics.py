@@ -3606,3 +3606,113 @@ def win_ewma_time_decay(t: Tables) -> DataFrame:
         F.size("xs").cast("long").alias("n_events"),
         F.round(fold, 6).alias("decayed_score"),
     )
+
+
+@query(
+    "events_interarrival",
+    oracle="""
+    WITH g AS (
+        SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )) AS gap_us
+        FROM events
+    ),
+    gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT)                       AS n_gaps,
+           round(quantile_cont(gap_us, 0.5) / 1e6, 6)     AS p50_s,
+           round(quantile_cont(gap_us, 0.9) / 1e6, 6)     AS p90_s,
+           round(quantile_cont(gap_us, 0.99) / 1e6, 6)    AS p99_s,
+           round(avg(gap_us) / 1e6, 6)                    AS mean_s
+    FROM gg
+    """,
+)
+def events_interarrival(t: Tables) -> DataFrame:
+    """Inter-arrival time distribution: per-user gaps between
+    consecutive events (lag over (user, time)), summarized globally as
+    exact p50/p90/p99/mean seconds — the session-timeout calibration
+    readout (events_session_stats' 30-min cut and stream_session's gap
+    parameter should be chosen FROM this distribution, not guessed) and
+    the bot-cadence baseline (events_bot_detection flags users whose
+    gaps sit far below the population p50).
+
+    Plan: one shuffle on user_id for the lag window (order pinned by
+    (ts, event_id) — equal timestamps would otherwise make the lag
+    nondeterministic), then a single global aggregate. Gaps computed in
+    integer MICROSECONDS (unix_micros / epoch_us on both engines) and
+    divided to seconds only at the 6dp output — float epoch seconds
+    would accumulate engine-specific rounding. Exact percentiles sort
+    the gap column; at 100 TB swap approx_percentile (the
+    agg_approx_quantile posture) — the one-row output is unchanged."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = t.events.select(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 6).alias("p50_s"),
+        F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 6).alias("p90_s"),
+        F.round(F.percentile("gap_us", F.lit(0.99)) / 1e6, 6).alias("p99_s"),
+        F.round(F.avg("gap_us") / 1e6, 6).alias("mean_s"),
+    )
+
+
+_KMV_K = 256  # sketch size; relative error ~ 1/sqrt(k) ~ 6%
+
+
+@query("sketch_kmv_distinct", oracle=None)  # R: xxhash64-valued sketch
+def sketch_kmv_distinct(t: Tables) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002, public
+    method) per event_type plus a MERGED 'ALL' row: keep the k smallest
+    distinct 64-bit hashes of user_id; the k-th smallest normalized
+    hash u estimates distinct count as (k−1)/u. The merge row is the
+    point of the exercise — KMV unions by keeping the k smallest of the
+    COMBINED sketches, so per-partition/per-day sketches roll up
+    without rescanning (the same mergeability contract as HLL
+    (sketch_hll_rollup) with a simpler, exact-fallback estimator:
+    groups holding fewer than k distinct hashes report their EXACT
+    count).
+
+    Plan: distinct (type, hash) first (map-side combined, the only
+    fact-sized stage), then a rank window per type keeps k rows —
+    partitions are event-type-bounded (5 here; at higher key
+    cardinality the sort is per-group and the kept set is k) — and the
+    ALL row re-ranks the ≤ 5k kept hashes. Rows-only (hash-valued);
+    tests pin the estimate within 15% of exact countDistinct and the
+    merge row against the same estimator run flat."""
+    h = (
+        t.events.select("event_type", F.xxhash64("user_id").alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+    # KMV union = k smallest of the DEDUPLICATED combined hash sets (the
+    # same user appears in several types' sketches; a multiset union
+    # would overcount exactly the shared users)
+    merged = (
+        kept.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K)
+        .select(F.lit("ALL").alias("event_type"), "h", "rn")
+    )
+    # estimator: u = kth smallest hash mapped from signed int64 to (0,1);
+    # exact count when the group holds fewer than k hashes
+    def est(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.when(
+                F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)).cast("double")
+            )
+            .otherwise(
+                (F.lit(_KMV_K - 1))
+                / ((F.max("h") / F.lit(2.0**64)) + F.lit(0.5))
+            )
+            .alias("est_raw"),
+        )
+
+    out = est(kept).unionByName(est(merged))
+    return out.select(
+        "event_type",
+        "n_kept",
+        F.round("est_raw", 2).alias("est_distinct"),
+    ).orderBy("event_type")

@@ -485,3 +485,63 @@ def graph_degree_distribution(t: Tables) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL},
+    dd AS (
+        SELECT u, v FROM e
+        UNION ALL
+        SELECT v, u FROM e
+    ),
+    j AS (
+        SELECT du.deg AS a, dv.deg AS b
+        FROM dd JOIN deg du ON dd.u = du.node
+                JOIN deg dv ON dd.v = dv.node
+    )
+    SELECT CAST(count(*) / 2 AS BIGINT)  AS n_edges,
+           round(corr(a, b), 6)          AS assortativity,
+           round(avg(a), 6)              AS mean_edge_degree
+    FROM j
+    """,
+)
+def graph_assortativity(t: Tables) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, public method) of
+    the KNN supplier-partnership graph: the Pearson correlation of
+    (deg(u), deg(v)) over directed edge ends — positive means hubs link
+    to hubs (social-network shape), negative means hubs link to leaves
+    (infrastructure / hub-and-spoke). Completes the graph family's
+    one-number health checks next to the degree histogram: same edge
+    construction (_knn_partnership_edges / _KNN_EDGES_SQL), so the
+    coefficient can never disagree with the census it interprets.
+
+    Plan: degrees are one hash agg over the doubled edge list; the
+    degree join-back broadcasts the node-bounded degree table onto the
+    edge list twice; corr() is a single map-side-combinable moment
+    aggregate (sums of a, b, ab, a², b²) — one scalar row out, no
+    window, no sort. All frames are dim-bounded here and
+    degree-capped (≤2k distinct nodes) at any scale: the fact table
+    only feeds the edge construction's one distinct + one groupBy."""
+    e = _knn_partnership_edges(t)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dd = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("a"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("b"))
+    return (
+        dd.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.round(F.corr("a", "b"), 6).alias("assortativity"),
+            F.round(F.avg("a"), 6).alias("mean_edge_degree"),
+        )
+    )

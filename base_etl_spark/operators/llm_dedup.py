@@ -198,22 +198,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = _N_HASHES) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
-    """Docs agreeing on any full band become candidates.
-
-    Implemented as groupBy (band, band_hash) + collect the bucket's
-    doc_ids + in-row pair expansion — the signature lineage is computed
-    ONCE (a self-join evaluates it per side: measured 2x the stage cost,
-    and persist-plus-broadcast raced AQE into multi-second stalls). One
-    shuffle keyed by the 64-bit bucket hash, then pairs; never all-pairs.
-
-    Skew: a bucket's candidate count is quadratic in its size, so a
-    degenerate bucket (giant exact-dup class) concentrates in one task;
-    MinHash bucket keys are 1-in-2^64 for non-similar docs, so bucket
-    size tracks true dup-group size. At 100 TB cap or pre-dedup exact
-    duplicates first (dedup_exact), which bounds group sizes."""
+def banded_signatures(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
+    """(doc_id, band, bh): each signature exploded into its n_bands
+    64-bit band hashes — the shared banding projection behind
+    lsh_candidate_pairs and dedup_bucket_stats (in-row explode, no
+    shuffle; the bucket shuffle happens in the consumer)."""
     rows_per_band = _N_HASHES // n_bands
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -229,7 +220,26 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    return bucket_pairs(banded, "doc_id", "doc_a", "doc_b")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
+    """Docs agreeing on any full band become candidates.
+
+    Implemented as groupBy (band, band_hash) + collect the bucket's
+    doc_ids + in-row pair expansion — the signature lineage is computed
+    ONCE (a self-join evaluates it per side: measured 2x the stage cost,
+    and persist-plus-broadcast raced AQE into multi-second stalls). One
+    shuffle keyed by the 64-bit bucket hash, then pairs; never all-pairs.
+
+    Skew: a bucket's candidate count is quadratic in its size, so a
+    degenerate bucket (giant exact-dup class) concentrates in one task;
+    MinHash bucket keys are 1-in-2^64 for non-similar docs, so bucket
+    size tracks true dup-group size. Guarded since r8: bucket_pairs caps
+    bucket size (skips + counts overflow), and dedup_near_minhash
+    pre-collapses exact-dup classes so identical text can never build a
+    giant bucket in the first place; dedup_bucket_stats reports the
+    observed bucket-size distribution."""
+    return bucket_pairs(banded_signatures(sigs, n_bands), "doc_id", "doc_a", "doc_b")
 
 
 BUCKET_CAP = 1024  # max ids per LSH bucket before the skew guard fires
@@ -1225,4 +1235,39 @@ def dedup_funnel_report(t: Tables) -> DataFrame:
         F.round(
             F.col("docs_kept") * 1.0 / F.nullif(F.col("total"), F.lit(0)), 6
         ).alias("pct_kept"),
+    )
+
+
+@query("dedup_bucket_stats", oracle=None)  # R: xxhash64-seeded bucket keys
+def dedup_bucket_stats(t: Tables) -> DataFrame:
+    """LSH bucket-size distribution per band — the observability face of
+    the r8 skew guard (bucket_pairs' cap): per band, how many buckets
+    have >1 member (candidate-producing), the largest bucket, the total
+    pair expansion the band will emit, and how many buckets exceed
+    BUCKET_CAP (the count the cap would skip). On a healthy corpus
+    n_overflow is 0 everywhere; a nonzero row is the early warning that
+    a dup-class explosion (or a banding bug) is about to concentrate
+    quadratic work — read this BEFORE dedup_near_minhash at a new scale.
+
+    Plan: the banding projection is in-row; ONE shuffle keyed by
+    (band, bh) sizes every bucket, then an 8-row re-agg per band. The
+    pair-expansion column is Σ n·(n−1)/2 over buckets — computed from
+    SIZES, never by materializing pairs. Rows-only (bucket keys are
+    Spark-xxhash64-specific); self-checked in tests against
+    bucket_overflow and the fixture's known dup structure."""
+    sizes = (
+        banded_signatures(minhash_signatures(t.documents))
+        .groupBy("band", "bh")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_multi_buckets"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
+            F.sum((F.col("n") > BUCKET_CAP).cast("long")).alias("n_overflow"),
+        )
+        .orderBy("band")
     )

@@ -1888,3 +1888,79 @@ def sim_recall_matryoshka(t: Tables) -> DataFrame:
         F.sum(hit).cast("long").alias("n_hits"),
         F.round(F.sum(hit) * 1.0 / TOP_K, 6).alias("recall"),
     )
+
+
+@query(
+    "sim_cosine_histogram",
+    oracle="""
+    WITH ok AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    p AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb
+        FROM ok WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT CAST(floor(round(list_cosine_similarity(
+                   p.p_emb::DOUBLE[], e.embedding::DOUBLE[]), 6) * 10)
+               AS INT) AS bin
+        FROM p JOIN ok e ON e.vec_id <> p.probe_id
+    )
+    SELECT bin,
+           round(bin / 10.0, 1)                              AS bin_lo,
+           CAST(count(*) AS BIGINT)                          AS n_pairs,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6)  AS share
+    FROM c GROUP BY bin
+    """,
+)
+def sim_cosine_histogram(t: Tables) -> DataFrame:
+    """Cosine-similarity histogram of the probe set against the whole
+    corpus (0.1-wide bins over [-1, 1]) — the embedding-space health
+    plot read BEFORE trusting any ANN threshold: a healthy corpus
+    concentrates mass near 0 with a thin high-cosine tail (near-dups);
+    a hump near 1 means collapsed embeddings, mass far from 0 means a
+    normalization bug. dedup_threshold_sweep picks its theta FROM this
+    shape; this key shows the shape itself. Zero-norm and NULL
+    embeddings are EXCLUDED on both sides (cosine is undefined there —
+    the engines disagree on NaN/NULL binning, and a NULL bin also
+    floats pandas' int column; fuzz wave 1 plants exactly this row).
+
+    Plan: the declared exact tier — 10 broadcast probes x ONE linear
+    corpus scan with pre-computed norms per side (the sim_topk rule:
+    inline cosine re-derives both norms per pair), binned by
+    floor(round(cos,6)*10) so the bin boundary is decided on the same
+    6dp value in both engines, then a bin-bounded (≤21 rows) agg +
+    share window. At 100 TB: same scan the ANN exact tier already
+    declares; sample the corpus side (sample_exact_k) for the plot —
+    the histogram is a diagnostic, not a retrieval."""
+    ok = t.embeddings.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    probes = F.broadcast(
+        ok.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            F.col("nrm").alias("p_norm"),
+        )
+    )
+    corpus = ok.select("vec_id", "embedding", F.col("nrm").alias("c_norm"))
+    cos = dot(F.col("p_emb"), F.col("embedding")) / (
+        F.col("p_norm") * F.col("c_norm")
+    )
+    binned = (
+        probes.crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(F.floor(F.round(cos, 6) * 10).cast("int").alias("bin"))
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    # share window runs over the ≤21-row histogram, never pair-sized input
+    return hist.select(
+        "bin",
+        F.round(F.col("bin") / 10.0, 1).alias("bin_lo"),
+        "n_pairs",
+        F.round(
+            F.col("n_pairs") * 1.0 / F.sum("n_pairs").over(Window.partitionBy()), 6
+        ).alias("share"),
+    )

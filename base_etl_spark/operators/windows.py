@@ -383,3 +383,52 @@ def win_rolling_median(t: Tables) -> DataFrame:
             F.expr("percentile(rev_cents, 0.5)").over(w) / 100.0, 2
         ).alias("rolling_median_7d"),
     )
+
+
+@query(
+    "win_percent_rank_cume",
+    oracle="""
+    SELECT c_mktsegment, rn,
+           c_custkey                 AS custkey,
+           round(c_acctbal, 2)       AS acctbal,
+           round(pr, 6)              AS pct_rank,
+           round(cd, 6)              AS cume
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number()   OVER w AS rn,
+               percent_rank() OVER w AS pr,
+               cume_dist()    OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+    )
+    WHERE rn <= 10
+    """,
+)
+def win_percent_rank_cume(t: Tables) -> DataFrame:
+    """Relative-position window functions (percent_rank + cume_dist)
+    over the per-segment balance order, reported for each segment's top
+    10 — the distribution-position readout behind 'top x%' customer
+    tiers. Both functions depend on PEER groups, so the order is pinned
+    total ((acctbal DESC, custkey)): no ties, identical positions in
+    both engines, and cume_dist == rn/n exactly.
+
+    One shuffle on the segment key; all three window functions share
+    one sort (same WINDOW spec), and the rn <= 10 filter bounds the
+    output while the full partition is still scanned — at 100 TB, if
+    only the top rows matter, pre-prune with the two-phase global-rank
+    discipline (etl_id_gap_audit) before paying the full sort."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return (
+        t.customer.select(
+            "c_mktsegment",
+            F.row_number().over(w).alias("rn"),
+            F.col("c_custkey").alias("custkey"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("rn") <= 10)
+    )

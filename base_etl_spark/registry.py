@@ -169,6 +169,11 @@ ROUND8_WINDOW: list[str] = [
     "dedup_span_scrub", "udtf_arrow_chunks", "mm_audio_resample",
     "sim_recall_matryoshka", "win_ewma_time_decay",
     "dedup_funnel_report", "etl_scd3",
+    # round-8 additions (appended at registration time per the rule;
+    # the window stays <=50 so every entry lands a driver row this round)
+    "win_percent_rank_cume", "graph_assortativity", "events_interarrival",
+    "etl_late_arriving_dim", "mm_audio_gain_normalize",
+    "dedup_bucket_stats", "sketch_kmv_distinct", "sim_cosine_histogram",
 ]
 
 # Round 8: execute the committed rotation plan — the driver window IS

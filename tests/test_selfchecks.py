@@ -2209,3 +2209,39 @@ def test_scd3_planted(spark):
         "PRIORITY", "BUILDING", True)
     assert (rows[2].segment_current, rows[2].segment_prev, rows[2].changed) == (
         "MACHINERY", None, False)
+
+
+def test_kmv_distinct_within_tolerance(spark):
+    """KMV per-type rows fall back to EXACT counts when the group holds
+    fewer than k=256 hashes (the fixture case); the merged ALL row must
+    equal the deduplicated union, never the multiset sum (the shared-
+    user overcount caught at build time). A planted 20k-user universe
+    exercises the real (k-1)/u estimator within ~4/sqrt(k)."""
+    from pyspark.sql import functions as F
+
+    from base_etl_spark import load_tables
+    from base_etl_spark.registry import REGISTRY
+
+    got = {r.event_type: r for r in _QS["sketch_kmv_distinct"](spark, SF_TEST).collect()}
+    t = load_tables(spark, SF_TEST)
+    exact = {
+        r.event_type: r.n
+        for r in t.events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = t.events.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        assert got[et].est_distinct == float(e), (et, got[et], e)  # exact tier
+
+    class _T:
+        events = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 3 == 0, "click").otherwise("view").alias("event_type"),
+            (F.col("id") % 20_000).alias("user_id"),
+        )
+
+    rows = {r.event_type: r for r in REGISTRY["sketch_kmv_distinct"].fn.tables_fn(_T()).collect()}
+    assert rows["ALL"].n_kept == 256
+    assert abs(rows["ALL"].est_distinct - 20_000) / 20_000 < 0.25
+    assert abs(rows["view"].est_distinct - 20_000) / 20_000 < 0.25
