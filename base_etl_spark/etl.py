@@ -1497,3 +1497,73 @@ def etl_late_arriving_dim(t: Tables) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@query(
+    "etl_subject_access_export",
+    oracle="""
+    WITH subjects AS (
+        SELECT c_custkey AS k FROM customer WHERE c_custkey % 1000 = 7
+    ),
+    per AS (
+        SELECT k, 'customer' AS table_name, CAST(count(c_custkey) AS BIGINT) AS n_rows
+        FROM subjects LEFT JOIN customer ON c_custkey = k GROUP BY k
+        UNION ALL
+        SELECT k, 'orders', CAST(count(o_orderkey) AS BIGINT)
+        FROM subjects LEFT JOIN orders ON o_custkey = k GROUP BY k
+        UNION ALL
+        SELECT k, 'lineitem', CAST(count(l_orderkey) AS BIGINT)
+        FROM subjects
+        LEFT JOIN (SELECT o_custkey, l_orderkey
+                   FROM orders JOIN lineitem ON l_orderkey = o_orderkey) f
+          ON f.o_custkey = k
+        GROUP BY k
+    )
+    SELECT k AS custkey, table_name, n_rows FROM per
+    """,
+)
+def etl_subject_access_export(t: Tables) -> DataFrame:
+    """Subject-access-request export manifest (GDPR art. 15 — the read
+    twin of etl_forget_users' erasure): for each requested subject, how
+    many rows each table holds about them, INCLUDING explicit zero rows
+    (an SAR response must state 'no data' per table, so absent
+    facts cannot just vanish from the manifest — left joins, not inner).
+    Subjects are a deterministic key set (custkey % 1000 = 7) standing
+    in for the request queue table.
+
+    Plan: each footprint counts off an INNER join with the broadcast
+    subject set (Spark cannot broadcast the PRESERVED side of an outer
+    join — a subjects-left-join spelling silently degrades to a shuffle,
+    caught by the HintErrorLogger warning at build time), and the
+    per-subject zeros come from left-joining the subject-bounded count
+    frames back onto the subject list — a tiny⋈tiny join. The lineitem
+    footprint pays one orders⋈lineitem equi-join planned off the
+    broadcast-pruned orders side. At 100 TB each leg is an independent
+    scan; the export of the actual ROWS (not counted here) streams per
+    table with the same pushed predicates."""
+    subjects = t.customer.filter(F.col("c_custkey") % 1000 == 7).select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def leg(fact: DataFrame, key: str, name: str) -> DataFrame:
+        cnt = (
+            fact.join(F.broadcast(subjects), F.col(key) == F.col("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        return subjects.join(cnt, "k", "left").select(
+            "k",
+            F.lit(name).alias("table_name"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_rows"),
+        )
+
+    fact = t.orders.select("o_custkey", "o_orderkey").join(
+        t.lineitem.select("l_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        leg(t.customer, "c_custkey", "customer")
+        .unionByName(leg(t.orders, "o_custkey", "orders"))
+        .unionByName(leg(fact, "o_custkey", "lineitem"))
+        .select(F.col("k").alias("custkey"), "table_name", "n_rows")
+    )

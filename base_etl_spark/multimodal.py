@@ -1519,3 +1519,70 @@ def mm_audio_gain_normalize(t: Tables) -> DataFrame:
     n = t.documents.sparkSession.sparkContext.defaultParallelism
     docs = t.documents.select("doc_id").repartition(n, "doc_id")
     return docs.mapInPandas(run, schema=_GAIN_SCHEMA)
+
+
+def dct_phash(gray: "np.ndarray") -> int:
+    """15-bit DCT perceptual hash of an 8x8 grayscale block (the pHash
+    recipe, public method): 2-D DCT-II, keep the 4x4 low-frequency
+    corner minus the DC term (15 AC coefficients), bit i set iff
+    coefficient > the exact median of the 15. Uniform brightness shifts
+    move ONLY the DC term, so the hash is brightness-invariant by
+    construction — the property the planted-pair test pins. Shared by
+    the Spark kernel and the numpy replica test (single source of
+    truth, the planted_rgb discipline)."""
+    n = 8
+    k = np.arange(n)
+    C = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    d = C @ gray.astype(np.float64) @ C.T
+    ac = d[:4, :4].reshape(-1)[1:]  # drop DC
+    med = float(np.sort(ac)[7])  # exact middle of 15
+    bits = (ac > med).astype(np.int64)
+    return int((bits << np.arange(15, dtype=np.int64)).sum())
+
+
+@query("mm_image_phash", oracle=None)  # R: float DCT — replica-pinned
+def mm_image_phash(t: Tables) -> DataFrame:
+    """Frequency-domain perceptual hash (pHash) dedup over the REAL BMP
+    codec — the robust tier above mm_image_dedup's aHash: per document
+    an 8x8 asset renders with a deterministic BRIGHTNESS OFFSET
+    (+24·(doc_id mod 2), unclamped by construction), so byte-exact
+    dedup and any DC-sensitive hash see distinct files, while the DCT
+    hash (DC term excluded) collapses the brightness variants into one
+    group. Output is the collapse map (doc_id, phash, rep, n_members,
+    is_dup) — mm_image_dedup's contract on the frequency hash.
+
+    Rows-only: the DCT is float-valued (Spark-side numpy), so no SQL
+    oracle; tests replay dct_phash in numpy over the same planted
+    recipe and require identical hashes, plus the brightness-invariance
+    and distinct-content-separation properties. 100 TB shape: decode +
+    DCT is embarrassingly parallel mapInPandas (8x8 blocks — the DCT is
+    128 multiply-adds per asset); ONE hash-keyed shuffle groups; the
+    kernel output persists so the decode pass runs once per sweep."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "img_hash": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = doc_id % 37
+                px = planted_rgb(k, 8, 8).astype(np.int64)
+                px = px % 200 + 24 * (doc_id % 2)  # offset, clamp-free
+                dec = decode_bmp24(encode_bmp24(px.astype(np.uint8))).astype(np.int64)
+                gray = dec.sum(axis=2)  # r+g+b, 0..765
+                out["doc_id"].append(doc_id)
+                out["img_hash"].append(dct_phash(gray))
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    hashes = docs.mapInPandas(run, schema=_PHASH_SCHEMA).persist()
+    rep = hashes.groupBy("img_hash").agg(
+        F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_members")
+    )
+    return hashes.join(rep, "img_hash").select(
+        "doc_id",
+        "img_hash",
+        "rep_doc_id",
+        "n_members",
+        (F.col("doc_id") != F.col("rep_doc_id")).alias("is_dup"),
+    )

@@ -1593,3 +1593,79 @@ def tokenizer_bpe_apply(t: Tables) -> DataFrame:
         F.round(F.col("n_tokens") * 1.0 / F.col("n_words"), 6).alias("tokens_per_word"),
         F.round(F.col("n_chars") * 1.0 / F.col("n_tokens"), 6).alias("chars_per_token"),
     )
+
+
+_CHUNK_W = 32   # words per chunk
+_CHUNK_S = 24   # stride (8-word overlap)
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, n, CAST(i AS BIGINT) AS chunk_idx,
+               array_to_string(
+                   ws[(CAST(i AS BIGINT)*{_CHUNK_S}+1):
+                      (CAST(i AS BIGINT)*{_CHUNK_S}+{_CHUNK_W})], ' ') AS chunk
+        FROM w, LATERAL (SELECT unnest(range(
+            CASE WHEN n <= {_CHUNK_W} THEN 1
+                 ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1 END
+        )) AS i) g
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(string_split(chunk, ' ')) AS INT) AS n_words,
+           sha256(chunk) AS chunk_hash
+    FROM idx
+    """,
+)
+def text_chunk_overlap(t: Tables) -> DataFrame:
+    """Overlapping-window chunking ({_CHUNK_W}-word chunks, stride
+    {_CHUNK_S} = 8-word overlap) — the retrieval/embedding prep pass
+    that turns documents into index units (every RAG pipeline runs
+    this before the embedding stage; pack_sequences is the training
+    twin that packs WITHOUT overlap). Chunk count per doc is
+    ceil((n−w)/s)+1 with a single chunk for short docs (the final
+    partial window is kept — dropping it loses document tails). Emits
+    (doc_id, chunk_idx, n_words, sha256(chunk)): the hash column makes
+    chunk-level dedup (dedup_spans' contract) a groupBy away and lets
+    the driver verify the exact chunk TEXT without shipping it.
+
+    Plan: pure in-row expansion (sequence → transform → explode) — no
+    shuffle at all; the only exchange in the plan is whatever the sink
+    needs. Output rows ≈ corpus_words/stride. At 100 TB this is the
+    shape you want: chunking is a projection, embarrassingly parallel,
+    and the downstream embed/index stages repartition as they see
+    fit."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= _CHUNK_W, F.lit(1)).otherwise(
+        F.ceil((n - _CHUNK_W) / F.lit(_CHUNK_S)) + 1
+    )
+    chunk = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i * _CHUNK_S + 1, _CHUNK_W)
+    )
+    return (
+        t.documents.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+                    lambda i: F.struct(
+                        i.cast("long").alias("chunk_idx"),
+                        chunk(i).alias("chunk"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size(F.split("c.chunk", " ")).alias("n_words"),
+            F.sha2("c.chunk", 256).alias("chunk_hash"),
+        )
+    )

@@ -1964,3 +1964,118 @@ def sim_cosine_histogram(t: Tables) -> DataFrame:
             F.col("n_pairs") * 1.0 / F.sum("n_pairs").over(Window.partitionBy()), 6
         ).alias("share"),
     )
+
+
+def _ivfpq_search(t: Tables, nprobe: int) -> DataFrame | None:
+    """IVF+PQ ADC retrieval parameterized by nprobe — the body of
+    sim_topk_ivfpq, exposed so tests can set nprobe = nlist (search
+    every cluster), where the result must EQUAL sim_topk_pq's exhaustive
+    ADC ranking exactly (the composition self-check)."""
+    from base_etl_spark import iterstats
+
+    trained = _pq_train(t.embeddings)
+    if trained is None:
+        return None
+    assign, cent_rows, spark = trained
+    iterstats.record("sim_topk_ivfpq", _PQ_ROUNDS)
+    subdim = EMBEDDING_DIM // _PQ_SUBS
+
+    codes = assign(spark.createDataFrame(cent_rows, _PQ_CENT_SCHEMA)).select(
+        "vec_id", "sub_id", F.col("best.c").alias("code")
+    )
+    labels = t.embeddings.select("vec_id", "label")
+    cents = (
+        t.embeddings.groupBy("label")
+        .agg(*_centroid_cols())
+        .select(
+            "label",
+            F.array(*[F.col(f"c{i}") for i in range(EMBEDDING_DIM)]).alias("centroid"),
+        )
+    )
+    probes = t.embeddings.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    pc = probes.crossJoin(F.broadcast(cents)).select(
+        "probe_id", "label", cosine(F.col("p_emb"), F.col("centroid")).alias("c_sim")
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    shortlist = (
+        pc.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= nprobe)
+        .select("probe_id", "label")
+    )
+    # probe ADC distance tables, driver-built from the bounded probe
+    # fetch + 128 codebook rows (the sim_topk_pq shape)
+    probe_rows = probes.collect()
+    dtab_rows = []
+    for pr in probe_rows:
+        pv = [float(x) for x in pr.p_emb]
+        for s, c, cent in cent_rows:
+            d = sum((pv[s * subdim + j] - cent[j]) ** 2 for j in range(subdim))
+            dtab_rows.append((int(pr.probe_id), s, c, float(d)))
+    dtab = spark.createDataFrame(
+        dtab_rows, "probe_id bigint, sub_id int, code int, pdist double"
+    )
+    adc = (
+        codes.join(labels, "vec_id")
+        .join(F.broadcast(shortlist), "label")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .join(F.broadcast(dtab), ["probe_id", "sub_id", "code"])
+        .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"), "label")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("sub_id").alias("s"),
+                                F.col("pdist").alias("d"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["d"],
+                ),
+                6,
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "rank", "neighbor_id", "adc_dist", "label")
+    )
+
+
+@query("sim_topk_ivfpq", oracle=None)  # R: consumes the iterative PQ trainer
+def sim_topk_ivfpq(t: Tables) -> DataFrame:
+    """IVF+PQ retrieval — the composed billion-scale ANN architecture
+    (Jegou et al. 2011; the FAISS IVFPQ index class, public method):
+    the IVF coarse quantizer (sim_topk_ivf's label centroids) prunes
+    the scan to nprobe=5 of the 10 clusters per probe, and within the
+    shortlist distances are ADC sums over the shared _pq_train
+    codebooks (sim_topk_pq) — no float vector is touched at query time
+    AND 1 − nprobe/nlist of the corpus is never read. This is the
+    memory-bound × scan-pruned composition both parents exist to build.
+
+    Determinism: both parents' contracts compose — fixed PQ rounds,
+    lowest-code tie-breaks, ADC summed in fixed sub_id order,
+    6dp-round-then-rank, neighbor_id ties. Self-check (tests): with
+    nprobe = nlist (search everything) the result EQUALS sim_topk_pq's
+    exhaustive ADC ranking row for row; at nprobe=5 recall vs the
+    exhaustive ADC ranking reflects the fixture's lack of cluster
+    structure (the sim_topk_ivf caveat), which the test bounds loosely.
+
+    100 TB shape: centroids + shortlist + distance tables broadcast;
+    the one fact-sized stage is codes ⋈ shortlist keyed on the cluster
+    label (cluster-pruned: corpus × nprobe/nlist × 8 rows), then the
+    bounded (probe, vec) ADC agg. The codes frame is 8 BYTES per vector
+    of payload — the whole point of PQ residency."""
+    out = _ivfpq_search(t, nprobe=5)
+    if out is None:
+        return t.embeddings.sparkSession.createDataFrame(
+            [], "probe_id bigint, rank int, neighbor_id bigint,"
+            " adc_dist double, label int"
+        )
+    return out

@@ -174,6 +174,8 @@ ROUND8_WINDOW: list[str] = [
     "win_percent_rank_cume", "graph_assortativity", "events_interarrival",
     "etl_late_arriving_dim", "mm_audio_gain_normalize",
     "dedup_bucket_stats", "sketch_kmv_distinct", "sim_cosine_histogram",
+    "sim_topk_ivfpq", "mm_image_phash", "text_chunk_overlap",
+    "etl_subject_access_export",
 ]
 
 # Round 8: execute the committed rotation plan — the driver window IS
