@@ -1567,3 +1567,87 @@ def etl_subject_access_export(t: Tables) -> DataFrame:
         .unionByName(leg(fact, "o_custkey", "lineitem"))
         .select(F.col("k").alias("custkey"), "table_name", "n_rows")
     )
+
+
+@query(
+    "etl_fk_orphan_audit",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'lineitem->orders' AS fk,
+               CAST(count(*) AS BIGINT) AS n_child_keys,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+        LEFT JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT DISTINCT l_partkey FROM lineitem) c
+        LEFT JOIN part ON l_partkey = p_partkey
+        UNION ALL
+        SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT DISTINCT l_suppkey FROM lineitem) c
+        LEFT JOIN supplier ON l_suppkey = s_suppkey
+        UNION ALL
+        SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT DISTINCT o_custkey FROM orders) c
+        LEFT JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT DISTINCT c_nationkey FROM customer) c
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'supplier->nation', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT DISTINCT s_nationkey FROM supplier) c
+        LEFT JOIN nation ON s_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'nation->region', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT DISTINCT n_regionkey FROM nation) c
+        LEFT JOIN region ON n_regionkey = r_regionkey
+    )
+    """,
+)
+def etl_fk_orphan_audit(t: Tables) -> DataFrame:
+    """Referential-integrity audit over every declared FK edge of the
+    star schema: per relationship, DISTINCT child keys and how many
+    lack a parent row (orphans) — the conformance gate a warehouse runs
+    after every load batch (etl_dq_checks validates values INSIDE a
+    table; this validates the edges BETWEEN tables; etl_id_gap_audit
+    validates key sequences). Zero-orphan rows stay visible: the audit
+    asserting 'checked, clean' is the deliverable, not just failures.
+
+    Plan: each edge reduces the child side to DISTINCT KEYS first
+    (map-side combined — key cardinality, not fact rows, crosses the
+    wire), then left-joins the parent's key column; dims broadcast
+    under the session threshold, and the fact-to-fact edge
+    (lineitem→orders at 100 TB) falls back to a key-only merge join.
+    Seven two-column frames union into the report. The audit never
+    ships attribute columns — keys only on both sides."""
+    edges = [
+        ("lineitem->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+        ("lineitem->part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+        ("lineitem->supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"),
+        ("orders->customer", t.orders, "o_custkey", t.customer, "c_custkey"),
+        ("customer->nation", t.customer, "c_nationkey", t.nation, "n_nationkey"),
+        ("supplier->nation", t.supplier, "s_nationkey", t.nation, "n_nationkey"),
+        ("nation->region", t.nation, "n_regionkey", t.region, "r_regionkey"),
+    ]
+    legs = []
+    for name, child, ck, parent, pk in edges:
+        keys = child.select(ck).distinct()
+        j = keys.join(parent.select(pk), F.col(ck) == F.col(pk), "left")
+        legs.append(
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("n_child_keys"),
+                F.sum(F.col(pk).isNull().cast("long")).cast("long").alias("n_orphans"),
+            ).select(F.lit(name).alias("fk"), "n_child_keys", "n_orphans")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -175,7 +175,7 @@ ROUND8_WINDOW: list[str] = [
     "etl_late_arriving_dim", "mm_audio_gain_normalize",
     "dedup_bucket_stats", "sketch_kmv_distinct", "sim_cosine_histogram",
     "sim_topk_ivfpq", "mm_image_phash", "text_chunk_overlap",
-    "etl_subject_access_export",
+    "etl_subject_access_export", "etl_fk_orphan_audit",
 ]
 
 # Round 8: execute the committed rotation plan — the driver window IS
