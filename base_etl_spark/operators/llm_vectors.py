@@ -1728,29 +1728,28 @@ def sim_topk_pq(t: Tables) -> DataFrame:
     )
     # ADC sum in FIXED sub_id order (ADVICE r7): a bare F.sum's partial
     # aggregation order varies with partition layout, and the numpy
-    # replica test requires exact 6dp equality — collect the 8
-    # per-subspace terms, sort by sub_id, fold in-row. 8 elements per
-    # group: the sort is free next to the join.
+    # replica test requires exact 6dp equality — so the sum is spelled
+    # as 8 conditional partial sums (one per sub_id, each a 1-element
+    # "sum") added LEFT-TO-RIGHT in the projection: fixed evaluation
+    # order, all inside whole-stage codegen. (The first fix collected
+    # and sorted per-group structs — measured far slower at x100
+    # amplification: collect_list+array_sort per 4M groups vs plain
+    # codegen aggregates.)
     adc = (
         codes.join(F.broadcast(dtab), ["sub_id", "code"])
         .filter(F.col("vec_id") != F.col("probe_id"))
         .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(
+        .agg(*[
+            F.sum(F.when(F.col("sub_id") == s, F.col("pdist"))).alias(f"d{s}")
+            for s in range(_PQ_SUBS)
+        ])
+        .select(
+            "probe_id",
+            "neighbor_id",
             F.round(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("sub_id").alias("s"),
-                                F.col("pdist").alias("d"),
-                            )
-                        )
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["d"],
-                ),
+                sum((F.col(f"d{s}") for s in range(1, _PQ_SUBS)), F.col("d0")),
                 6,
-            ).alias("adc_dist")
+            ).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -2016,28 +2015,26 @@ def _ivfpq_search(t: Tables, nprobe: int) -> DataFrame | None:
     dtab = spark.createDataFrame(
         dtab_rows, "probe_id bigint, sub_id int, code int, pdist double"
     )
+    # fixed-order ADC sum: 8 conditional partial sums added left-to-right
+    # (the sim_topk_pq determinism spelling — codegen, no per-group arrays)
     adc = (
         codes.join(labels, "vec_id")
         .join(F.broadcast(shortlist), "label")
         .filter(F.col("vec_id") != F.col("probe_id"))
         .join(F.broadcast(dtab), ["probe_id", "sub_id", "code"])
         .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"), "label")
-        .agg(
+        .agg(*[
+            F.sum(F.when(F.col("sub_id") == s, F.col("pdist"))).alias(f"d{s}")
+            for s in range(_PQ_SUBS)
+        ])
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "label",
             F.round(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("sub_id").alias("s"),
-                                F.col("pdist").alias("d"),
-                            )
-                        )
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["d"],
-                ),
+                sum((F.col(f"d{s}") for s in range(1, _PQ_SUBS)), F.col("d0")),
                 6,
-            ).alias("adc_dist")
+            ).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
