@@ -697,3 +697,35 @@ def test_udtf_arrow_uses_arrow_node(spark):
     contract."""
     plan = _plan(_QS["udtf_arrow_chunks"](spark, SF_TEST))
     assert "ArrowEvalPythonUDTF" in plan
+
+
+def test_chunk_overlap_no_shuffle(spark):
+    """text_chunk_overlap is a pure in-row expansion: the plan must
+    contain NO Exchange at all — chunking a 100 TB corpus should be an
+    embarrassingly parallel projection, and any shuffle here is a bug."""
+    plan = _plan(_QS["text_chunk_overlap"](spark, SF_TEST))
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_fk_orphan_audit_no_cartesian_and_key_only_scan(spark):
+    """Every FK edge joins key columns only: the lineitem scans must
+    read just the key being audited (never attribute columns), and no
+    leg may degenerate to a cartesian product."""
+    plan = _plan(_QS["etl_fk_orphan_audit"](spark, SF_TEST))
+    assert "CartesianProduct" not in plan
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan  # key-only scan
+
+
+def test_cosine_histogram_broadcast_probe_scan(spark):
+    """The declared exact tier: 10 broadcast probes x ONE corpus scan —
+    a BroadcastNestedLoopJoin over the tiny probe side is the expected
+    physical shape; a CartesianProduct (no broadcast) is not."""
+    plan = _plan(_QS["sim_cosine_histogram"](spark, SF_TEST))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_assortativity_broadcasts_degree_table(spark):
+    plan = _plan(_QS["graph_assortativity"](spark, SF_TEST))
+    assert plan.count("BroadcastHashJoin") >= 2  # both degree join-backs
+    assert "CartesianProduct" not in plan
