@@ -1586,3 +1586,130 @@ def mm_image_phash(t: Tables) -> DataFrame:
         "n_members",
         (F.col("doc_id") != F.col("rep_doc_id")).alias("is_dup"),
     )
+
+
+_VDEDUP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_hash", LongType()),
+    ]
+)
+
+
+@query(
+    "mm_video_frame_dedup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 29 AS kv, 2 + (doc_id % 29) % 3 AS nf
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, kv + f AS kk, CAST(f AS INT) AS f
+        FROM d, LATERAL (SELECT unnest(generate_series(0,
+                 CAST(nf - 1 AS INT))) AS f) g
+    ),
+    px AS (
+        SELECT doc_id, f, i,
+               (kk * 7 + 13 * i) % 256
+             + (kk * 11 + 17 * i) % 256
+             + (kk * 19 + 23 * i) % 256 AS gray
+        FROM fr, LATERAL (SELECT unnest(generate_series(0, 15)) AS i) gs
+    ),
+    tot AS (SELECT doc_id, f, sum(gray) AS sg FROM px GROUP BY doc_id, f),
+    hs AS (
+        SELECT px.doc_id, px.f,
+               CAST(sum(CASE WHEN px.gray * 16 > tot.sg
+                             THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END)
+                    AS BIGINT) AS h
+        FROM px JOIN tot ON px.doc_id = tot.doc_id AND px.f = tot.f
+        GROUP BY px.doc_id, px.f
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_frames,
+               sha256(string_agg(h::VARCHAR, ',' ORDER BY f)) AS video_sig
+        FROM hs GROUP BY doc_id
+    ),
+    rep AS (
+        SELECT video_sig, min(doc_id) AS rep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM sig GROUP BY video_sig
+    )
+    SELECT sig.doc_id, video_sig, n_frames, rep_doc_id, n_members,
+           sig.doc_id <> rep_doc_id AS is_dup
+    FROM sig JOIN rep USING (video_sig)
+    """,
+)
+def mm_video_frame_dedup(t: Tables) -> DataFrame:
+    """Video-level dedup by frame-hash signature over the REAL AVI
+    codec — the multimodal dedup triad's video member (image: aHash
+    buckets, audio: codec-verified trims; here whole videos collapse
+    when their ORDERED per-frame aHash stream matches). Per document a
+    deterministic 4x4 nf-frame video (content key kv = doc_id mod 29,
+    frame f renders content kv+f — so same-kv docs are byte-identical
+    dup families AND adjacent-kv docs share footage for downstream
+    overlap analysis) is muxed into a genuine AVI, demuxed back through
+    the recursive RIFF walker, each decoded frame reduced to the exact
+    integer aHash (gray_i·n > Σgray — the mm_image_dedup rule), and
+    the video signature is sha256 of the comma-joined hash stream in
+    FRAME ORDER (reordered frames are different videos). The oracle
+    recomputes everything in closed form, codec-independent: a wrong
+    frame order, stride, or dropped JUNK chunk flips the driver hash.
+
+    100 TB shape: demux + hash is embarrassingly parallel mapInPandas
+    (bounded per-frame rows out); the signature is one doc-keyed agg
+    (collect_list is per-video frame-count bounded, 2-4 here), the
+    collapse map one sig-keyed shuffle + join-back — dedup_exact's plan
+    with a codec front end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "frame_hash": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                kv = doc_id % 29
+                nf = 2 + kv % 3
+                src = [planted_rgb(kv + f, 4, 4) for f in range(nf)]
+                dec = decode_avi_rgb24(encode_avi_rgb24(src))
+                for f, frame in enumerate(dec):
+                    gray = frame.astype(np.int64).sum(axis=2).reshape(-1)
+                    n = gray.size
+                    bits = (gray * n > gray.sum()).astype(np.int64)
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(f)
+                    out["frame_hash"].append(
+                        int((bits << np.arange(n, dtype=np.int64)).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    frames = docs.mapInPandas(run, schema=_VDEDUP_SCHEMA)
+    sig = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sha2(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("frame_no", "frame_hash"))
+                    ),
+                    lambda s: s["frame_hash"].cast("string"),
+                ),
+            ),
+            256,
+        ).alias("video_sig"),
+    ).persist()
+    rep = sig.groupBy("video_sig").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return sig.join(rep, "video_sig").select(
+        "doc_id",
+        "video_sig",
+        "n_frames",
+        "rep_doc_id",
+        "n_members",
+        (F.col("doc_id") != F.col("rep_doc_id")).alias("is_dup"),
+    )

@@ -647,3 +647,129 @@ def corpus_pipeline_report(t: Tables) -> DataFrame:
             4, 'near_dedup',     total - nl - nq - nx, nn,                total - nl - nq - nx - nn
         ) AS (stage_ord, stage, docs_in, docs_dropped, docs_out)"""
     )
+
+
+@query(
+    "etl_split_cluster_safe",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    canon AS (SELECT node AS doc_id, min(lab) AS canonical FROM reach GROUP BY node),
+    assigned AS (
+        SELECT d.doc_id,
+               COALESCE(c.canonical, d.doc_id) AS canonical,
+               CASE WHEN COALESCE(c.canonical, d.doc_id) % 10 < 8
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+    ),
+    leaks AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM pairs p
+        JOIN assigned a ON p.doc_a = a.doc_id
+        JOIN assigned b ON p.doc_b = b.doc_id
+        WHERE a.split <> b.split
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT)                   AS n_docs,
+           CAST(count(DISTINCT canonical) AS BIGINT)  AS n_clusters,
+           (SELECT n FROM leaks)                      AS leak_pairs
+    FROM assigned GROUP BY split
+    """,
+)
+def etl_split_cluster_safe(t: Tables) -> DataFrame:
+    """Leakage-safe train/test split — the REMEDIATION to
+    etl_split_leakage's detection: assignment hashes the near-dup
+    CLUSTER canonical id (dedup_clusters' connected components over the
+    exact Jaccard pair graph), not the doc id, so a near-dup family can
+    never straddle the split and contaminate evaluation. Singleton docs
+    are their own canonical. The leak_pairs column re-counts cross-split
+    near-dup pairs from the same pair set — 0 by CONSTRUCTION, and the
+    report carries the proof rather than asserting it silently.
+
+    Plan: pair generation + min-label propagation are dedup_clusters'
+    bounded-iteration shape (one join + one agg per round, scalar
+    convergence probe); assignment is a left join of the doc list onto
+    the node-bounded label table; the census is one split-keyed agg.
+    At 100 TB the labels come from the MinHash tier's verified pairs
+    (dedup_near_minhash) instead of the exact inverted index — the
+    split arithmetic is unchanged."""
+    # localCheckpoint, not persist (the ADVICE-r7 graph-cache lesson):
+    # both frames are re-read across the label rounds and the final legs,
+    # and a per-call persist would accumulate cached partitions over
+    # repeated correctness sweeps; checkpointing pins the rows and lets
+    # them die with the RDD.
+    pairs = _shingle_jaccard_pairs(t).select("doc_a", "doc_b").localCheckpoint()
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    max_rounds = 100
+    changed = -1
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select("node", F.least("lab", F.coalesce("nlab", "lab")).alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    if changed != 0:
+        raise RuntimeError("etl_split_cluster_safe: label propagation did not converge")
+    assigned = (
+        t.documents.select("doc_id")
+        .join(labels.select(F.col("node").alias("doc_id"), "lab"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lab", F.col("doc_id")).alias("canonical"),
+        )
+        .withColumn(
+            "split",
+            F.when(F.pmod("canonical", F.lit(10)) < 8, "train").otherwise("test"),
+        )
+        .localCheckpoint()
+    )
+    leaks = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    out = (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("canonical").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaks.select(F.col("n").alias("leak_pairs"))))
+    )
+    return out

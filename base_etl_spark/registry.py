@@ -176,6 +176,7 @@ ROUND8_WINDOW: list[str] = [
     "dedup_bucket_stats", "sketch_kmv_distinct", "sim_cosine_histogram",
     "sim_topk_ivfpq", "mm_image_phash", "text_chunk_overlap",
     "etl_subject_access_export", "etl_fk_orphan_audit",
+    "mm_video_frame_dedup", "etl_split_cluster_safe",
 ]
 
 # Round 8: execute the committed rotation plan — the driver window IS
