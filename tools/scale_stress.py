@@ -78,6 +78,13 @@ PAIR_TIER_KEYS = {
     # tier. Flagged x15.71 at x10 in the first sink-forced full sweep
     # (r6) — pair growth, not a plan defect.
     "etl_corpus_clean",
+    # cluster-safe split: already on the minhash tier (r8), but the
+    # amplified corpus's 30-member near-dup families make the VERIFIED
+    # pair set itself quadratic in duplicate density (~2.4M pairs at
+    # x30 under an 8g local heap) — the declared cost of cluster-safe
+    # splitting. Exact-tier spelling OOM'd outright; minhash spelling
+    # recorded x4.67 at x10.
+    "etl_split_cluster_safe",
 }
 
 # Declared-iterative keys: per-round driver work is bounded (k-row
