@@ -871,3 +871,57 @@ def agg_crosstab(t: Tables) -> DataFrame:
         F.col("O").cast("long").alias("o"),
         F.col("P").cast("long").alias("p"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 AND GROUPING(o_orderpriority) = 1
+                THEN 'grand_total'
+                WHEN GROUPING(o_orderpriority) = 1 THEN 'by_status'
+                WHEN GROUPING(o_orderstatus) = 1 THEN 'by_priority'
+                ELSE 'detail' END                      AS level,
+           o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT)                    AS n_orders,
+           round(sum(o_totalprice), 2)                 AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING count(*) > 0
+    """,
+)
+def agg_grouping_id(t: Tables) -> DataFrame:
+    """CUBE with GROUPING() level discrimination — the surface that
+    makes multi-grain rollup outputs self-describing: a NULL status in
+    a cube row is ambiguous (real NULL group vs subtotal) until the
+    grouping indicator names the level. Emits a human-readable level
+    label derived from the two grouping bits (agg_cube is the plain
+    cube; this is the disambiguated form a BI layer consumes).
+
+    Plan: one Expand + hash agg (the standard cube plan — each input
+    row fans out to the 4 grouping sets map-side, partials combine
+    before the shuffle). Spark's grouping() mirrors SQL GROUPING();
+    both engines agree the indicator is 1 for the aggregated-away
+    column. Empty-input semantics pinned by HAVING count(*) > 0: SQL's
+    CUBE emits a zero-count grand-total row over an EMPTY table where
+    Spark's cube().agg() emits none (degenerate-tier find) — the HAVING
+    only ever drops that empty-input row."""
+    g = lambda c: F.grouping(c)  # noqa: E731
+    level = (
+        F.when((g("o_orderstatus") == 1) & (g("o_orderpriority") == 1), "grand_total")
+        .when(g("o_orderpriority") == 1, "by_status")
+        .when(g("o_orderstatus") == 1, "by_priority")
+        .otherwise("detail")
+    )
+    # grouping() only resolves INSIDE the cube's agg list (Spark rejects
+    # it in a downstream select — the indicator column is gone by then)
+    return (
+        t.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            level.alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            "level", "o_orderstatus", "o_orderpriority", "n_orders", "revenue"
+        )
+    )

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 from base_etl_spark.io import Tables
 from base_etl_spark.registry import query
-from base_etl_spark.operators.llm_dedup import _JACCARD_ORACLE, _shingle_jaccard_pairs
+from base_etl_spark.operators.llm_dedup import (
+    _JACCARD_ORACLE,
+    _shingle_jaccard_pairs,
+    dedup_near_minhash,
+)
 from base_etl_spark.operators.llm_text import _STOPWORDS, _STOP_SQL
 
 _Q_MIN = 0.7  # quality floor (fails ~12% of lang-passing fixture docs)
@@ -773,3 +777,87 @@ def etl_split_cluster_safe(t: Tables) -> DataFrame:
         .crossJoin(F.broadcast(leaks.select(F.col("n").alias("leak_pairs"))))
     )
     return out
+
+
+@query(
+    "sample_repeat_plan",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(src_tokens) AS total_tokens,
+                   count(*) AS n_sources FROM s),
+    w AS (
+        SELECT source, n_docs,
+               (1.0 / n_sources) / (src_tokens * 1.0 / total_tokens) AS wt
+        FROM s CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT d.source, w.wt,
+               CAST(floor(w.wt) AS BIGINT)
+             + CASE WHEN (d.doc_id * {_KNUTH}) % 1000
+                         < floor((w.wt - floor(w.wt)) * 1000)
+                    THEN 1 ELSE 0 END AS repeats
+        FROM documents d JOIN w ON d.source = w.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           round(max(wt), 6)             AS weight,
+           CAST(sum(repeats) AS BIGINT)  AS total_repeats,
+           round(sum(repeats) * 1.0 / count(*), 6) AS realized_rate
+    FROM per_doc GROUP BY source
+    """,
+)
+def sample_repeat_plan(t: Tables) -> DataFrame:
+    """Integer repeat plan realizing corpus_mix_weights' fractional
+    upsampling weights: per document, repeats = floor(w) plus one more
+    for a deterministic hash-selected fraction of the source (the
+    Knuth-bucket arithmetic shared with etl_train_split — NO rand(), so
+    the epoch plan is reproducible and stable under corpus growth).
+    This is the step that turns a mixing REPORT into the materialized
+    duplication list a training pipeline actually consumes; the
+    realized_rate column shows how close the integer plan lands to the
+    fractional target per source.
+
+    Determinism note: the fractional threshold is floor(frac*1000) of a
+    weight computed as a ratio of exact integer token counts — both
+    engines evaluate the identical double, and floor (not round) keeps
+    the boundary engine-neutral. Plan: one source agg + 1-row totals
+    broadcast (the corpus_mix_weights shape), then a pure per-doc
+    projection + source re-agg — two tiny shuffles, fact scanned
+    twice (once for weights, once for the plan); at 100 TB persist the
+    5-row weight table instead."""
+    s = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("src_tokens"),
+    )
+    tot = s.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (
+            (F.lit(1.0) / F.col("n_sources"))
+            / (F.col("src_tokens") * F.lit(1.0) / F.col("total_tokens"))
+        ).alias("wt"),
+    )
+    frac_k = F.floor((F.col("wt") - F.floor("wt")) * 1000)
+    per_doc = t.documents.join(F.broadcast(w), "source").select(
+        "source",
+        "wt",
+        (
+            F.floor("wt").cast("long")
+            + F.when(
+                F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(1000)) < frac_k, 1
+            ).otherwise(0)
+        ).alias("repeats"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.max("wt"), 6).alias("weight"),
+        F.sum("repeats").cast("long").alias("total_repeats"),
+        F.round(F.sum("repeats") * 1.0 / F.count(F.lit(1)), 6).alias("realized_rate"),
+    )

@@ -177,6 +177,7 @@ ROUND8_WINDOW: list[str] = [
     "sim_topk_ivfpq", "mm_image_phash", "text_chunk_overlap",
     "etl_subject_access_export", "etl_fk_orphan_audit",
     "mm_video_frame_dedup", "etl_split_cluster_safe",
+    "sample_repeat_plan", "agg_grouping_id",
 ]
 
 # Round 8: execute the committed rotation plan — the driver window IS
