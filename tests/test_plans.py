@@ -202,6 +202,11 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "sim_recall_at_k",  # reuses sim_topk + bitsign probe broadcasts; k-grid (3-row) cross
         "events_welch_ttest",  # two 1-row arm summaries cross-joined (events_ab_test shape)
         "text_pmi_cooccur",  # 1-row corpus-doc-count scalar
+        # round-8 additions
+        "sim_cosine_histogram",  # 10-row probe broadcast x corpus (declared exact tier)
+        "sim_topk_ivfpq",   # 10-row probe broadcast x 10-row centroids (coarse shortlist)
+        "sample_repeat_plan",  # 1-row corpus-totals scalar (corpus_mix_weights shape)
+        "etl_split_cluster_safe",  # 1-row leak-count scalar joined onto the 2-row census
     }
     bad = []
     for k, fn in _QS.items():
@@ -239,6 +244,10 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "mm_video_scene_cut": "MapInPandas",  # REAL AVI demux + frame deltas
         "udtf_python": "BatchEvalPython",  # Python-UDTF boundary (BatchEvalPythonUDTF node)
         "udtf_arrow_chunks": "ArrowEvalPython",  # Arrow UDTF tier (ArrowEvalPythonUDTF node)
+        # round-8 additions — all REAL-codec mapInPandas boundaries
+        "mm_audio_gain_normalize": "MapInPandas",  # two REAL WAV trips (peak gain)
+        "mm_image_phash": "MapInPandas",  # REAL BMP decode + 8x8 DCT hash
+        "mm_video_frame_dedup": "MapInPandas",  # REAL AVI demux + frame aHash stream
     }
     markers = (
         "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
