@@ -1651,3 +1651,93 @@ def etl_fk_orphan_audit(t: Tables) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+@query(
+    "etl_psi_drift",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+                   AS is_ref
+        FROM orders
+    ),
+    c AS (
+        SELECT bucket,
+               CAST(sum(is_ref) AS BIGINT)     AS n_ref,
+               CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+        FROM b GROUP BY bucket
+    ),
+    g AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+    j AS (
+        SELECT g.bucket,
+               coalesce(n_ref, 0) AS n_ref,
+               coalesce(n_cur, 0) AS n_cur
+        FROM g LEFT JOIN c USING (bucket)
+    ),
+    w AS (
+        SELECT bucket, n_ref, n_cur,
+               (n_ref + 1.0) / (sum(n_ref) OVER () + 10) AS p,
+               (n_cur + 1.0) / (sum(n_cur) OVER () + 10) AS q
+        FROM j
+    )
+    SELECT bucket, n_ref, n_cur,
+           round(p, 6)                               AS p_ref,
+           round(q, 6)                               AS q_cur,
+           round((p - q) * ln(p / q), 6)             AS contrib,
+           round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi
+    FROM w
+    """,
+)
+def etl_psi_drift(t: Tables) -> DataFrame:
+    """Population Stability Index of the order-value distribution
+    between the reference period (pre-1998) and the current period —
+    THE standard drift gate a feature pipeline runs before retraining
+    or backfilling on new data (PSI < 0.1 stable, > 0.25 action). Fixed
+    bucket bounds (50k-wide, capped at bucket 9) keep the binning a
+    pure projection — no quantile pass, so the same bounds apply to any
+    future period and the index is comparable across runs. Laplace
+    smoothing (+1 per bucket) makes empty buckets contribute finitely
+    instead of blowing up ln(p/q).
+
+    The bucket grid is a LITERAL 0..9 frame left-joined onto observed
+    counts (the events_quantile_treatment_effect lesson: derive report
+    grids from literals, not from observed data, or empty input loses
+    the frame shape entirely).
+
+    Scale: one conditional hash agg over the fact scan (map-side
+    combine onto <=10 groups), then all totals/PSI come from windows
+    over the 10-row bucket frame — the single-partition exchange
+    carries ten rows, never data."""
+    spark = t.orders.sparkSession
+    b = t.orders.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9))
+        .cast("long")
+        .alias("bucket"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    grid = spark.range(10).select(F.col("id").alias("bucket"))
+    j = grid.join(c, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    w = Window.partitionBy()
+    p = (F.col("n_ref") + 1.0) / (F.sum("n_ref").over(w) + 10)
+    q = (F.col("n_cur") + 1.0) / (F.sum("n_cur").over(w) + 10)
+    contrib = (p - q) * F.log(p / q)
+    return j.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("q_cur"),
+        F.round(contrib, 6).alias("contrib"),
+        F.round(F.sum(contrib).over(w), 6).alias("psi"),
+    )

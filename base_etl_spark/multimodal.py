@@ -1713,3 +1713,89 @@ def mm_video_frame_dedup(t: Tables) -> DataFrame:
         "n_members",
         (F.col("doc_id") != F.col("rep_doc_id")).alias("is_dup"),
     )
+
+
+@query(
+    "mm_image_crop_center",
+    oracle="""
+    WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h
+               FROM documents),
+         c AS (SELECT doc_id, w, h,
+                      w // 2 AS cw, h // 2 AS ch,
+                      (w - w // 2) // 2 AS x0, (h - h // 2) // 2 AS y0
+               FROM d),
+         px AS (
+             SELECT doc_id, w, h, i,
+                    i % w  AS x,
+                    i // w AS y,
+                    (doc_id * 7 + i * 13) % 256   AS r,
+                    (doc_id * 11 + i * 17) % 256  AS g,
+                    (doc_id * 19 + i * 23) % 256  AS b
+             FROM d, LATERAL (SELECT unnest(generate_series(0, CAST(w * h - 1 AS INT))) AS i) gs
+         )
+    SELECT p.doc_id                        AS asset_id,
+           CAST(c.cw AS INT)               AS crop_w,
+           CAST(c.ch AS INT)               AS crop_h,
+           CAST(sum(p.r) AS BIGINT)        AS sum_r,
+           CAST(sum(p.g) AS BIGINT)        AS sum_g,
+           CAST(sum(p.b) AS BIGINT)        AS sum_b,
+           CAST(max(greatest(p.r, p.g, p.b)) AS BIGINT) AS peak
+    FROM px p JOIN c USING (doc_id)
+    WHERE p.x >= c.x0 AND p.x < c.x0 + c.cw
+      AND p.y >= c.y0 AND p.y < c.y0 + c.ch
+    GROUP BY p.doc_id, c.cw, c.ch
+    """,
+)
+def mm_image_crop_center(t: Tables) -> DataFrame:
+    """Center crop through TWO real BMP codec trips — the
+    train-time augmentation / thumbnail-focus primitive (and the
+    third member of the geometry family: resize = mm_image_resize,
+    sample = mm_video_frames, crop = this). Per asset the planted
+    w×h image is encoded to a real BMP, decoded, center-cropped to
+    (w//2, h//2) at offset ((w−cw)//2, (h−ch)//2), re-ENCODED (stride
+    padding re-derived for the smaller width — the part a fake codec
+    gets wrong) and decoded again; channel sums + peak are taken from
+    the second decode, so a wrong crop offset, row order, or stride
+    flips the driver hash against the closed-form pixel oracle.
+
+    Scale: pure mapInPandas over doc ids (Arrow batches, no shuffle at
+    all — the mm_image_decode posture); real-world JPEG/PNG payloads
+    swap in via the same kernel seam (multimodal.py stub tier)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "crop_w": [], "crop_h": [],
+                   "sum_r": [], "sum_g": [], "sum_b": [], "peak": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 3 + doc_id % 5, 2 + doc_id % 4
+                dec = decode_bmp24(encode_bmp24(planted_rgb(doc_id, w, h)))
+                cw, ch = w // 2, h // 2
+                x0, y0 = (w - cw) // 2, (h - ch) // 2
+                crop = dec[y0 : y0 + ch, x0 : x0 + cw]
+                dec2 = decode_bmp24(encode_bmp24(crop)).astype(np.int64)
+                out["asset_id"].append(doc_id)
+                out["crop_w"].append(cw)
+                out["crop_h"].append(ch)
+                out["sum_r"].append(int(dec2[:, :, 0].sum()))
+                out["sum_g"].append(int(dec2[:, :, 1].sum()))
+                out["sum_b"].append(int(dec2[:, :, 2].sum()))
+                out["peak"].append(int(dec2.max()))
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    return docs.mapInPandas(run, schema=_CROP_SCHEMA)
+
+
+_CROP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("crop_w", IntegerType()),
+        StructField("crop_h", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("peak", LongType()),
+    ]
+)

@@ -925,3 +925,50 @@ def agg_grouping_id(t: Tables) -> DataFrame:
             "level", "o_orderstatus", "o_orderpriority", "n_orders", "revenue"
         )
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH th AS (
+        SELECT o_orderstatus AS st,
+               quantile_cont(o_totalprice, 0.05) AS lo,
+               quantile_cont(o_totalprice, 0.95) AS hi
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           round(avg(o_totalprice), 4) AS plain_mean,
+           round(avg(least(greatest(o_totalprice, th.lo), th.hi)), 4)
+               AS winsor_mean,
+           CAST(sum(CASE WHEN o_totalprice < th.lo OR o_totalprice > th.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM orders JOIN th ON o_orderstatus = th.st
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_winsorized_mean(t: Tables) -> DataFrame:
+    """5/95-winsorized mean per group — agg_trimmed_mean's sibling that
+    CLAMPS tail values to the percentile band instead of discarding
+    them (the estimator of choice when every row must keep unit weight,
+    e.g. revenue accounting where dropping outliers understates
+    totals). Same two-pass plan: exact per-group 5/95 percentiles
+    broadcast (~3 rows), then one conditional re-aggregation with
+    least/greatest doing the clamp JVM-side. n_clamped quantifies how
+    much tail the estimate absorbed."""
+    th = t.orders.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    outband = (F.col("o_totalprice") < F.col("lo")) | (F.col("o_totalprice") > F.col("hi"))
+    return (
+        t.orders.join(F.broadcast(th), F.col("o_orderstatus") == F.col("st"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.avg("o_totalprice"), 4).alias("plain_mean"),
+            F.round(
+                F.avg(F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))),
+                4,
+            ).alias("winsor_mean"),
+            F.sum(F.when(outband, 1).otherwise(0)).cast("long").alias("n_clamped"),
+        )
+    )

@@ -3716,3 +3716,319 @@ def sketch_kmv_distinct(t: Tables) -> DataFrame:
         "n_kept",
         F.round("est_raw", 2).alias("est_distinct"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_mann_whitney",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN ((user_id % 100000) * 2654435761) % 100 < 50
+                    THEN 'A' ELSE 'B' END AS arm,
+               sum(value) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT arm, x,
+               rank() OVER (ORDER BY x)
+                   + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS midrank
+        FROM per_user
+    ),
+    ties AS (
+        SELECT sum(t * t * t - t) AS tie_term
+        FROM (SELECT count(*) AS t FROM per_user GROUP BY x)
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               sum(CASE WHEN arm = 'A' THEN midrank END) AS r_a
+        FROM ranked
+    )
+    SELECT n_a, n_b,
+           round(r_a - n_a * (n_a + 1) / 2.0, 4) AS u_a,
+           round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                 / nullif(sqrt(n_a * n_b / 12.0
+                     * ((n_a + n_b + 1)
+                        - tie_term / ((n_a + n_b) * (n_a + n_b - 1.0)))), 0),
+                 6) AS z
+    FROM s CROSS JOIN ties
+    """,
+)
+def events_mann_whitney(t: Tables) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the two experiment arms on
+    per-user purchase spend — the non-parametric twin of
+    events_welch_ttest for the heavy-tailed metrics (revenue per user)
+    where a t-test's normality assumption is indefensible. Shares the
+    masked Knuth arm hash verbatim with events_ab_test (see that
+    docstring for the overflow rationale).
+
+    Midranks use the engine-neutral identity rank() + (ties-1)/2 (RANK
+    is min-rank in both engines, so the average rank of a tie group is
+    closed-form from it); the z denominator carries the standard tie
+    correction sum(t^3 - t). NULL z when every value is identical
+    (nullif guards the zero-variance denominator) and on n_a or n_b = 0.
+
+    Scale: windows run over the COLLAPSED per-user frame (|users| rows,
+    orders of magnitude below |events|). The global rank window is a
+    single total order — the declared exact tier; at billions of users
+    the two-phase rank rewrite (sort_multikey's bucket-offset pattern)
+    drops in without changing this statistic. Tie term is one extra
+    hash-agg over distinct values."""
+    per_user = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("x"))
+        .select(
+            F.when(
+                F.pmod(
+                    F.pmod(F.col("user_id"), F.lit(100000)) * F.lit(2654435761),
+                    F.lit(100),
+                )
+                < 50,
+                "A",
+            )
+            .otherwise("B")
+            .alias("arm"),
+            "x",
+        )
+    )
+    midrank = (
+        F.rank().over(Window.orderBy("x"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("x")) - 1) / 2.0
+    )
+    ranked = per_user.select("arm", "x", midrank.alias("midrank"))
+    ties = (
+        per_user.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_term"))
+    )
+    s = ranked.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("midrank"))).alias("r_a"),
+    )
+    n_a, n_b, r_a = F.col("n_a"), F.col("n_b"), F.col("r_a")
+    u_a = r_a - n_a * (n_a + 1) / 2.0
+    n = n_a + n_b
+    sigma = F.sqrt(
+        n_a * n_b / 12.0
+        * ((n + 1) - F.col("tie_term") / (n * (n - F.lit(1.0))))
+    )
+    return s.crossJoin(F.broadcast(ties)).select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 4).alias("u_a"),
+        F.round((u_a - n_a * n_b / 2.0) / F.nullif(sigma, F.lit(0.0)), 6).alias("z"),
+    )
+
+
+@query(
+    "agg_theil_index",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, sum(o_totalprice) AS x FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT)                          AS n_customers,
+           round(avg(x), 4)                                  AS mean_spend,
+           round(sum(x * ln(x)) / sum(x) - ln(avg(x)), 6)    AS theil_t,
+           round(ln(avg(x)) - avg(ln(x)), 6)                 AS theil_l
+    FROM spend
+    """,
+)
+def agg_theil_index(t: Tables) -> DataFrame:
+    """Theil inequality indexes over per-customer spend — the
+    decomposable concentration measures (T and L / mean-log-deviation)
+    that complement agg_gini (rank-based) and agg_hhi (share-of-squares):
+    T = E[(x/u)ln(x/u)] reduces to sum(x ln x)/sum(x) - ln(mean), L =
+    ln(mean) - mean(ln x), so BOTH come from one pass of algebraic
+    sufficient statistics (N, sum x, sum x ln x, sum ln x) — no sort, no
+    window, no scalar cross-join. Spend is strictly positive (TPC-H
+    totalprice), so the logs are total.
+
+    Scale: per-customer collapse is one map-side-combined hash agg; the
+    index itself is a 4-number reduce. This is the sketch-algebra shape
+    that makes inequality monitoring at 100 TB a re-aggregation, and the
+    ratio-of-large-sums form is stable far below the 6dp rounding
+    against partial-aggregation order noise."""
+    spend = t.orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    return spend.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.avg("x"), 4).alias("mean_spend"),
+        F.round(
+            F.sum(F.col("x") * F.log("x")) / F.sum("x") - F.log(F.avg("x")), 6
+        ).alias("theil_t"),
+        F.round(F.log(F.avg("x")) - F.avg(F.log("x")), 6).alias("theil_l"),
+    )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    seq AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', d)
+                   - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days
+    ),
+    isl AS (
+        SELECT user_id, grp, CAST(count(*) AS BIGINT) AS island_len
+        FROM seq GROUP BY user_id, grp
+    )
+    SELECT island_len,
+           CAST(count(*) AS BIGINT)                 AS n_islands,
+           CAST(count(DISTINCT user_id) AS BIGINT)  AS n_users
+    FROM isl GROUP BY island_len
+    """,
+)
+def win_gaps_islands(t: Tables) -> DataFrame:
+    """Gaps-and-islands census of user activity: maximal runs of
+    CONSECUTIVE active days per user, reported as a run-length
+    histogram (how many 1-day, 2-day, ... streak islands exist and how
+    many users own one). The classic row_number difference trick: for a
+    user's sorted distinct days, day_index - row_number is constant
+    exactly within a consecutive run, so islands fall out of one
+    hash agg — no self-join, no recursive walk. Differs from
+    win_streaks (value-sign streaks within a fixed window) by operating
+    on the calendar itself. The anchor-date difference keeps the group
+    key an engine-neutral integer.
+
+    Scale: distinct-day collapse and the island agg are both keyed by
+    user — map-side combine everywhere; the only window is
+    partitionBy(user_id) ordered by day (bounded by a user's activity
+    span, never global). Histogram output is run-length bounded
+    (<= days in the calendar)."""
+    days = t.events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    seq = days.select(
+        "user_id",
+        (F.datediff(F.col("d"), F.lit("2024-01-01")) - rn).alias("grp"),
+    )
+    isl = seq.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("island_len")
+    )
+    return isl.groupBy("island_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@query(
+    "win_rolling_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(o_totalprice)         AS rev,
+               CAST(count(*) AS BIGINT)  AS n_orders
+        FROM orders GROUP BY day
+    ),
+    w AS (
+        SELECT day, rev, n_orders,
+               count(*)          OVER f AS n,
+               sum(rev)          OVER f AS sx,
+               sum(n_orders)     OVER f AS sy,
+               sum(rev * n_orders) OVER f AS sxy,
+               sum(rev * rev)    OVER f AS sxx,
+               sum(CAST(n_orders AS DOUBLE) * n_orders) OVER f AS syy
+        FROM daily
+        WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, round(rev, 2) AS rev, n_orders,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
+                 6) AS corr_7d
+    FROM w
+    """,
+)
+def win_rolling_corr(t: Tables) -> DataFrame:
+    """Trailing-7-day rolling Pearson correlation between daily revenue
+    and daily order count — the co-movement diagnostic that separates
+    'revenue is up because volume is up' days from mix-shift days.
+    Deliberately NOT the engines' corr() window aggregate: Spark yields
+    NaN and DuckDB NULL on a zero-variance frame, so the correlation is
+    assembled from the five windowed sums with an explicit
+    nullif(denominator) — identical NULL semantics everywhere, including
+    the frame-of-one leading edge.
+
+    Scale: the window runs over the DAILY series (calendar-bounded,
+    ~365 rows/year — the win_ema_fold posture), after one
+    map-side-combined hash agg collapses orders to days. Sub-day grains
+    re-partition by a coarser calendar key; the statistic's sums stay
+    algebraic so the same five accumulators survive any re-framing."""
+    daily = t.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    f = Window.orderBy("day").rowsBetween(-6, 0)
+    n = F.count(F.lit(1)).over(f)
+    sx = F.sum("rev").over(f)
+    sy = F.sum("n_orders").over(f)
+    sxy = F.sum(F.col("rev") * F.col("n_orders")).over(f)
+    sxx = F.sum(F.col("rev") * F.col("rev")).over(f)
+    syy = F.sum(F.col("n_orders").cast("double") * F.col("n_orders")).over(f)
+    corr = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
+    )
+    return daily.select(
+        "day",
+        F.round("rev", 2).alias("rev"),
+        "n_orders",
+        F.round(corr, 6).alias("corr_7d"),
+    )
+
+
+@query(
+    "win_mtd_cumulative",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(o_orderdate AS DATE)        AS day,
+               sum(o_totalprice)                AS rev,
+               CAST(count(*) AS BIGINT)         AS n_orders
+        FROM orders GROUP BY month, day
+    )
+    SELECT day, n_orders,
+           round(rev, 2) AS rev,
+           round(sum(rev) OVER (PARTITION BY month ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS mtd_rev,
+           round(rev / sum(rev) OVER (PARTITION BY month), 6) AS pct_of_month
+    FROM daily
+    """,
+)
+def win_mtd_cumulative(t: Tables) -> DataFrame:
+    """Month-to-date cumulative revenue per day plus each day's share of
+    its month — the pacing readout every finance dashboard refreshes
+    daily ('are we ahead of last month at the same day?'). Two frames
+    over ONE month partition (running cumulative + full-partition
+    total), so the whole key costs a single hash-partitioned exchange
+    on month after the daily collapse — adding the share column is
+    free once the cumulative window exists.
+
+    Scale: the window partition key is the CALENDAR month — bounded
+    partitions (<= 31 rows each) regardless of corpus size, the
+    exact opposite of a global ORDER BY window; the daily collapse is
+    map-side combined. Share denominators are month sums of day sums —
+    stable far below the 6dp round."""
+    daily = t.orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    running = (
+        Window.partitionBy("month").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    full = Window.partitionBy("month")
+    return daily.select(
+        "day",
+        "n_orders",
+        F.round("rev", 2).alias("rev"),
+        F.round(F.sum("rev").over(running), 2).alias("mtd_rev"),
+        F.round(F.col("rev") / F.sum("rev").over(full), 6).alias("pct_of_month"),
+    )

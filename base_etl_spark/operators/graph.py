@@ -545,3 +545,72 @@ def graph_assortativity(t: Tables) -> DataFrame:
             F.round(F.avg("a"), 6).alias("mean_edge_degree"),
         )
     )
+
+
+_KCORE_KS = (2, 3)
+_KCORE_MAX_ROUNDS = 60  # runaway guard only; peeling strictly shrinks
+
+
+@query("graph_k_core", oracle=None)  # R: iterative peeling — invariants in tests
+def graph_k_core(t: Tables) -> DataFrame:
+    """k-core decomposition census of the supplier partnership graph
+    (shared _knn_partnership_edges construction): for k in {2, 3},
+    repeatedly delete every node whose CURRENT degree is below k until
+    none remains — the surviving subgraph is the k-core, the standard
+    cohesion backbone (spam/bot rings and dense supplier cliques live
+    in high cores; trees and pendants peel away entirely). Declared
+    iterative (cluster_kmeans / graph_pagerank class): the peel is a
+    fixed point, not SQL-expressible, so rows-only with exact planted
+    invariants in tests (a triangle+pendant graph peels to exactly the
+    triangle at k=2 and to nothing at k=3... see tests).
+
+    Per round: one degree hash agg + two anti-joins (drop edges touching
+    deleted nodes), all keyed on node id; the driver reads ONE scalar
+    (the number of nodes just deleted). localCheckpoint per round resets
+    lineage (the pagerank lesson). Peeling deletes >= 1 node per
+    non-final round, so rounds <= |V|; the 60-round guard raises rather
+    than returning a half-peeled core. Output: per k — core size, edge
+    count, and rounds taken (bounded: 2 rows)."""
+    edges0 = _knn_partnership_edges(t)
+    out = None
+    for k in _KCORE_KS:
+        cur = edges0.localCheckpoint()
+        rounds_used = 0
+        for _ in range(_KCORE_MAX_ROUNDS):
+            deg = (
+                cur.select(F.col("u").alias("node"))
+                .unionByName(cur.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            bad = deg.filter(F.col("deg") < k).select("node")
+            n_bad = bad.count()
+            if n_bad == 0:
+                break
+            rounds_used += 1
+            cur = (
+                cur.join(bad, cur.u == bad.node, "left_anti")
+                .join(bad, cur.v == bad.node, "left_anti")
+                .localCheckpoint()
+            )
+        else:
+            raise RuntimeError(
+                f"graph_k_core: k={k} not peeled within {_KCORE_MAX_ROUNDS} rounds"
+            )
+        iterstats.record("graph_k_core", rounds_used)
+        stats = cur.agg(
+            F.lit(k).alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.lit(rounds_used).cast("long").alias("rounds"),
+        )
+        # node count needs the union of both endpoints, not a plain
+        # countDistinct on one side
+        nodes = (
+            cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        )
+        row = stats.crossJoin(nodes).select("k", "n_nodes", "n_edges", "rounds")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1271,3 +1271,61 @@ def dedup_bucket_stats(t: Tables) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+_PREFIX_TOKENS = 4  # fixture-calibrated (vocab 31: 4-token prefixes
+# collide ~20x per corpus); real crawls use 16-32 token prefixes — the
+# constant is the ONLY thing that changes
+
+
+@query(
+    "dedup_prefix_cluster",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               sha256(array_to_string(string_split(text, ' ')[1:{_PREFIX_TOKENS}], ' '))
+                   AS prefix_hash,
+               sha256(text) AS full_hash
+        FROM documents
+    )
+    SELECT prefix_hash,
+           CAST(count(*) AS BIGINT)                    AS n_docs,
+           CAST(count(DISTINCT full_hash) AS BIGINT)   AS n_distinct_texts,
+           CAST(min(doc_id) AS BIGINT)                 AS keep_doc_id
+    FROM p
+    GROUP BY prefix_hash
+    HAVING count(*) > 1
+    """,
+)
+def dedup_prefix_cluster(t: Tables) -> DataFrame:
+    """Prefix-hash clustering — the cheapest member of the dedup
+    ladder (below exact-normalized and far below MinHash): documents
+    sharing their first-N-token prefix are one cluster, catching
+    templated openings, mirrored articles with appended footers, and
+    truncation variants for the price of ONE projection + ONE hash
+    shuffle. n_distinct_texts separates pure exact-dup clusters
+    (== 1, already handled by dedup_exact) from the interesting
+    prefix-collides-but-body-differs clusters a reviewer samples.
+    keep_doc_id is the deterministic survivor under a keep-first
+    policy (min doc_id — the dedup_exact convention).
+
+    Scale: the shuffle key is the 32-byte prefix digest, never the
+    text (the dedup_exact lesson); clusters are emitted only above
+    size 1, so output is collision-bounded. Real pipelines raise
+    _PREFIX_TOKENS to 16-32; the plan is unchanged."""
+    p = t.documents.select(
+        "doc_id",
+        F.sha2(
+            F.array_join(F.slice(F.split("text", " "), 1, _PREFIX_TOKENS), " "), 256
+        ).alias("prefix_hash"),
+        F.sha2("text", 256).alias("full_hash"),
+    )
+    return (
+        p.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("full_hash").cast("long").alias("n_distinct_texts"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

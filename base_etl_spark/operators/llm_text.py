@@ -1669,3 +1669,57 @@ def text_chunk_overlap(t: Tables) -> DataFrame:
             F.sha2("c.chunk", 256).alias("chunk_hash"),
         )
     )
+
+
+@query(
+    "text_burstiness",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (
+        SELECT term,
+               CAST(count(*) AS BIGINT)  AS df,
+               CAST(sum(tf) AS BIGINT)   AS ctf,
+               sum(tf * tf)              AS s2
+        FROM tf GROUP BY term
+    )
+    SELECT term, df, ctf,
+           round(ctf * 1.0 / n.n_docs, 6) AS mean_tf,
+           round((s2 * 1.0 / n.n_docs - pow(ctf * 1.0 / n.n_docs, 2))
+                 / (ctf * 1.0 / n.n_docs), 6) AS fano
+    FROM s CROSS JOIN n
+    """,
+)
+def text_burstiness(t: Tables) -> DataFrame:
+    """Per-term burstiness (Fano factor = variance/mean of the per-doc
+    count, zeros included): the corpus-linguistics signal that separates
+    topical terms (bursty — absent from most docs, dense where present,
+    Fano >> 1) from function words (evenly sprinkled, Fano near 1 - p).
+    Used to pick dedup shingle vocabularies and boilerplate candidates:
+    a high-ctf LOW-Fano term carries no document identity.
+
+    The zeros never materialize: with mean m = ctf/N, the population
+    variance over all N docs is sum(tf^2)/N - m^2 (absent docs
+    contribute 0 to the square sum), so the statistic comes from the
+    (doc, term) count frame alone. Two map-side-combined hash aggs
+    (doc x term, then term) + the 1-row corpus-size scalar broadcast —
+    the text_tfidf plan family; output is vocabulary-bounded."""
+    tok = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    s = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("ctf"),
+        F.sum(F.col("tf") * F.col("tf")).alias("s2"),
+    )
+    m = F.col("ctf") * 1.0 / F.col("n_docs")
+    return s.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        "ctf",
+        F.round(m, 6).alias("mean_tf"),
+        F.round((F.col("s2") * 1.0 / F.col("n_docs") - m * m) / m, 6).alias("fano"),
+    )

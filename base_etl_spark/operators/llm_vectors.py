@@ -2076,3 +2076,83 @@ def sim_topk_ivfpq(t: Tables) -> DataFrame:
             " adc_dist double, label int"
         )
     return out
+
+
+@query(
+    "sim_silhouette_label",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings
+    ),
+    cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+    cent AS (
+        SELECT label AS c_label, array_agg(m ORDER BY i) AS c_vec FROM cm GROUP BY label
+    ),
+    d AS (
+        SELECT e.vec_id, e.label, c.c_label,
+               list_distance(e.embedding::DOUBLE[], c.c_vec) AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               min(CASE WHEN label = c_label THEN dist END)  AS a,
+               min(CASE WHEN label <> c_label THEN dist END) AS b
+        FROM d GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT)                       AS n_vectors,
+           round(avg(a), 6)                               AS avg_intra,
+           round(avg(b), 6)                               AS avg_inter,
+           round(avg((b - a) / greatest(a, b)), 6)        AS silhouette
+    FROM ab GROUP BY label
+    """,
+)
+def sim_silhouette_label(t: Tables) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label — the cluster
+    cohesion/separation QA that grades how well the label partition
+    matches embedding geometry: a(i) = distance to OWN label centroid,
+    b(i) = distance to the nearest OTHER centroid, s = (b-a)/max(a,b)
+    in [-1, 1]. This is the medoid-free variant (Hruschka et al.'s
+    'simplified silhouette', public literature): exact silhouette needs
+    all-pairs distances (O(n^2) — a non-starter at corpus scale), while
+    the centroid form is one linear scan against a label-bounded
+    centroid table and correlates tightly with it in practice. Grades
+    cluster_kmeans output quality the same way when labels are
+    predicted clusters.
+
+    Plan: centroids = posexplode -> (label, dim) hash agg (map-side
+    combined; label x 64 rows) -> sort_array(collect_list) re-pack; the
+    corpus scan then crosses the ~10-row broadcast centroid frame and
+    collapses per vector with conditional min aggregates — the
+    cluster_kmeans assignment shape. Distances in zip_with/aggregate
+    codegen; avg-then-round keeps 6dp stable."""
+    ex = t.embeddings.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    ).select("label", "i", F.col("x").cast("double").alias("x"))
+    cm = ex.groupBy("label", "i").agg(F.avg("x").alias("m"))
+    cent = cm.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("c_vec")
+    )
+    d = t.embeddings.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.sqrt(_l2sq(F.col("embedding"), F.col("c_vec"))).alias("dist"),
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("label") == F.col("c_label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("label") != F.col("c_label"), F.col("dist"))).alias("b"),
+    )
+    return ab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("a"), 6).alias("avg_intra"),
+        F.round(F.avg("b"), 6).alias("avg_inter"),
+        F.round(
+            F.avg((F.col("b") - F.col("a")) / F.greatest("a", "b")), 6
+        ).alias("silhouette"),
+    )

@@ -178,6 +178,20 @@ ROUND8_WINDOW: list[str] = [
     "etl_subject_access_export", "etl_fk_orphan_audit",
     "mm_video_frame_dedup", "etl_split_cluster_safe",
     "sample_repeat_plan", "agg_grouping_id",
+    # round-8 continuation session (window fills to exactly 50 here;
+    # further keys spill to ROUND9_WINDOW)
+    "events_mann_whitney", "agg_theil_index", "win_gaps_islands",
+    "win_rolling_corr", "etl_psi_drift", "agg_winsorized_mean",
+    "text_burstiness", "sim_silhouette_label",
+]
+
+# Round-9 spillover: keys registered after ROUND8_WINDOW reached the
+# driver's 50 slots. Full local gate now; driver rows next round
+# (round-9 rotation: DRIVER_PRIORITY = list(ROUND9_WINDOW), padded with
+# re-checks of the oldest driver rows if short of 50 at rotation time).
+ROUND9_WINDOW: list[str] = [
+    "mm_image_crop_center", "graph_k_core", "dedup_prefix_cluster",
+    "win_mtd_cumulative",
 ]
 
 # Round 8: execute the committed rotation plan — the driver window IS

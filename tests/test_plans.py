@@ -207,6 +207,11 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "sim_topk_ivfpq",   # 10-row probe broadcast x 10-row centroids (coarse shortlist)
         "sample_repeat_plan",  # 1-row corpus-totals scalar (corpus_mix_weights shape)
         "etl_split_cluster_safe",  # 1-row leak-count scalar joined onto the 2-row census
+        # round-8 continuation additions
+        "events_mann_whitney",  # 1-row tie-term scalar x 1-row rank summary
+        "text_burstiness",  # 1-row corpus-size scalar (text_tfidf shape)
+        "sim_silhouette_label",  # label-bounded (~10-row) centroid broadcast x corpus
+        "graph_k_core",  # two 1-row census scalars combined (graph_triangle_count shape)
     }
     bad = []
     for k, fn in _QS.items():
@@ -248,6 +253,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "mm_audio_gain_normalize": "MapInPandas",  # two REAL WAV trips (peak gain)
         "mm_image_phash": "MapInPandas",  # REAL BMP decode + 8x8 DCT hash
         "mm_video_frame_dedup": "MapInPandas",  # REAL AVI demux + frame aHash stream
+        "mm_image_crop_center": "MapInPandas",  # two REAL BMP trips (center crop)
     }
     markers = (
         "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",

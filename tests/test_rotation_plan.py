@@ -24,6 +24,7 @@ from base_etl_spark.registry import (
     ROUND6_WINDOW,
     ROUND7_WINDOW,
     ROUND8_WINDOW,
+    ROUND9_WINDOW,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -82,8 +83,10 @@ def test_future_windows_partition_the_unverified_remainder():
     registry exactly once each (beyond what's already verified): a key
     added after the plan was computed, or dropped/renamed, breaks this."""
     r6, r7, r8 = set(ROUND6_WINDOW), set(ROUND7_WINDOW), set(ROUND8_WINDOW)
+    r9 = set(ROUND9_WINDOW)
     assert not (r6 & r7), f"round-6/7 overlap: {sorted(r6 & r7)}"
     assert not (r8 & (r6 | r7)), f"round-8 overlaps earlier windows: {sorted(r8 & (r6 | r7))}"
+    assert not (r9 & (r6 | r7 | r8)), f"round-9 overlaps earlier windows: {sorted(r9 & (r6 | r7 | r8))}"
     # Disjointness binds only the DELIBERATE part of the live window —
     # keys actually listed in DRIVER_PRIORITY. Excluded: a 51st hedge
     # entry beyond the 50-window (may legally lead the next round) and
@@ -95,13 +98,13 @@ def test_future_windows_partition_the_unverified_remainder():
         assert not (r6 & cur), f"round-6 re-checks live window: {sorted(r6 & cur)}"
     if cur != r7:
         assert not (r7 & cur), f"round-7 re-checks live window: {sorted(r7 & cur)}"
-    covered = _driver_union() | set(CURRENT_WINDOW) | r6 | r7 | r8
+    covered = _driver_union() | set(CURRENT_WINDOW) | r6 | r7 | r8 | r9
     unplaced = ALL_KEYS - covered
     assert not unplaced, (
-        f"keys with no planned driver slot (append to ROUND8_WINDOW): "
+        f"keys with no planned driver slot (append to ROUND9_WINDOW): "
         f"{sorted(unplaced)}"
     )
-    phantom = (r6 | r7 | r8) - ALL_KEYS
+    phantom = (r6 | r7 | r8 | r9) - ALL_KEYS
     assert not phantom, f"planned windows name unknown keys: {sorted(phantom)}"
 
 

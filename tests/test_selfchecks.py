@@ -2313,3 +2313,27 @@ def test_image_phash_replica_and_brightness_invariance(spark):
     # distinct contents mostly separate (15-bit space, 37 structured
     # contents: a few birthday collisions are expected — 34/37 measured)
     assert len({next(iter(h)) for h in by_k.values()}) >= 0.9 * len(by_k)
+
+
+def test_k_core_planted_graph(spark):
+    """Same planted graph as the triangle census (edges {12,13,23,34}):
+    k=2 peels the pendant node 4 in one round leaving exactly the
+    triangle (3 nodes / 3 edges); k=3 peels everything (the triangle's
+    degrees are all 2) — the two boundary behaviors that define the
+    decomposition."""
+    from base_etl_spark.registry import REGISTRY
+
+    li = spark.createDataFrame(
+        [(10, s) for s in (1, 2, 3)]
+        + [(20, s) for s in (1, 2)]
+        + [(30, s) for s in (3, 4)],
+        "l_orderkey bigint, l_suppkey bigint",
+    )
+
+    class _T:
+        lineitem = li
+
+    rows = {r.k: r for r in REGISTRY["graph_k_core"].fn.tables_fn(_T()).collect()}
+    assert (rows[2].n_nodes, rows[2].n_edges) == (3, 3)
+    assert (rows[3].n_nodes, rows[3].n_edges) == (0, 0)
+    assert rows[2].rounds == 1
