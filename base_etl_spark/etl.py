@@ -1741,3 +1741,61 @@ def etl_psi_drift(t: Tables) -> DataFrame:
         F.round(contrib, 6).alias("contrib"),
         F.round(F.sum(contrib).over(w), 6).alias("psi"),
     )
+
+
+_TTL_CUTOFF = "2024-07-01"  # retention horizon (fixture events span 2024)
+
+
+@query(
+    "etl_ttl_expiry_plan",
+    oracle=f"""
+    WITH m AS (
+        SELECT date_trunc('month', ts) AS month,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '{_TTL_CUTOFF}' THEN 1 ELSE 0 END)
+                    AS BIGINT)          AS n_expired
+        FROM events GROUP BY month
+    )
+    SELECT month, n_rows, n_expired,
+           round(n_expired * 1.0 / n_rows, 6) AS pct_expired,
+           CASE WHEN month + INTERVAL 1 MONTH <= TIMESTAMP '{_TTL_CUTOFF}'
+                THEN 'drop_partition'
+                WHEN n_expired > 0 THEN 'filter_delete'
+                ELSE 'keep' END AS action
+    FROM m
+    """,
+)
+def etl_ttl_expiry_plan(t: Tables) -> DataFrame:
+    """Retention (TTL) sweep plan over month partitions of the event
+    log — the governance pass a 100 TB pipeline runs nightly: months
+    that end before the retention horizon are whole-partition DROPS
+    (a metadata operation — never read the data you are deleting),
+    the single month straddling the horizon needs a filtered rewrite
+    (the expensive case, quantified by n_expired/pct_expired so the
+    scheduler can budget it), and everything newer is kept untouched.
+    Complements etl_forget_users (row-targeted deletion) and
+    etl_compaction (size-targeted rewrite) as the time-targeted member
+    of the maintenance family.
+
+    Scale: one map-side-combined hash agg to calendar-month
+    cardinality; the plan FRAME is months, not rows, so the report
+    costs one fact scan regardless of corpus size — and on a
+    date-partitioned table the scan itself prunes to the straddling
+    month + a metadata listing."""
+    cutoff = F.lit(_TTL_CUTOFF).cast("timestamp")
+    m = t.events.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0))
+        .cast("long")
+        .alias("n_expired"),
+    )
+    return m.select(
+        "month",
+        "n_rows",
+        "n_expired",
+        F.round(F.col("n_expired") * 1.0 / F.col("n_rows"), 6).alias("pct_expired"),
+        F.when(F.add_months(F.col("month"), 1) <= cutoff, "drop_partition")
+        .when(F.col("n_expired") > 0, "filter_delete")
+        .otherwise("keep")
+        .alias("action"),
+    )

@@ -4032,3 +4032,89 @@ def win_mtd_cumulative(t: Tables) -> DataFrame:
         F.round(F.sum("rev").over(running), 2).alias("mtd_rev"),
         F.round(F.col("rev") / F.sum("rev").over(full), 6).alias("pct_of_month"),
     )
+
+
+_LIFT_RESPONSE_SPEND = 150000.0  # fixed response threshold (scale-free:
+# per-customer spend does not grow with corpus SF)
+
+
+@query(
+    "agg_decile_lift",
+    oracle=f"""
+    WITH spend AS (
+        SELECT c.c_custkey, c.c_acctbal,
+               coalesce(sum(o.o_totalprice), 0) AS spend
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    scored AS (
+        SELECT ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile,
+               CASE WHEN spend > {_LIFT_RESPONSE_SPEND} THEN 1 ELSE 0 END AS resp
+        FROM spend
+    ),
+    d AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT)  AS n_cust,
+               CAST(sum(resp) AS BIGINT) AS n_resp
+        FROM scored GROUP BY decile
+    )
+    SELECT decile, n_cust, n_resp,
+           round(n_resp * 1.0 / n_cust, 6) AS resp_rate,
+           round((n_resp * 1.0 / n_cust)
+                 / nullif(sum(n_resp) OVER () * 1.0 / sum(n_cust) OVER (), 0),
+                 6) AS lift,
+           round(sum(n_resp) OVER (ORDER BY decile)
+                 * 1.0 / nullif(sum(n_resp) OVER (), 0), 6) AS cum_capture
+    FROM d
+    """,
+)
+def agg_decile_lift(t: Tables) -> DataFrame:
+    """Decile lift/gains table — THE campaign-targeting evaluation: rank
+    customers by a model score (here the deterministic stand-in
+    c_acctbal), cut into 10 equal buckets, and report each decile's
+    response rate (spend above threshold), lift vs the global rate, and
+    cumulative capture ('mailing the top 3 deciles reaches X% of all
+    responders'). The score column swaps for any model output without
+    touching the plan.
+
+    Determinism: ntile over a TOTAL order (score DESC, custkey) — both
+    engines fill equal buckets remainder-first by row position, so the
+    same order means the same buckets. The global ntile is the declared
+    exact tier over the collapsed per-customer frame (|customers| <<
+    |orders|); at billions of customers the two-phase rank rewrite
+    (sort_multikey pattern) replaces it, or the deciles come from
+    agg_approx_quantile score bounds. All lift/capture arithmetic runs
+    on the 10-row decile frame."""
+    spend = (
+        t.customer.join(
+            t.orders, t.customer.c_custkey == t.orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"))
+    )
+    scored = spend.select(
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")))
+        .alias("decile"),
+        F.when(F.col("spend") > _LIFT_RESPONSE_SPEND, 1).otherwise(0).alias("resp"),
+    )
+    d = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("resp").cast("long").alias("n_resp"),
+    )
+    w = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    rate = F.col("n_resp") * 1.0 / F.col("n_cust")
+    overall = F.sum("n_resp").over(w) * 1.0 / F.sum("n_cust").over(w)
+    return d.select(
+        "decile",
+        "n_cust",
+        "n_resp",
+        F.round(rate, 6).alias("resp_rate"),
+        F.round(rate / F.nullif(overall, F.lit(0.0)), 6).alias("lift"),
+        F.round(
+            F.sum("n_resp").over(wcum) * 1.0
+            / F.nullif(F.sum("n_resp").over(w), F.lit(0)),
+            6,
+        ).alias("cum_capture"),
+    )

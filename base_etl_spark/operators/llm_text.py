@@ -1723,3 +1723,74 @@ def text_burstiness(t: Tables) -> DataFrame:
         F.round(m, 6).alias("mean_tf"),
         F.round((F.col("s2") * 1.0 / F.col("n_docs") - m * m) / m, 6).alias("fano"),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    seq AS (
+        SELECT doc_id,
+               w || ' ' || lead(w) OVER win || ' ' || lead(w, 2) OVER win AS g
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    dg AS (SELECT DISTINCT doc_id, g FROM seq WHERE g IS NOT NULL),
+    f AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g)
+    SELECT dg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_novel,
+           round(sum(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty_ratio
+    FROM dg JOIN f USING (g)
+    GROUP BY dg.doc_id
+    """,
+)
+def text_ngram_novelty(t: Tables) -> DataFrame:
+    """Per-document trigram novelty: the share of a doc's DISTINCT
+    3-grams first seen in THIS doc under doc_id order — the curation
+    signal that separates fresh content from recombinations of already-
+    ingested text (low novelty late in a crawl = boilerplate or near-dup
+    tail; the incremental twin of dedup_containment, at n-gram rather
+    than span granularity). First-occurrence attribution by min(doc_id)
+    is deterministic and order-free.
+
+    Scale: trigrams are built IN-ROW (the text_ngram_topk transform —
+    no posexplode self-join); then one (doc, gram) distinct, one
+    min-aggregate per gram (map-side combined, key space bounded by
+    vocab^3 not corpus size), one join back on gram, one per-doc agg.
+    All shuffles keyed on gram or doc_id."""
+    words = F.split(F.col("text"), " ")
+    tris = F.expr(
+        "transform(sequence(0, size(ws) - 3),"
+        " i -> concat_ws(' ', element_at(ws, i + 1), element_at(ws, i + 2),"
+        " element_at(ws, i + 3)))"
+    )
+    dg = (
+        t.documents.select("doc_id", words.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.explode(tris).alias("g"))
+        .distinct()
+    )
+    f = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        dg.join(f, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 6).alias("novelty_ratio"),
+        )
+    )

@@ -2156,3 +2156,71 @@ def sim_silhouette_label(t: Tables) -> DataFrame:
             F.avg((F.col("b") - F.col("a")) / F.greatest("a", "b")), 6
         ).alias("silhouette"),
     )
+
+
+def _mrr_oracle() -> str:
+    """Composed from the two retrieval keys' oracle strings (the
+    sim_recall_at_k pattern) so the exact and ANN pipelines can never
+    drift from what those keys certify."""
+    from base_etl_spark.registry import REGISTRY
+
+    exact = REGISTRY["sim_topk"].oracle
+    ann = REGISTRY["sim_topk_bitsign"].oracle
+    return f"""
+    WITH exact AS (SELECT * FROM ({exact}) x),
+    ann AS (SELECT * FROM ({ann}) y),
+    t1 AS (SELECT probe_id, neighbor_id FROM exact WHERE rn = 1),
+    j AS (
+        SELECT t1.probe_id, t1.neighbor_id AS top1_id,
+               CAST(a.rn AS INT) AS rank_in_ann
+        FROM t1 LEFT JOIN ann a
+          ON t1.probe_id = a.probe_id AND t1.neighbor_id = a.neighbor_id
+    )
+    SELECT probe_id, top1_id, rank_in_ann,
+           round(coalesce(1.0 / rank_in_ann, 0.0), 6)             AS rr,
+           round(avg(coalesce(1.0 / rank_in_ann, 0.0)) OVER (), 6) AS mrr
+    FROM j
+    """
+
+
+@query("sim_mrr_at_k", oracle=_mrr_oracle())
+def sim_mrr_at_k(t: Tables) -> DataFrame:
+    """Mean Reciprocal Rank of the sign-sketch ANN tier
+    (sim_topk_bitsign) against brute-force ground truth (sim_topk) —
+    the rank-position-sensitive companion to sim_recall_at_k: recall@k
+    says WHETHER the true best neighbor surfaces, RR says how far down
+    the shortlist it landed (1/rank, 0 if outside the ANN top-k), and
+    the MRR column is the one number an index rollout gate reads.
+    Both pipelines are the existing keys' OWN code (tables_fn reuse /
+    oracle-string composition), so this report cannot disagree with
+    what those keys certify.
+
+    Scale: the heavy lifting is inside the two reused retrieval plans;
+    this report is one left join of the probe-bounded top-1 frame onto
+    the (probes x k)-bounded ANN frame, plus windows over the 10-row
+    result. Ranks are deterministic on both sides (6dp round-then-rank,
+    id tie-break)."""
+    from base_etl_spark.registry import REGISTRY
+
+    exact = REGISTRY["sim_topk"].fn.tables_fn(t)
+    ann = REGISTRY["sim_topk_bitsign"].fn.tables_fn(t).select(
+        "probe_id", F.col("neighbor_id").alias("a_nid"), F.col("rn").alias("rn_a")
+    )
+    t1 = exact.filter(F.col("rn") == 1).select("probe_id", "neighbor_id")
+    j = t1.join(
+        ann,
+        (t1.probe_id == ann.probe_id) & (t1.neighbor_id == ann.a_nid),
+        "left",
+    ).select(
+        t1.probe_id,
+        F.col("neighbor_id").alias("top1_id"),
+        F.col("rn_a").cast("int").alias("rank_in_ann"),
+    )
+    rr = F.coalesce(1.0 / F.col("rank_in_ann"), F.lit(0.0))
+    return j.select(
+        "probe_id",
+        "top1_id",
+        "rank_in_ann",
+        F.round(rr, 6).alias("rr"),
+        F.round(F.avg(rr).over(Window.partitionBy()), 6).alias("mrr"),
+    )

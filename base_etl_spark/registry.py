@@ -191,7 +191,8 @@ ROUND8_WINDOW: list[str] = [
 # re-checks of the oldest driver rows if short of 50 at rotation time).
 ROUND9_WINDOW: list[str] = [
     "mm_image_crop_center", "graph_k_core", "dedup_prefix_cluster",
-    "win_mtd_cumulative",
+    "win_mtd_cumulative", "text_ngram_novelty", "sim_mrr_at_k",
+    "etl_ttl_expiry_plan", "agg_decile_lift",
 ]
 
 # Round 8: execute the committed rotation plan — the driver window IS

@@ -212,6 +212,7 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "text_burstiness",  # 1-row corpus-size scalar (text_tfidf shape)
         "sim_silhouette_label",  # label-bounded (~10-row) centroid broadcast x corpus
         "graph_k_core",  # two 1-row census scalars combined (graph_triangle_count shape)
+        "sim_mrr_at_k",  # inherits sim_topk + bitsign probe broadcasts (recall_at_k shape)
     }
     bad = []
     for k, fn in _QS.items():
