@@ -4118,3 +4118,160 @@ def agg_decile_lift(t: Tables) -> DataFrame:
             6,
         ).alias("cum_capture"),
     )
+
+
+# Experiment-planning constants: two-sided alpha = 0.05, power = 0.80.
+# The normal quantiles are literals (z_{0.975}, z_{0.80}) — planning
+# arithmetic, not a stats library dependency.
+_PWR_Z_ALPHA = 1.959964
+_PWR_Z_BETA = 0.841621
+_PWR_MDE_REL = 0.10  # minimum detectable effect: +10% relative
+
+
+@query(
+    "events_power_sample_size",
+    oracle=f"""
+    WITH assign AS (
+        SELECT DISTINCT user_id FROM events
+    ),
+    conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)          AS n_conv
+        FROM assign LEFT JOIN conv ON assign.user_id = conv.user_id
+    ),
+    days AS (
+        SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        FROM events
+    ),
+    calc AS (
+        SELECT n_users, n_conv, n_days,
+               n_conv * 1.0 / n_users          AS p1,
+               n_conv * 1.0 / n_users * (1 + {_PWR_MDE_REL}) AS p2
+        FROM base CROSS JOIN days
+    )
+    SELECT n_users, n_conv, round(p1, 6) AS baseline_rate,
+           round(p2, 6) AS target_rate,
+           CAST(ceil(pow({_PWR_Z_ALPHA} + {_PWR_Z_BETA}, 2)
+                     * (p1 * (1 - p1) + p2 * (1 - p2))
+                     / pow(p2 - p1, 2)) AS BIGINT) AS n_per_arm,
+           round(ceil(pow({_PWR_Z_ALPHA} + {_PWR_Z_BETA}, 2)
+                      * (p1 * (1 - p1) + p2 * (1 - p2))
+                      / pow(p2 - p1, 2))
+                 * 2.0 / nullif(n_users * 1.0 / n_days, 0), 2) AS est_days
+    FROM calc
+    """,
+)
+def events_power_sample_size(t: Tables) -> DataFrame:
+    """Experiment power planning from observed data — the pre-launch
+    companion to events_ab_test: measure the live baseline conversion
+    rate, then the standard two-proportion normal-approximation sample
+    size n = (z_a + z_b)^2 (p1 q1 + p2 q2) / (p2 - p1)^2 for a +10%
+    relative lift at alpha .05 / power .80, and convert it to runtime
+    days using the observed distinct-user arrival rate. The z quantiles
+    are planning LITERALS (no stats-library dependency, identical on
+    both engines); every input is an exact count.
+
+    Scale: two distinct-user collapses + one distinct-day count — all
+    map-side-combined hash aggs to scalars; arithmetic on one row."""
+    assign = t.events.select("user_id").distinct()
+    conv = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("cu"))
+        .distinct()
+    )
+    base = (
+        assign.join(F.broadcast(conv), assign.user_id == conv.cu, "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.when(F.col("cu").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_conv"),
+        )
+    )
+    days = t.events.agg(
+        F.countDistinct(F.to_date("ts")).cast("long").alias("n_days")
+    )
+    p1 = F.col("n_conv") * 1.0 / F.col("n_users")
+    p2 = p1 * (1 + _PWR_MDE_REL)
+    n_arm = F.ceil(
+        F.pow(F.lit(_PWR_Z_ALPHA + _PWR_Z_BETA), 2)
+        * (p1 * (1 - p1) + p2 * (1 - p2))
+        / F.pow(p2 - p1, 2)
+    )
+    return base.crossJoin(F.broadcast(days)).select(
+        "n_users",
+        "n_conv",
+        F.round(p1, 6).alias("baseline_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        n_arm.cast("long").alias("n_per_arm"),
+        F.round(
+            n_arm * 2.0 / F.nullif(F.col("n_users") * 1.0 / F.col("n_days"), F.lit(0.0)),
+            2,
+        ).alias("est_days"),
+    )
+
+
+@query(
+    "agg_revenue_waterfall",
+    oracle="""
+    WITH s AS (
+        SELECT sum(l_extendedprice)                                    AS gross,
+               sum(l_extendedprice * l_discount)                       AS disc,
+               sum(l_extendedprice * (1 - l_discount) * l_tax)         AS tax,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))   AS net
+        FROM lineitem
+    )
+    SELECT step, CAST(step_order AS INT) AS step_order, round(amount, 2) AS amount
+    FROM s, LATERAL (
+        SELECT * FROM (VALUES
+            ('gross_revenue', 1, s.gross),
+            ('discounts',     2, -s.disc),
+            ('tax_collected', 3, s.tax),
+            ('net_charged',   4, s.net)
+        ) AS v(step, step_order, amount)
+    ) w
+    """,
+)
+def agg_revenue_waterfall(t: Tables) -> DataFrame:
+    """Revenue decomposition waterfall (gross → −discounts → +tax →
+    net charged) — the finance bridge chart as a query: every component
+    comes from ONE pass of sufficient sums over the fact (the TPC-H Q1
+    money arithmetic), then the 1-row totals unpivot into ordered
+    waterfall steps. Verifiable invariant: gross − discounts + tax =
+    net within float tolerance (the unpivot makes the reconciliation a
+    3-row sum a reviewer can eyeball).
+
+    Scale: one map-side-combined agg to a single row; the unpivot is a
+    4-element in-row stack (no shuffle). The ratio-free absolute sums
+    round at 2dp (cents) — stable against partial-agg order noise at
+    any corpus size."""
+    s = t.lineitem.agg(
+        F.sum("l_extendedprice").alias("gross"),
+        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("disc"),
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax")
+        ).alias("tax"),
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("net"),
+    )
+    steps = F.array(
+        F.struct(F.lit("gross_revenue").alias("step"), F.lit(1).alias("step_order"),
+                 F.col("gross").alias("amount")),
+        F.struct(F.lit("discounts").alias("step"), F.lit(2).alias("step_order"),
+                 (-F.col("disc")).alias("amount")),
+        F.struct(F.lit("tax_collected").alias("step"), F.lit(3).alias("step_order"),
+                 F.col("tax").alias("amount")),
+        F.struct(F.lit("net_charged").alias("step"), F.lit(4).alias("step_order"),
+                 F.col("net").alias("amount")),
+    )
+    return (
+        s.select(F.explode(steps).alias("w"))
+        .select(
+            F.col("w.step").alias("step"),
+            F.col("w.step_order").cast("int").alias("step_order"),
+            F.round("w.amount", 2).alias("amount"),
+        )
+    )

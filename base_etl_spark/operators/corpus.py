@@ -861,3 +861,70 @@ def sample_repeat_plan(t: Tables) -> DataFrame:
         F.sum("repeats").cast("long").alias("total_repeats"),
         F.round(F.sum("repeats") * 1.0 / F.count(F.lit(1)), 6).alias("realized_rate"),
     )
+
+
+_BOOT_B = 32  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds (cumulative pmf; tail capped at 5)
+_BOOT_CUM = (0.3678794, 0.7357589, 0.9196986, 0.9810118, 0.9963402)
+
+
+@query("sample_poisson_bootstrap", oracle=None)  # R: hash-seeded weights
+def sample_poisson_bootstrap(t: Tables) -> DataFrame:
+    """Poisson bootstrap standard error + percentile CI for the corpus
+    mean document length — THE bootstrap at data scale (resampling
+    n-out-of-n is impossible distributed; Poisson(1) weights per
+    (row, replicate) are i.i.d.-equivalent and embarrassingly
+    parallel — public method, e.g. Chamandy et al., 'Estimating
+    Uncertainty for Massive Data Streams'). Each row emits its 32
+    replicate weights IN-ROW from a seeded xxhash64 (NO rand(): the
+    weight of (doc, b) is a pure function of doc_id and b, so results
+    are identical across runs, partitionings, and retries — the
+    sample_stratified determinism rule); the inverse Poisson CDF is a
+    5-threshold CASE. Hash-function-specific => rows-only, with exact
+    invariants in tests (determinism, CI brackets the true mean,
+    replicate-0 weights match a pure-Python replica).
+
+    Scale: ONE corpus scan; the 32x expansion is in-row and collapses
+    map-side into a 32-group weighted-sum agg — bootstrap SE at 100 TB
+    costs one aggregation pass, not 32 resamples."""
+    b_arr = F.array(*[F.lit(b) for b in range(_BOOT_B)])
+    u = (
+        F.xxhash64(F.col("doc_id"), F.col("b")).cast("double") / F.lit(2.0**64)
+        + F.lit(0.5)
+    )
+    w = (
+        F.when(u < _BOOT_CUM[0], 0)
+        .when(u < _BOOT_CUM[1], 1)
+        .when(u < _BOOT_CUM[2], 2)
+        .when(u < _BOOT_CUM[3], 3)
+        .when(u < _BOOT_CUM[4], 4)
+        .otherwise(5)
+    )
+    rep = (
+        t.documents.select("doc_id", F.col("n_chars").cast("double").alias("x"))
+        .select("doc_id", "x", F.explode(b_arr).alias("b"))
+        .select("b", "x", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("x")) / F.nullif(F.sum("w"), F.lit(0)))
+            .alias("rep_mean")
+        )
+    )
+    truth = t.documents.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("n_chars").alias("point_mean"),
+    )
+    summary = rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.stddev("rep_mean").alias("se_boot"),
+        F.percentile("rep_mean", F.lit(0.025)).alias("ci_lo"),
+        F.percentile("rep_mean", F.lit(0.975)).alias("ci_hi"),
+    )
+    return truth.crossJoin(F.broadcast(summary)).select(
+        "n_docs",
+        F.round("point_mean", 4).alias("point_mean"),
+        "n_replicates",
+        F.round("se_boot", 4).alias("se_boot"),
+        F.round("ci_lo", 4).alias("ci_lo"),
+        F.round("ci_hi", 4).alias("ci_hi"),
+    )

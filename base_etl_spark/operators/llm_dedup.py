@@ -1329,3 +1329,59 @@ def dedup_prefix_cluster(t: Tables) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def _source_matrix_oracle() -> str:
+    """Composed from dedup_near_jaccard's oracle string (the exact tier
+    dedup_near_minhash is certified against), so the matrix can never
+    disagree with what the pair keys certify."""
+    from base_etl_spark.registry import REGISTRY
+
+    pairs = REGISTRY["dedup_near_jaccard"].oracle
+    return f"""
+    WITH p AS (SELECT * FROM ({pairs}) x)
+    SELECT least(da.source, db.source)    AS source_lo,
+           greatest(da.source, db.source) AS source_hi,
+           CAST(count(*) AS BIGINT)       AS n_pairs,
+           round(avg(p.jaccard), 6)       AS avg_jaccard
+    FROM p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    GROUP BY source_lo, source_hi
+    """
+
+
+@query("dedup_source_matrix", oracle=_source_matrix_oracle())
+def dedup_source_matrix(t: Tables) -> DataFrame:
+    """Cross-source near-duplicate matrix: verified near-dup pairs
+    rolled up by (source, source) — the mirror-site detector and the
+    number that decides which crawl source to DROP when two sources
+    keep duplicating each other (off-diagonal mass = cross-source
+    contamination; diagonal = within-source redundancy). Source pairs
+    are canonicalized (least/greatest) so the matrix is the upper
+    triangle. Pairs come from dedup_near_minhash's verified tier (the
+    100 TB path); the oracle composes the exact-Jaccard tier those
+    pairs are certified against, so this report cannot drift from the
+    pair keys.
+
+    Scale: the pair frame is near-dup-bounded (not corpus-bounded);
+    two doc_id-keyed joins attach sources, then one hash agg to
+    source-pair cardinality (~sources² rows)."""
+    from base_etl_spark.registry import REGISTRY
+
+    pairs = REGISTRY["dedup_near_minhash"].fn.tables_fn(t)
+    docs = t.documents.select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )

@@ -192,7 +192,9 @@ ROUND8_WINDOW: list[str] = [
 ROUND9_WINDOW: list[str] = [
     "mm_image_crop_center", "graph_k_core", "dedup_prefix_cluster",
     "win_mtd_cumulative", "text_ngram_novelty", "sim_mrr_at_k",
-    "etl_ttl_expiry_plan", "agg_decile_lift",
+    "etl_ttl_expiry_plan", "agg_decile_lift", "dedup_source_matrix",
+    "events_power_sample_size", "agg_revenue_waterfall",
+    "sample_poisson_bootstrap",
 ]
 
 # Round 8: execute the committed rotation plan — the driver window IS

@@ -213,6 +213,8 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "sim_silhouette_label",  # label-bounded (~10-row) centroid broadcast x corpus
         "graph_k_core",  # two 1-row census scalars combined (graph_triangle_count shape)
         "sim_mrr_at_k",  # inherits sim_topk + bitsign probe broadcasts (recall_at_k shape)
+        "events_power_sample_size",  # two 1-row scalars combined (ab_test shape)
+        "sample_poisson_bootstrap",  # 1-row truth x 1-row replicate summary
     }
     bad = []
     for k, fn in _QS.items():

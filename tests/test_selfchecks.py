@@ -2337,3 +2337,21 @@ def test_k_core_planted_graph(spark):
     assert (rows[2].n_nodes, rows[2].n_edges) == (3, 3)
     assert (rows[3].n_nodes, rows[3].n_edges) == (0, 0)
     assert rows[2].rounds == 1
+
+
+def test_poisson_bootstrap_selfchecks(spark):
+    """R-key invariants: the hash-seeded bootstrap is deterministic
+    across runs, SE is positive, the percentile CI brackets the exact
+    corpus mean (Poisson(1) weights are unbiased), and the CI is
+    ordered. Fixture n is large enough that a CI miss would mean the
+    weights are wrong, not bad luck."""
+    from base_etl_spark.registry import REGISTRY
+    from tests.conftest import SF_TEST
+
+    fn = REGISTRY["sample_poisson_bootstrap"].fn
+    (r1,) = fn(spark, SF_TEST).collect()
+    (r2,) = fn(spark, SF_TEST).collect()
+    assert r1 == r2  # seeded hash => bit-identical reruns
+    assert r1.se_boot > 0
+    assert r1.ci_lo < r1.ci_hi
+    assert r1.ci_lo <= r1.point_mean <= r1.ci_hi
