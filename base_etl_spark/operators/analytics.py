@@ -4275,3 +4275,97 @@ def agg_revenue_waterfall(t: Tables) -> DataFrame:
             F.round("w.amount", 2).alias("amount"),
         )
     )
+
+
+@query(
+    "events_ratio_metric_ci",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN ((user_id % 100000) * 2654435761) % 100 < 50
+                    THEN 'A' ELSE 'B' END AS arm,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               var_samp(x) AS vx, var_samp(CAST(y AS DOUBLE)) AS vy,
+               covar_samp(x, CAST(y AS DOUBLE)) AS cxy
+        FROM per_user GROUP BY arm
+    ),
+    r AS (
+        SELECT arm, n, sx, sy,
+               sx / nullif(sy, 0) AS ratio,
+               (vx - 2 * (sx / nullif(sy, 0)) * cxy
+                   + (sx / nullif(sy, 0)) * (sx / nullif(sy, 0)) * vy)
+                   / (n * pow(sy * 1.0 / n, 2)) AS var_r
+        FROM arms
+    )
+    SELECT arm, n, round(ratio, 6) AS ratio,
+           round(sqrt(var_r), 6)                    AS se,
+           round(ratio - 1.959964 * sqrt(var_r), 6) AS ci_lo,
+           round(ratio + 1.959964 * sqrt(var_r), 6) AS ci_hi
+    FROM r
+    """,
+)
+def events_ratio_metric_ci(t: Tables) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue per
+    purchase) under user-level randomization — the experimentation-
+    platform workhorse the naive per-event t-test gets wrong: events
+    within a user are correlated, so the variance must come from
+    per-USER sufficient statistics (x = user revenue, y = user purchase
+    count): var(Σx/Σy) ≈ (s²_x − 2R s_xy + R² s²_y) / (n ȳ²) — public
+    formula (Deng et al., 'Applying the Delta Method in Metric
+    Analytics'). Completes the experimentation family: rates →
+    ab_test, means → welch, ranks → mann_whitney, ratios → this.
+
+    Scale: one map-side-combined per-user collapse, then one 2-group
+    agg of exact moments; NULL ratio/CI on a zero-denominator arm via
+    nullif. 6dp rounds sit far above the float noise of the
+    ratio-of-sums form."""
+    per_user = t.events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    ).select(
+        F.when(
+            F.pmod(
+                F.pmod(F.col("user_id"), F.lit(100000)) * F.lit(2654435761),
+                F.lit(100),
+            )
+            < 50,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "x",
+        F.col("y").cast("double").alias("yd"),
+        "y",
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("yd").alias("vy"),
+        F.covar_samp("x", "yd").alias("cxy"),
+    )
+    ratio = F.col("sx") / F.nullif(F.col("sy"), F.lit(0))
+    var_r = (
+        F.col("vx") - 2 * ratio * F.col("cxy") + ratio * ratio * F.col("vy")
+    ) / (F.col("n") * F.pow(F.col("sy") * 1.0 / F.col("n"), 2))
+    return arms.select(
+        "arm",
+        "n",
+        F.round(ratio, 6).alias("ratio"),
+        F.round(F.sqrt(var_r), 6).alias("se"),
+        F.round(ratio - 1.959964 * F.sqrt(var_r), 6).alias("ci_lo"),
+        F.round(ratio + 1.959964 * F.sqrt(var_r), 6).alias("ci_hi"),
+    )

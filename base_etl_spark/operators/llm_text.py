@@ -1794,3 +1794,82 @@ def text_ngram_novelty(t: Tables) -> DataFrame:
             F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 6).alias("novelty_ratio"),
         )
     )
+
+
+@query(
+    "text_heaps_law",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    doc_tokens AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY doc_id
+    ),
+    firsts AS (
+        SELECT min(doc_id) AS first_doc FROM tok GROUP BY term
+    ),
+    new_terms AS (
+        SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+        FROM firsts GROUP BY first_doc
+    ),
+    curve AS (
+        SELECT d.doc_id,
+               sum(d.n_tokens) OVER (ORDER BY d.doc_id)          AS cum_tokens,
+               sum(coalesce(nt.n_new, 0)) OVER (ORDER BY d.doc_id) AS cum_vocab
+        FROM doc_tokens d LEFT JOIN new_terms nt USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT)                              AS n_docs,
+           CAST(max(cum_tokens) AS BIGINT)                       AS total_tokens,
+           CAST(max(cum_vocab) AS BIGINT)                        AS vocab_size,
+           round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6)   AS heaps_beta,
+           round(exp(regr_intercept(ln(cum_vocab), ln(cum_tokens))), 6) AS heaps_k,
+           round(regr_r2(ln(cum_vocab), ln(cum_tokens)), 6)      AS r2
+    FROM curve
+    """,
+)
+def text_heaps_law(t: Tables) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^beta of vocabulary growth against
+    corpus size — the companion diagnostic to text_zipf_fit: a crawl
+    whose beta collapses toward 0 has stopped contributing new
+    vocabulary (saturation / duplication), while beta near the
+    English-corpus 0.4-0.6 band means the source is still fresh. The
+    growth curve needs RUNNING DISTINCT vocabulary — impossible as a
+    distributed window directly — so it is rebuilt exactly from
+    first-occurrence attribution: each term charges doc min(doc_id),
+    making cumulative vocabulary a plain running sum (the
+    text_ngram_novelty trick applied to the growth curve). Log-log OLS
+    via the single-pass regr_* aggregates (agg_regression family).
+
+    Scale: token first-occurrence is a vocab-bounded min-agg; the
+    running sums order by doc_id over the COLLAPSED per-doc frame
+    (|docs| rows — declared exact tier; the two-phase rank rewrite
+    applies at billions of docs); the fit is one agg over that frame."""
+    tok = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    doc_tokens = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    new_terms = (
+        tok.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        doc_tokens.join(new_terms, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+    lv, lt = F.log("cum_vocab"), F.log("cum_tokens")
+    return curve.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("cum_tokens").cast("long").alias("total_tokens"),
+        F.max("cum_vocab").cast("long").alias("vocab_size"),
+        F.round(F.regr_slope(lv, lt), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(lv, lt)), 6).alias("heaps_k"),
+        F.round(F.regr_r2(lv, lt), 6).alias("r2"),
+    )

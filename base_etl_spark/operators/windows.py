@@ -432,3 +432,47 @@ def win_percent_rank_cume(t: Tables) -> DataFrame:
         )
         .filter(F.col("rn") <= 10)
     )
+
+
+@query(
+    "win_locf_fill",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN round(value, 4) END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_value
+    FROM events
+    """,
+)
+def win_locf_fill(t: Tables) -> DataFrame:
+    """Last-observation-carried-forward: attach the most recent
+    PURCHASE amount to every event in the user's stream (NULL until
+    the first purchase) — the standard sparse-signal densification
+    behind 'value of customer at time of click' features and gap-free
+    state snapshots. The sparse series is derived (CASE on event_type),
+    so the fill is genuinely exercised: most events are not purchases.
+    F.last(ignorenulls) over a running frame == last_value IGNORE NULLS
+    in both engines; (ts, event_id) ordering makes ties deterministic.
+
+    Scale: ONE window partitioned by user_id (bounded partitions, one
+    hash exchange — never a global sort); the carried state is O(1) per
+    user, so the same operator streams via applyInPandasWithState when
+    the feed goes online (the win_ewma_time_decay posture). The
+    rounding happens BEFORE the carry, so carried values equal their
+    source row's rounded value exactly."""
+    src = F.when(
+        F.col("event_type") == "purchase", F.round(F.col("value"), 4)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return t.events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.last(src, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )

@@ -194,7 +194,8 @@ ROUND9_WINDOW: list[str] = [
     "win_mtd_cumulative", "text_ngram_novelty", "sim_mrr_at_k",
     "etl_ttl_expiry_plan", "agg_decile_lift", "dedup_source_matrix",
     "events_power_sample_size", "agg_revenue_waterfall",
-    "sample_poisson_bootstrap",
+    "sample_poisson_bootstrap", "win_locf_fill", "events_ratio_metric_ci",
+    "etl_duplicate_payment_audit", "text_heaps_law",
 ]
 
 # Round 8: execute the committed rotation plan — the driver window IS
