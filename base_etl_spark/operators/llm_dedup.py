@@ -376,16 +376,24 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
     # the extra shuffle; a shuffle_hash hint was tried and pathologically
     # stalled >5 min on this shape) — the price of not OOMing on exactly
     # the corpora dedup exists for.
-    # Pre-collapse: one window shuffle on the 8-byte content hash tags
-    # every doc with its class representative and class size; only
-    # representatives enter the signature/LSH/verify stages.
-    w = Window.partitionBy("chash")
-    tagged = (
-        t.documents.select("doc_id", "text", F.xxhash64("text").alias("chash"))
-        .withColumn("rep_id", F.min("doc_id").over(w))
-        .withColumn("class_n", F.count(F.lit(1)).over(w))
+    # Pre-collapse: class table via a plain hash agg on the 8-byte
+    # content digest — NOT a window over (chash, text): the window form
+    # shuffled the full TEXT column (violating the family's
+    # digests-not-text shuffle rule) and, worse, its lineage is
+    # re-evaluated by every downstream consumer (reps, both re-expansion
+    # membership sides, both intra-join sides) — measured 4.3-7.7 s warm
+    # at sf0.1 vs ~2 s for the r7 shape (bench regression caught
+    # 2026-08-16). The agg form map-side combines to distinct-content
+    # cardinality and every recomputation moves 16-byte rows only; rep
+    # text is attached by ONE doc_id-keyed join to the corpus.
+    chash_docs = t.documents.select("doc_id", F.xxhash64("text").alias("chash"))
+    classes = chash_docs.groupBy("chash").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("class_n")
     )
-    reps = tagged.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
+    tagged = chash_docs.join(classes, "chash")
+    reps = t.documents.join(
+        classes.select(F.col("rep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text")
 
     sigs = minhash_signatures(reps)
     cands = lsh_candidate_pairs(sigs)
@@ -438,9 +446,17 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
     # Filter to class_n > 1 BEFORE the self-join (classes of size 1 — the
     # overwhelming majority — never reach the shuffle) and to docs with
     # at least one shingle (empty shingle sets never pair in the oracle).
-    dups = tagged.filter(
-        (F.col("class_n") > 1) & (F.size(F.split("text", " ")) >= _SHINGLE)
-    ).select("chash", "doc_id")
+    # the shingle-bearing gate needs text length: key the filter on the
+    # class REPRESENTATIVE's text (identical text across the class) via
+    # the reps projection, then attach members by chash
+    shingled_reps = reps.filter(F.size(F.split("text", " ")) >= _SHINGLE).select(
+        F.col("doc_id").alias("rep_id")
+    )
+    dups = (
+        tagged.filter(F.col("class_n") > 1)
+        .join(shingled_reps, "rep_id")
+        .select("chash", "doc_id")
+    )
     a, b = dups.alias("a"), dups.alias("b")
     intra = (
         a.join(b, (F.col("a.chash") == F.col("b.chash")) & (F.col("a.doc_id") < F.col("b.doc_id")))

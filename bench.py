@@ -100,6 +100,11 @@ HEADLINE = {
     "dedup_spans": "dedup_spans",
     "bpe_train": "tokenizer_bpe_train",
     "matryoshka": "sim_recall_matryoshka",
+    # round-8 continuation capstones — anchors in BASELINE.md
+    # "Local anchors for the round-8 continuation capstones".
+    "source_matrix": "dedup_source_matrix",
+    "ngram_novelty": "text_ngram_novelty",
+    "silhouette": "sim_silhouette_label",
 }
 
 

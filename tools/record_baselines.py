@@ -44,6 +44,15 @@ KEYS_R8 = [
     ("matryoshka", "sim_recall_matryoshka"),
 ]
 
+# round-8 continuation additions: the heaviest shapes of the session —
+# the cross-source pair-tier rollup, the vocab^3 gram-attribution pass,
+# and the corpus x centroid geometry scan.
+KEYS_R8C = [
+    ("source_matrix", "dedup_source_matrix"),
+    ("ngram_novelty", "text_ngram_novelty"),
+    ("silhouette", "sim_silhouette_label"),
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -52,8 +61,12 @@ def main() -> None:
         "--r8", action="store_true",
         help="measure the round-8 capstone keys instead of the r6 five",
     )
+    ap.add_argument(
+        "--r8c", action="store_true",
+        help="measure the round-8 continuation capstones",
+    )
     args = ap.parse_args()
-    keys = KEYS_R8 if args.r8 else KEYS
+    keys = KEYS_R8C if args.r8c else (KEYS_R8 if args.r8 else KEYS)
 
     import duckdb
 
