@@ -1276,3 +1276,40 @@ def join_asof_nearest(t: Tables) -> DataFrame:
             pick(F.col("gap_back"), F.col("gap_fwd")).alias("gap_us"),
         )
     )
+
+
+@query(
+    "join_merge_hint",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_merge_hint(t: Tables) -> DataFrame:
+    """Sort-merge join pinned by hint — the deliberate-plan-choice
+    surface completing the hint family (broadcast = join_inner_bcast,
+    shuffle_hash = join_shuffle_hash_hint, merge = this): when BOTH
+    sides are fact-sized (orders x lineitem here), sort-merge is the
+    spill-safe choice — hash tables must fit a partition in memory,
+    sorted runs spill gracefully — and at 100 TB an operator pins it
+    when AQE's estimates are untrustworthy (fresh tables without
+    stats). Plan-asserted in tests: SortMergeJoin, no broadcast of
+    either fact.
+
+    The aggregate dedups the order side with count(DISTINCT) because
+    the join fans orders out by line count — the classic fact-to-fact
+    grain trap, made explicit here."""
+    return (
+        t.orders.hint("merge")
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

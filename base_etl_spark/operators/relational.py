@@ -88,3 +88,41 @@ def filter_complex(t: Tables) -> DataFrame:
         )
         .select("l_orderkey", "l_linenumber", "p_brand", "p_size", "l_quantity", "l_returnflag")
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)   AS n_customers,
+           round(avg(c_acctbal), 4)   AS avg_balance
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_pipe_syntax(t: Tables) -> DataFrame:
+    """SQL pipe syntax (|>) — Spark 4.0's linear query form (public
+    SQL:2023-era pipe-operator proposal; Spark implements FROM ... |>
+    WHERE ... |> AGGREGATE): each stage reads top-to-bottom in
+    execution order instead of the inside-out nesting of classic
+    SELECT. This key certifies the parser surface end-to-end: the piped
+    text compiles to the identical aggregate plan as the classic form
+    (same Catalyst tree after parsing), hash-checked against the
+    classic-SQL oracle.
+
+    Scale: surface-only — the plan is the standard partial/final hash
+    agg over a pushed-filter scan; pipe syntax changes the PARSER, not
+    the plan."""
+    spark = t.customer.sparkSession
+    t.customer.createOrReplaceTempView("customer_pipe_v")
+    return spark.sql(
+        """
+        FROM customer_pipe_v
+        |> WHERE c_acctbal > 0
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_customers,
+                     round(avg(c_acctbal), 4) AS avg_balance
+           GROUP BY c_mktsegment
+        |> SELECT c_mktsegment, n_customers, avg_balance
+        """
+    )

@@ -113,3 +113,54 @@ def events_histogram(t: Tables) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "agg_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)      AS n_rows,
+           round(sum(o_totalprice), 2)   AS revenue,
+           round(min(o_totalprice), 2)   AS min_price,
+           round(max(o_totalprice), 2)   AS max_price,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_final
+    FROM orders
+    """,
+)
+def agg_observe_metrics(t: Tables) -> DataFrame:
+    """Run-level metrics through df.observe() — the Spark-4 surface
+    that piggybacks aggregate metrics onto an EXISTING action instead
+    of paying a second scan: a production job observes row counts /
+    totals / guard-rail metrics on the frame it is already writing, and
+    a QueryExecutionListener (or Observation.get, as here) reads them
+    after the action. This key certifies the surface end-to-end: the
+    observed values themselves are the output, hash-checked against the
+    oracle recomputing the same aggregates.
+
+    Scale: observe() compiles to a CollectMetrics node evaluated
+    inline with the pass the action already makes — zero extra scans,
+    partial-aggregated like any other metric. The driver materializes
+    one metrics row. (The observing action here is a count over the
+    observed frame — the minimal stand-in for the write a real job
+    would anchor on.)"""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = t.orders.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        # count(when), not sum(when): over an EMPTY frame sum yields NULL
+        # where the oracle's count(*) FILTER yields 0 (empty-tier find)
+        F.count(F.when(F.col("o_orderstatus") == "F", 1))
+        .cast("long")
+        .alias("n_final"),
+    )
+    observed.count()  # the anchoring action; populates the observation
+    m = obs.get
+    spark = t.orders.sparkSession
+    return spark.createDataFrame(
+        [(m["n_rows"], m["revenue"], m["min_price"], m["max_price"], m["n_final"])],
+        "n_rows bigint, revenue double, min_price double, max_price double, n_final bigint",
+    )

@@ -195,7 +195,8 @@ ROUND9_WINDOW: list[str] = [
     "etl_ttl_expiry_plan", "agg_decile_lift", "dedup_source_matrix",
     "events_power_sample_size", "agg_revenue_waterfall",
     "sample_poisson_bootstrap", "win_locf_fill", "events_ratio_metric_ci",
-    "etl_duplicate_payment_audit", "text_heaps_law",
+    "etl_duplicate_payment_audit", "text_heaps_law", "agg_observe_metrics",
+    "agg_bitmap_distinct", "sql_pipe_syntax", "join_merge_hint",
 ]
 
 # Round 8: execute the committed rotation plan — the driver window IS

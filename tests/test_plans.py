@@ -747,3 +747,12 @@ def test_assortativity_broadcasts_degree_table(spark):
     plan = _plan(_QS["graph_assortativity"](spark, SF_TEST))
     assert plan.count("BroadcastHashJoin") >= 2  # both degree join-backs
     assert "CartesianProduct" not in plan
+
+
+def test_merge_hint_pins_sort_merge_join(spark):
+    """join_merge_hint exists to pin the spill-safe fact-to-fact plan:
+    the hint must survive to a SortMergeJoin with neither fact side
+    broadcast."""
+    plan = _plan(_QS["join_merge_hint"](spark, SF_TEST))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
