@@ -1876,3 +1876,72 @@ def etl_duplicate_payment_audit(t: Tables) -> DataFrame:
         F.round("o_totalprice", 2).alias("repeat_amount"),
         grade.alias("grade"),
     )
+
+
+@query(
+    "etl_reconciliation_gate",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS calc
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_totalprice,
+               l.calc,
+               abs(o.o_totalprice - l.calc)
+                   / greatest(o.o_totalprice, l.calc) AS rel_diff
+        FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT)                                   AS n_orders,
+           CAST(sum(CASE WHEN rel_diff > 0.0001 THEN 1 ELSE 0 END)
+                AS BIGINT)                                            AS n_mismatched,
+           round(sum(CASE WHEN rel_diff > 0.0001 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6)                                 AS pct_mismatched,
+           round(max(abs(o_totalprice - calc)), 2)                    AS max_abs_diff,
+           round(quantile_cont(rel_diff, 0.50), 6)                    AS p50_rel_diff,
+           round(quantile_cont(rel_diff, 0.95), 6)                    AS p95_rel_diff
+    FROM j
+    """,
+)
+def etl_reconciliation_gate(t: Tables) -> DataFrame:
+    """Header-vs-detail reconciliation gate: recompute each order's
+    total from its line items (extendedprice x (1-discount) x (1+tax) —
+    the TPC-H charge formula) and report the mismatch DISTRIBUTION
+    against the header's o_totalprice — the load-acceptance check every
+    warehouse runs between a fact table and its rollup header before
+    publishing. Reported as distribution stats (count, share, max
+    absolute, p50/p95 relative) rather than example rows so the output
+    is bounded at any corpus size and a drifting pipeline shows up as a
+    moving percentile, not a truncated sample. (On this synthetic
+    fixture the header is independent of the lines, so the gate fires
+    on 100% of orders — the REPORT is the contract, and a gate that
+    can fire is the demonstration.)
+
+    Scale: one map-side-combined per-order rollup + one header join
+    keyed on the order key + one global agg; exact percentiles over the
+    order-bounded frame (agg_percentiles contract)."""
+    l = t.lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("calc")
+    )
+    j = t.orders.join(l, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_totalprice",
+        "calc",
+        (
+            F.abs(F.col("o_totalprice") - F.col("calc"))
+            / F.greatest("o_totalprice", "calc")
+        ).alias("rel_diff"),
+    )
+    mism = F.sum(F.when(F.col("rel_diff") > 0.0001, 1).otherwise(0))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        mism.cast("long").alias("n_mismatched"),
+        F.round(mism * 1.0 / F.count(F.lit(1)), 6).alias("pct_mismatched"),
+        F.round(F.max(F.abs(F.col("o_totalprice") - F.col("calc"))), 2).alias(
+            "max_abs_diff"
+        ),
+        F.round(F.percentile("rel_diff", F.lit(0.50)), 6).alias("p50_rel_diff"),
+        F.round(F.percentile("rel_diff", F.lit(0.95)), 6).alias("p95_rel_diff"),
+    )

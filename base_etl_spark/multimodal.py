@@ -1799,3 +1799,86 @@ _CROP_SCHEMA = StructType(
         StructField("peak", LongType()),
     ]
 )
+
+
+@query(
+    "mm_video_fps_downsample",
+    oracle="""
+    WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+                      2 + doc_id % 3 AS nf
+               FROM documents),
+         fr AS (
+             SELECT doc_id, w, h, nf, f
+             FROM d, LATERAL (SELECT unnest(generate_series(0,
+                      CAST(nf - 1 AS INT))) AS f) g
+             WHERE f % 2 = 0
+         ),
+         px AS (
+             SELECT doc_id, nf, f,
+                    (doc_id * 7  + f * 29 + i * 13) % 256 AS r,
+                    (doc_id * 11 + f * 31 + i * 17) % 256 AS g2,
+                    (doc_id * 19 + f * 37 + i * 23) % 256 AS b
+             FROM fr, LATERAL (SELECT unnest(generate_series(0,
+                      CAST(w * h - 1 AS INT))) AS i) gs
+         )
+    SELECT doc_id                                   AS asset_id,
+           CAST(max(nf) AS INT)                     AS frames_in,
+           CAST(count(DISTINCT f) AS INT)           AS frames_out,
+           CAST(sum(r) AS BIGINT)                   AS sum_r,
+           CAST(sum(g2) AS BIGINT)                  AS sum_g,
+           CAST(sum(b) AS BIGINT)                   AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_video_fps_downsample(t: Tables) -> DataFrame:
+    """Temporal downsampling (keep every 2nd frame) through TWO real AVI
+    codec trips — the fps-reduction step every video training pipeline
+    runs before feature extraction, and the temporal member of the
+    geometry family (spatial crop = mm_image_crop_center, spatial
+    resize = mm_image_resize): demux the planted nf-frame AVI, keep
+    frames 0, 2, ..., re-MUX the survivors into a new AVI (fresh movi
+    chunks + idx1 index over the smaller frame list — the part a fake
+    codec gets wrong), demux again, and report per-asset channel sums
+    from the SECOND demux. A wrong frame selection, re-index, or
+    frame-order flips the hash against the closed-form oracle.
+
+    Scale: pure Arrow mapInPandas over doc ids, no shuffle
+    (mm_video_frames posture); real MP4/ffmpeg payloads swap in via the
+    same kernel seam."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frames_in": [], "frames_out": [],
+                   "sum_r": [], "sum_g": [], "sum_b": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 3 + doc_id % 5, 2 + doc_id % 4
+                nf = 2 + doc_id % 3
+                src = [planted_rgb(doc_id, w, h, frame=f) for f in range(nf)]
+                dec1 = decode_avi_rgb24(encode_avi_rgb24(src))
+                kept = dec1[::2]
+                dec2 = decode_avi_rgb24(encode_avi_rgb24(kept))
+                arr = np.stack(dec2).astype(np.int64)
+                out["asset_id"].append(doc_id)
+                out["frames_in"].append(nf)
+                out["frames_out"].append(len(dec2))
+                out["sum_r"].append(int(arr[:, :, :, 0].sum()))
+                out["sum_g"].append(int(arr[:, :, :, 1].sum()))
+                out["sum_b"].append(int(arr[:, :, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    return docs.mapInPandas(run, schema=_FPS_SCHEMA)
+
+
+_FPS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frames_in", IntegerType()),
+        StructField("frames_out", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)

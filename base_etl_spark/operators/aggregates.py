@@ -1025,3 +1025,74 @@ def agg_bitmap_distinct(t: Tables) -> DataFrame:
         .select(F.lit("ALL").alias("event_type"), "n_distinct")
     )
     return per_type.unionByName(merged)
+
+
+@query(
+    "agg_skyline_2d",
+    oracle="""
+    WITH pts AS (
+        SELECT c.c_custkey,
+               c.c_acctbal AS x,
+               round(coalesce(sum(o.o_totalprice), 0), 2) AS y
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    per_x AS (SELECT x, max(y) AS ymax FROM pts GROUP BY x),
+    sky_x AS (
+        SELECT x, ymax
+        FROM (
+            SELECT x, ymax,
+                   max(ymax) OVER (ORDER BY x DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS higher_ymax
+            FROM per_x
+        )
+        WHERE higher_ymax IS NULL OR ymax > higher_ymax
+    )
+    SELECT p.c_custkey, round(p.x, 2) AS acctbal, p.y AS spend
+    FROM pts p JOIN sky_x s ON p.x = s.x AND p.y = s.ymax
+    """,
+)
+def agg_skyline_2d(t: Tables) -> DataFrame:
+    """2-D skyline (Pareto frontier) of customers on (account balance,
+    total spend): the classic maximal-vector OLAP operator — a customer
+    is ON the skyline iff no other customer is >= on both axes and
+    strictly better on one ('who is undominated on credit AND
+    revenue'). NOT the naive all-pairs anti-join: for two dimensions
+    the frontier falls out of one sorted sweep — collapse to per-x max
+    y, then a running max over x DESC keeps exactly the points whose y
+    strictly exceeds every higher-x point's best y (equal-y at higher x
+    dominates via strict x; equal (x, y) duplicates survive together,
+    restored by the join back). Domination compares 2dp-rounded money
+    sums (the repo's cross-engine float rule) so near-ties cannot flip
+    the frontier between engines.
+
+    Scale: per-customer collapse and per-x max are map-side-combined
+    hash aggs; the sweep window runs over the DISTINCT-x frame
+    (declared exact tier — the sort_multikey two-phase rewrite applies
+    at billions of distinct values); join-back is x-keyed. This plan is
+    the public textbook sort-based skyline (Borzsonyi et al.'s SFS
+    idea) expressed as two aggs + one window."""
+    pts = (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("y"))
+        .select("c_custkey", F.col("c_acctbal").alias("x"), "y")
+    )
+    per_x = pts.groupBy("x").agg(F.max("y").alias("ymax"))
+    w = Window.orderBy(F.desc("x")).rowsBetween(Window.unboundedPreceding, -1)
+    sky_x = (
+        per_x.withColumn("higher_ymax", F.max("ymax").over(w))
+        .filter(F.col("higher_ymax").isNull() | (F.col("ymax") > F.col("higher_ymax")))
+        # rename: sky_x shares pts' lineage (per_x is derived from pts),
+        # so same-name join columns trip the ambiguous-self-join check
+        .select(F.col("x").alias("sx"), F.col("ymax").alias("symax"))
+    )
+    return (
+        pts.join(sky_x, (F.col("x") == F.col("sx")) & (F.col("y") == F.col("symax")))
+        .select(
+            "c_custkey",
+            F.round(F.col("x"), 2).alias("acctbal"),
+            F.col("y").alias("spend"),
+        )
+    )

@@ -503,3 +503,85 @@ def stream_interval_join_outer(t: Tables) -> DataFrame:
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
         "left",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+_FUNNEL_GATE_HOURS = 24  # max allowed lag between consecutive stages
+
+
+@query(
+    "events_funnel_time_gated",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL {_FUNNEL_GATE_HOURS} HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL {_FUNNEL_GATE_HOURS} HOUR
+        GROUP BY e.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT)                        AS n_viewed,
+           CAST(count(c.user_id) AS BIGINT)                AS n_clicked_24h,
+           CAST(count(p.user_id) AS BIGINT)                AS n_purchased_24h,
+           round(count(c.user_id) * 1.0 / count(*), 6)     AS view_to_click,
+           round(count(p.user_id) * 1.0
+                 / nullif(count(c.user_id), 0), 6)         AS click_to_purchase
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel_time_gated(t: Tables) -> DataFrame:
+    """Time-gated conversion funnel: view -> click -> purchase where
+    each step must land within 24 h of the previous one — the form
+    product analytics actually reports ('same-day conversion'), because
+    the ungated funnel (events_funnel) credits a purchase months after
+    the click. Same stage-chaining plan as the parent (per-stage
+    pushdown-filtered scans, user-keyed equi joins, strictly-after
+    predicate) with the gate as an additional range predicate on the
+    SAME join — no new join shape, no window. Reported as stage counts
+    + conversion rates (the funnel chart's numbers); nullif guards the
+    zero-click corpus.
+
+    Scale: identical to events_funnel — every shuffle keyed on user_id,
+    the gate predicate evaluates inside the join's codegen."""
+    e = t.events
+    gate = F.expr(f"INTERVAL {_FUNNEL_GATE_HOURS} HOURS")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + gate))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + gate))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    joined = (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_viewed"),
+        F.count("t_click").cast("long").alias("n_clicked_24h"),
+        F.count("t_purchase").cast("long").alias("n_purchased_24h"),
+        F.round(F.count("t_click") * 1.0 / F.count(F.lit(1)), 6).alias("view_to_click"),
+        F.round(
+            F.count("t_purchase") * 1.0 / F.nullif(F.count("t_click"), F.lit(0)), 6
+        ).alias("click_to_purchase"),
+    )

@@ -197,6 +197,8 @@ ROUND9_WINDOW: list[str] = [
     "sample_poisson_bootstrap", "win_locf_fill", "events_ratio_metric_ci",
     "etl_duplicate_payment_audit", "text_heaps_law", "agg_observe_metrics",
     "agg_bitmap_distinct", "sql_pipe_syntax", "join_merge_hint",
+    "events_funnel_time_gated", "etl_reconciliation_gate",
+    "agg_skyline_2d", "mm_video_fps_downsample",
 ]
 
 # Round 8: execute the committed rotation plan — the driver window IS

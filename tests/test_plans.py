@@ -257,6 +257,7 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "mm_image_phash": "MapInPandas",  # REAL BMP decode + 8x8 DCT hash
         "mm_video_frame_dedup": "MapInPandas",  # REAL AVI demux + frame aHash stream
         "mm_image_crop_center": "MapInPandas",  # two REAL BMP trips (center crop)
+        "mm_video_fps_downsample": "MapInPandas",  # two REAL AVI trips (frame drop)
     }
     markers = (
         "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
