@@ -4369,3 +4369,188 @@ def events_ratio_metric_ci(t: Tables) -> DataFrame:
         F.round(ratio - 1.959964 * F.sqrt(var_r), 6).alias("ci_lo"),
         F.round(ratio + 1.959964 * F.sqrt(var_r), 6).alias("ci_hi"),
     )
+
+
+_DID_SPLIT = "2024-04-01"  # pre/post boundary (fixture events span 2024)
+
+
+@query(
+    "events_diff_in_diff",
+    oracle=f"""
+    WITH cell AS (
+        SELECT CASE WHEN ((user_id % 100000) * 2654435761) % 100 < 50
+                    THEN 'A' ELSE 'B' END AS arm,
+               CASE WHEN ts < TIMESTAMP '{_DID_SPLIT}' THEN 'pre' ELSE 'post' END
+                   AS period,
+               user_id,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS x
+        FROM events GROUP BY arm, period, user_id
+    ),
+    m AS (
+        SELECT arm, period,
+               CAST(count(*) AS BIGINT) AS n_users,
+               avg(x)                   AS mean_x
+        FROM cell GROUP BY arm, period
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN arm = 'A' AND period = 'pre'  THEN mean_x END) AS a_pre,
+            max(CASE WHEN arm = 'A' AND period = 'post' THEN mean_x END) AS a_post,
+            max(CASE WHEN arm = 'B' AND period = 'pre'  THEN mean_x END) AS b_pre,
+            max(CASE WHEN arm = 'B' AND period = 'post' THEN mean_x END) AS b_post
+        FROM m
+    )
+    SELECT round(a_pre, 6)  AS a_pre,  round(a_post, 6) AS a_post,
+           round(b_pre, 6)  AS b_pre,  round(b_post, 6) AS b_post,
+           round((b_post - b_pre) - (a_post - a_pre), 6) AS did_estimate
+    FROM wide
+    """,
+)
+def events_diff_in_diff(t: Tables) -> DataFrame:
+    """Difference-in-differences readout: per-user purchase spend in
+    the pre/post periods for both hash arms, and the DiD estimate
+    (B's change minus A's change) — the causal workhorse when the
+    'treatment' switches on at a DATE rather than per-user (price
+    change, UI rollout): arm A's trend absorbs seasonality the naive
+    post-minus-pre comparison would attribute to the treatment.
+    Parallel-trends is the identifying assumption, checkable from the
+    same four cell means this emits. Shares the masked Knuth arm hash
+    verbatim with events_ab_test.
+
+    Scale: one (arm, period, user) hash agg (map-side combined), one
+    4-group agg, one conditional-pivot row — the agg_pivot_casewhen
+    shape on a 4-row frame."""
+    cell = t.events.groupBy(
+        F.when(
+            F.pmod(
+                F.pmod(F.col("user_id"), F.lit(100000)) * F.lit(2654435761),
+                F.lit(100),
+            )
+            < 50,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        F.when(F.col("ts") < F.lit(_DID_SPLIT).cast("timestamp"), "pre")
+        .otherwise("post")
+        .alias("period"),
+        "user_id",
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("x")
+    )
+    m = cell.groupBy("arm", "period").agg(F.avg("x").alias("mean_x"))
+    pick = lambda a, p: F.max(  # noqa: E731
+        F.when((F.col("arm") == a) & (F.col("period") == p), F.col("mean_x"))
+    )
+    wide = m.agg(
+        pick("A", "pre").alias("a_pre"),
+        pick("A", "post").alias("a_post"),
+        pick("B", "pre").alias("b_pre"),
+        pick("B", "post").alias("b_post"),
+    )
+    return wide.select(
+        F.round("a_pre", 6).alias("a_pre"),
+        F.round("a_post", 6).alias("a_post"),
+        F.round("b_pre", 6).alias("b_pre"),
+        F.round("b_post", 6).alias("b_post"),
+        F.round(
+            (F.col("b_post") - F.col("b_pre")) - (F.col("a_post") - F.col("a_pre")), 6
+        ).alias("did_estimate"),
+    )
+
+
+@query(
+    "events_propensity_stratified_ate",
+    oracle="""
+    WITH act AS (
+        SELECT user_id,
+               CASE WHEN ((user_id % 100000) * 2654435761) % 100 < 50
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    strat AS (
+        SELECT arm, converted,
+               CAST(greatest(least(floor((n_events - 40) / 10), 4), 0) AS BIGINT)
+                   AS stratum
+        FROM act
+    ),
+    cells AS (
+        SELECT stratum,
+               CAST(count(*) FILTER (WHERE arm = 'A') AS BIGINT)  AS n_a,
+               CAST(count(*) FILTER (WHERE arm = 'B') AS BIGINT)  AS n_b,
+               avg(CASE WHEN arm = 'A' THEN converted * 1.0 END)  AS rate_a,
+               avg(CASE WHEN arm = 'B' THEN converted * 1.0 END)  AS rate_b
+        FROM strat GROUP BY stratum
+    )
+    SELECT stratum, n_a, n_b,
+           round(rate_a, 6) AS rate_a,
+           round(rate_b, 6) AS rate_b,
+           round(rate_b - rate_a, 6) AS stratum_effect,
+           round(sum((rate_b - rate_a) * (n_a + n_b))
+                     OVER () * 1.0 / sum(n_a + n_b) OVER (), 6) AS ate_stratified
+    FROM cells
+    """,
+)
+def events_propensity_stratified_ate(t: Tables) -> DataFrame:
+    """Stratified average treatment effect: users bucketed by an
+    activity stratum (events/10, capped — the observable confounder a
+    observable confounder a propensity score would model),
+    conversion-rate difference per
+    stratum, and the stratum-size-weighted ATE — the standard
+    subclassification estimator (Cochran 1968) that removes the
+    confounding a raw A-vs-B comparison carries when activity predicts
+    both assignment exposure and conversion. Per-stratum effects ALSO
+    surface heterogeneity (does the treatment only move heavy users?),
+    which the single-number events_ab_test cannot. Fixed literal
+    stratum bounds — no quantile pass, comparable across runs.
+
+    Scale: one per-user collapse (map-side combined), one 5-group
+    conditional agg, windows over the 5-row stratum frame."""
+    act = t.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    strat = act.select(
+        F.when(
+            F.pmod(
+                F.pmod(F.col("user_id"), F.lit(100000)) * F.lit(2654435761),
+                F.lit(100),
+            )
+            < 50,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "converted",
+        F.greatest(
+            F.least(F.floor((F.col("n_events") - 40) / 10), F.lit(4)), F.lit(0)
+        )
+        .cast("long")
+        .alias("stratum"),
+    )
+    cells = strat.groupBy("stratum").agg(
+        F.count(F.when(F.col("arm") == "A", 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("arm") == "B", 1)).cast("long").alias("n_b"),
+        F.avg(F.when(F.col("arm") == "A", F.col("converted") * 1.0)).alias("rate_a"),
+        F.avg(F.when(F.col("arm") == "B", F.col("converted") * 1.0)).alias("rate_b"),
+    )
+    w = Window.partitionBy()
+    eff = F.col("rate_b") - F.col("rate_a")
+    n_tot = F.col("n_a") + F.col("n_b")
+    return cells.select(
+        "stratum",
+        "n_a",
+        "n_b",
+        F.round("rate_a", 6).alias("rate_a"),
+        F.round("rate_b", 6).alias("rate_b"),
+        F.round(eff, 6).alias("stratum_effect"),
+        F.round(
+            F.sum(eff * n_tot).over(w) * 1.0 / F.sum(n_tot).over(w), 6
+        ).alias("ate_stratified"),
+    )

@@ -1401,3 +1401,4 @@ def dedup_source_matrix(t: Tables) -> DataFrame:
             F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
         )
     )
+

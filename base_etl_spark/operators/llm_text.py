@@ -1873,3 +1873,76 @@ def text_heaps_law(t: Tables) -> DataFrame:
         F.round(F.exp(F.regr_intercept(lv, lt)), 6).alias("heaps_k"),
         F.round(F.regr_r2(lv, lt), 6).alias("r2"),
     )
+
+
+def _quality_survivor_oracle() -> str:
+    """Composed from dedup_clusters' recursive-CTE oracle and
+    text_quality's score oracle (the sim_recall_at_k composition
+    pattern), so the survivor policy cannot drift from what either
+    parent certifies."""
+    from base_etl_spark.registry import REGISTRY
+
+    clusters = REGISTRY["dedup_clusters"].oracle
+    quality = REGISTRY["text_quality"].oracle
+    return f"""
+    WITH c AS (SELECT * FROM ({clusters}) x),
+    q AS (SELECT doc_id, quality FROM ({quality}) y),
+    j AS (
+        SELECT c.canonical_id, c.doc_id, q.quality,
+               row_number() OVER (PARTITION BY c.canonical_id
+                                  ORDER BY q.quality DESC, c.doc_id) AS rn
+        FROM c JOIN q USING (doc_id)
+    )
+    SELECT canonical_id                              AS cluster_id,
+           CAST(count(*) AS BIGINT)                  AS n_docs,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+                                                     AS survivor_doc_id,
+           round(max(CASE WHEN rn = 1 THEN quality END), 6)
+                                                     AS survivor_quality,
+           round(max(CASE WHEN doc_id = canonical_id THEN quality END), 6)
+                                                     AS keep_first_quality
+    FROM j GROUP BY canonical_id
+    """
+
+
+@query("dedup_quality_survivor", oracle=_quality_survivor_oracle())
+def dedup_quality_survivor(t: Tables) -> DataFrame:
+    """Quality-aware survivor selection per near-dup cluster — the
+    policy layer on top of dedup_clusters: instead of the mechanical
+    keep-lowest-id, keep the member with the HIGHEST quality score
+    (text_quality's C4/Gopher-family heuristic; ties break to the
+    lower id), which is what a training-corpus pipeline actually wants
+    when a cluster mixes a clean original with truncated or
+    boilerplate-padded mirrors. Emits both the chosen survivor's
+    quality and the keep-first baseline's quality, so the value of the
+    policy (quality delta) is read straight off the report. Both
+    parents are reused verbatim (tables_fn on the Spark side, oracle
+    composition on the DuckDB side).
+
+    Scale: the cluster frame is near-dup-bounded; one doc_id-keyed
+    join attaches quality, one cluster-keyed window picks rank 1 —
+    partitions are cluster-sized."""
+    from base_etl_spark.registry import REGISTRY
+
+    clusters = REGISTRY["dedup_clusters"].fn.tables_fn(t)
+    quality = REGISTRY["text_quality"].fn.tables_fn(t).select("doc_id", "quality")
+    j = clusters.join(quality, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("canonical_id").orderBy(
+                F.desc("quality"), F.asc("doc_id")
+            )
+        ),
+    )
+    return j.groupBy(F.col("canonical_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("survivor_doc_id"),
+        F.round(F.max(F.when(F.col("rn") == 1, F.col("quality"))), 6).alias(
+            "survivor_quality"
+        ),
+        F.round(
+            F.max(F.when(F.col("doc_id") == F.col("canonical_id"), F.col("quality"))), 6
+        ).alias("keep_first_quality"),
+    )

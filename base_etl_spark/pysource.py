@@ -19,7 +19,13 @@ shard; Spark parallelizes across executors exactly as it does here.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -99,3 +105,78 @@ def scan_python_datasource(t: Tables) -> DataFrame:
         F.sum("val").cast("long").alias("total_val"),
         F.max("val").cast("long").alias("max_val"),
     )
+
+
+class _SinkCommit(WriterCommitMessage):
+    """Per-task commit message: the file the task wrote and its row
+    count — what the driver-side commit() aggregates into a manifest."""
+
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Per-partition Python writer: rows stream to one JSON-lines file
+    per task (write happens ON THE EXECUTOR), named by partition id +
+    task attempt so speculative retries cannot collide; the driver-side
+    commit publishes a manifest naming exactly the committed files —
+    the same two-phase rename-free protocol cloud committers use."""
+
+    def __init__(self, path: str, schema_names: list[str]):
+        self.path = path
+        self.names = schema_names
+
+    def write(self, iterator):
+        import json as _json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        out = os.path.join(self.path, f"part-{pid:05d}-{attempt}.jsonl")
+        n = 0
+        with open(out, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(dict(zip(self.names, row))) + "\n")
+                n += 1
+        return _SinkCommit(out, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        manifest = {
+            "files": sorted(m.path for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            f.write(_json.dumps(manifest))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlSink(DataSource):
+    """`df.write.format("jsonlsink").option("path", dir)` after
+    registration — the WRITE half of the Python DataSource surface
+    (SynthSource is the read half): a sink for systems Spark has no
+    connector for, implemented entirely in Python. Verified by a
+    pytest round-trip (tests/test_sinks.py): write -> manifest row
+    count == source count -> read back == source aggregate. S-row
+    (engine surface): a sink is not a driver-checkable query."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def schema(self) -> str:  # pragma: no cover - required by the ABC
+        return "id bigint"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlSinkWriter(self.options["path"], list(schema.names))

@@ -198,7 +198,8 @@ ROUND9_WINDOW: list[str] = [
     "etl_duplicate_payment_audit", "text_heaps_law", "agg_observe_metrics",
     "agg_bitmap_distinct", "sql_pipe_syntax", "join_merge_hint",
     "events_funnel_time_gated", "etl_reconciliation_gate",
-    "agg_skyline_2d", "mm_video_fps_downsample",
+    "agg_skyline_2d", "mm_video_fps_downsample", "events_diff_in_diff",
+    "events_propensity_stratified_ate", "dedup_quality_survivor",
 ]
 
 # Round 8: execute the committed rotation plan — the driver window IS

@@ -371,3 +371,33 @@ def test_avro_registration_matches_jar_probe(spark):
     assert ("scan_avro_agg" in qs) == _avro_available()
     if _avro_available():  # pragma: no cover — jar absent in this sandbox
         assert qs["scan_avro_agg"](spark, SF_TEST).count() > 0
+
+
+def test_python_datasource_sink_roundtrip(spark, tables, tmp_path):
+    """The WRITE half of the Python DataSource surface: per-task Python
+    writers stream JSON-lines files on executors, the driver-side
+    commit publishes a manifest, and the files read back to exactly the
+    source aggregate. Abort safety is the protocol's (attempt-unique
+    file names); this pins the happy path end to end."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from base_etl_spark.pysource import JsonlSink
+
+    try:
+        spark.dataSource.register(JsonlSink)
+    except Exception:
+        pass  # already registered in this session
+    src = tables.orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    expected = {r.o_orderpriority: r.n for r in src.collect()}
+    out = str(tmp_path / "jsonl_sink")
+    (tmp_path / "jsonl_sink").mkdir()
+    src.write.format("jsonlsink").option("path", out).mode("append").save()
+    manifest = json.loads((tmp_path / "jsonl_sink" / "_MANIFEST.json").read_text())
+    assert manifest["n_rows"] == len(expected)
+    back = spark.read.json(f"{out}/part-*.jsonl")
+    got = {r.o_orderpriority: r.n for r in back.collect()}
+    assert got == expected
