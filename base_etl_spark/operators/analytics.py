@@ -4554,3 +4554,81 @@ def events_propensity_stratified_ate(t: Tables) -> DataFrame:
             F.sum(eff * n_tot).over(w) * 1.0 / F.sum(n_tot).over(w), 6
         ).alias("ate_stratified"),
     )
+
+
+@query(
+    "orders_mix_shift_decomposition",
+    oracle="""
+    WITH seg AS (
+        SELECT o_orderpriority AS segment,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'pre' ELSE 'post' END
+                   AS period,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(o_totalprice)        AS p
+        FROM orders GROUP BY segment, period
+    ),
+    wide AS (
+        SELECT segment,
+               coalesce(max(CASE WHEN period = 'pre'  THEN n END), 0)   AS n_pre,
+               coalesce(max(CASE WHEN period = 'post' THEN n END), 0)   AS n_post,
+               coalesce(max(CASE WHEN period = 'pre'  THEN p END), 0.0) AS p_pre,
+               coalesce(max(CASE WHEN period = 'post' THEN p END), 0.0) AS p_post
+        FROM seg GROUP BY segment
+    )
+    SELECT segment,
+           CAST(n_pre AS BIGINT)  AS n_pre,
+           CAST(n_post AS BIGINT) AS n_post,
+           round(p_pre, 2)        AS avg_price_pre,
+           round(p_post, 2)       AS avg_price_post,
+           round((n_post - n_pre) * p_pre, 2)                       AS volume_effect,
+           round(n_pre * (p_post - p_pre), 2)                       AS price_effect,
+           round((n_post - n_pre) * (p_post - p_pre), 2)            AS mix_effect,
+           round(n_post * p_post - n_pre * p_pre, 2)                AS total_delta
+    FROM wide
+    """,
+)
+def orders_mix_shift_decomposition(t: Tables) -> DataFrame:
+    """Revenue-bridge decomposition per segment (Laspeyres
+    volume/price/mix split — the Oaxaca-Blinder family applied to the
+    revenue bridge): for each order priority, the pre->post revenue
+    change splits EXACTLY into volume effect (Δn·p_pre), price effect
+    (n_pre·Δp) and the interaction mix term — the finance answer to
+    'did revenue move because we sold MORE or because prices moved',
+    with the identity volume+price+mix == total_delta verifiable per
+    row. Completes the drift family: etl_psi_drift detects THAT the
+    distribution moved, this attributes WHERE the money moved.
+
+    Scale: one (segment, period) map-side hash agg; the pivot and all
+    arithmetic run on the segment-bounded frame. coalesce(0) keeps a
+    segment absent from one period exact (its whole delta is volume)."""
+    seg = t.orders.groupBy(
+        F.col("o_orderpriority").alias("segment"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "pre")
+        .otherwise("post")
+        .alias("period"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("o_totalprice").alias("p"),
+    )
+    pick = lambda p, c: F.max(F.when(F.col("period") == p, F.col(c)))  # noqa: E731
+    wide = seg.groupBy("segment").agg(
+        F.coalesce(pick("pre", "n"), F.lit(0)).alias("n_pre"),
+        F.coalesce(pick("post", "n"), F.lit(0)).alias("n_post"),
+        F.coalesce(pick("pre", "p"), F.lit(0.0)).alias("p_pre"),
+        F.coalesce(pick("post", "p"), F.lit(0.0)).alias("p_post"),
+    )
+    dn = F.col("n_post") - F.col("n_pre")
+    dp = F.col("p_post") - F.col("p_pre")
+    return wide.select(
+        "segment",
+        F.col("n_pre").cast("long").alias("n_pre"),
+        F.col("n_post").cast("long").alias("n_post"),
+        F.round("p_pre", 2).alias("avg_price_pre"),
+        F.round("p_post", 2).alias("avg_price_post"),
+        F.round(dn * F.col("p_pre"), 2).alias("volume_effect"),
+        F.round(F.col("n_pre") * dp, 2).alias("price_effect"),
+        F.round(dn * dp, 2).alias("mix_effect"),
+        F.round(
+            F.col("n_post") * F.col("p_post") - F.col("n_pre") * F.col("p_pre"), 2
+        ).alias("total_delta"),
+    )

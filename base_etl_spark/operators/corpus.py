@@ -928,3 +928,67 @@ def sample_poisson_bootstrap(t: Tables) -> DataFrame:
         F.round("ci_lo", 4).alias("ci_lo"),
         F.round("ci_hi", 4).alias("ci_hi"),
     )
+
+
+@query(
+    "sample_class_balanced",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(min(cnt) AS BIGINT) AS k
+        FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY hash(CAST(doc_id AS VARCHAR) || '/balance'), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM ranked CROSS JOIN m
+    WHERE rn <= m.k
+    GROUP BY lang
+    """,
+)
+def sample_class_balanced(t: Tables) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-count documents — the TRAINING-SET balancing move (equal
+    classes) that sample_stratified (proportional) deliberately is not.
+    Selection within a class is by deterministic hash rank (NO rand():
+    the same corpus always keeps the same docs — the sample_stratified
+    determinism rule), with doc_id as the tie-break. Because the two
+    engines hash differently, the driver-checkable CONTRACT is the
+    balance property itself (per-class count == global min), not the
+    specific ids — so the output aggregates per class; the id-level
+    determinism is pinned by the repo's invariance tier instead. The
+    n_even_ids column is rows-only-grade on a regenerated corpus but
+    exact here: both engines rank by their own hash yet the fixture's
+    per-class counts equal the min for every class, making the
+    selection all-of-class — a property the empty/fuzz tiers exercise
+    the other way (when counts differ, only the balance columns are
+    compared... so n_even_ids must be dropped).
+
+    Scale: one per-class count agg (broadcast scalar), one class-keyed
+    rank window (class-bounded partitions)."""
+    m = t.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).agg(
+        F.min("cnt").cast("long").alias("k")
+    )
+    ranked = t.documents.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.xxhash64(F.concat(F.col("doc_id").cast("string"), F.lit("/balance"))),
+                F.col("doc_id"),
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )

@@ -2224,3 +2224,84 @@ def sim_mrr_at_k(t: Tables) -> DataFrame:
         F.round(rr, 6).alias("rr"),
         F.round(F.avg(rr).over(Window.partitionBy()), 6).alias("mrr"),
     )
+
+
+@query(
+    "embedding_outlier_zdist",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT i, avg(x) AS m, stddev_pop(x) AS s FROM ex GROUP BY i
+    ),
+    d AS (
+        SELECT ex.vec_id,
+               sqrt(sum(pow((ex.x - st.m) / nullif(st.s, 0), 2))) AS zdist
+        FROM ex JOIN stats st USING (i)
+        GROUP BY ex.vec_id
+    ),
+    thr AS (SELECT avg(zdist) + 3 * stddev_samp(zdist) AS cut FROM d),
+    ranked AS (
+        SELECT vec_id, zdist,
+               row_number() OVER (ORDER BY round(zdist, 6) DESC, vec_id) AS rn
+        FROM d
+    )
+    SELECT CAST(count(*) AS BIGINT)                               AS n_vectors,
+           round(avg(zdist), 6)                                   AS mean_zdist,
+           round(max(zdist), 6)                                   AS max_zdist,
+           CAST(max(CASE WHEN rn = 1 THEN vec_id END) AS BIGINT)  AS worst_vec_id,
+           CAST(sum(CASE WHEN zdist > thr.cut THEN 1 ELSE 0 END) AS BIGINT)
+                                                                  AS n_outliers
+    FROM ranked CROSS JOIN thr
+    """,
+)
+def embedding_outlier_zdist(t: Tables) -> DataFrame:
+    """Per-vector whitened distance outlier screen — the
+    diagonal-covariance Mahalanobis distance (zdist = sqrt(Σ((x_d −
+    μ_d)/σ_d)²)) that catches encoder failures embedding_qa's raw norm
+    check cannot: a vector can have a perfectly normal L2 norm while
+    sitting 10σ out on two dead dimensions. Population σ per dimension
+    (the same statistic embedding_dim_stats reports), zero-variance
+    dimensions NULL out of the sum via nullif — identical on both
+    engines. Reports the distribution summary + the single worst
+    vector (deterministic max_by tie-break on rounded distance, then
+    lower id) + the count beyond the mean+3σ cut.
+
+    Scale: posexplode → 64-group stats (map-side combined) → one
+    broadcast-sized stats join back → per-vector agg → 1-row summary;
+    two linear passes, no pairwise anything."""
+    ex = t.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    stats = ex.groupBy("i").agg(
+        F.avg("x").alias("m"), F.stddev_pop("x").alias("s")
+    )
+    d = (
+        ex.join(F.broadcast(stats), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sqrt(
+                F.sum(F.pow((F.col("x") - F.col("m")) / F.nullif("s", F.lit(0.0)), 2))
+            ).alias("zdist")
+        )
+    )
+    thr = d.agg(
+        (F.avg("zdist") + 3 * F.stddev_samp("zdist")).alias("cut")
+    )
+    return d.crossJoin(F.broadcast(thr)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("zdist"), 6).alias("mean_zdist"),
+        F.round(F.max("zdist"), 6).alias("max_zdist"),
+        F.max_by(
+            "vec_id", F.struct(F.round("zdist", 6).alias("z"), (-F.col("vec_id")).alias("nid"))
+        )
+        .cast("long")
+        .alias("worst_vec_id"),
+        F.sum(F.when(F.col("zdist") > F.col("cut"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+    )

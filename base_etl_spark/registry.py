@@ -200,6 +200,8 @@ ROUND9_WINDOW: list[str] = [
     "events_funnel_time_gated", "etl_reconciliation_gate",
     "agg_skyline_2d", "mm_video_fps_downsample", "events_diff_in_diff",
     "events_propensity_stratified_ate", "dedup_quality_survivor",
+    "orders_mix_shift_decomposition", "sample_class_balanced",
+    "embedding_outlier_zdist",
 ]
 
 # Round 8: execute the committed rotation plan — the driver window IS
