@@ -72,6 +72,12 @@ PAIR_TIER_KEYS = {
     # collapse bounds candidate work; the counted expansion still grows
     # with duplicate density).
     "dedup_threshold_sweep",
+    # survivor policy over dedup_clusters' output: consumes the verified
+    # near-dup PAIR graph and runs min-label propagation over it, so
+    # cost tracks duplicate density by contract (etl_split_cluster_safe
+    # class — at x30 it GC-thrashes the default heap and exceeded a
+    # 30-min 24g budget; x10 clean at 8.92x; measured 2026-08-16).
+    "dedup_quality_survivor",
     # composite whose near-dup STAGE reuses the inverted-index shingle
     # pair join (llm_dedup._shingle_jaccard_pairs — the exact all-pairs
     # tier); its docstring declares minhash LSH as that stage's scale
