@@ -215,6 +215,8 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "sim_mrr_at_k",  # inherits sim_topk + bitsign probe broadcasts (recall_at_k shape)
         "events_power_sample_size",  # two 1-row scalars combined (ab_test shape)
         "sample_poisson_bootstrap",  # 1-row truth x 1-row replicate summary
+        "sample_class_balanced",  # 1-row min-class-count scalar broadcast
+        "embedding_outlier_zdist",  # 1-row 3-sigma threshold scalar broadcast
     }
     bad = []
     for k, fn in _QS.items():
