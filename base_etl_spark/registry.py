@@ -204,16 +204,19 @@ ROUND9_WINDOW: list[str] = [
     "embedding_outlier_zdist",
 ]
 
-# Round 8: execute the committed rotation plan — the driver window IS
-# ROUND8_WINDOW (the 25 spillover keys registered after the round-7
-# window filled; all 25 were judge-pre-verified green at sf0.01 in the
-# r7 VERDICT). Keys registered during round 8 are appended to
-# ROUND8_WINDOW at registration time (25 free slots before the driver's
-# 50-key window fills); any remainder is padded by registration order —
-# re-checks of the oldest driver rows, not claims.
+# Round 9: execute the committed rotation plan — the driver window IS
+# ROUND9_WINDOW (the 30 spillover keys registered after the round-8
+# window filled; all 30 were judge-pre-verified green at sf0.01 via the
+# driver-strict tools/check.py replica in the r8 VERDICT). The list is
+# 20 slots short of the driver's 50-key window, so the remainder pads
+# by registration order — re-checks of the OLDEST driver rows
+# (agg_pricing, agg_count_distinct, ... — r2/r3-era keys), not claims.
+# Keys registered during round 9 are appended to ROUND9_WINDOW at
+# registration time (20 free slots before the window fills); any
+# further spillover goes to a ROUND10_WINDOW.
 # tests/test_rotation_plan.py keeps this honest against the committed
 # CORRECTNESS_r0*.json history.
-DRIVER_PRIORITY: list[str] = list(ROUND8_WINDOW)
+DRIVER_PRIORITY: list[str] = list(ROUND9_WINDOW)
 
 
 def _ordered() -> list[str]:
