@@ -4498,7 +4498,7 @@ def events_diff_in_diff(t: Tables) -> DataFrame:
 def events_propensity_stratified_ate(t: Tables) -> DataFrame:
     """Stratified average treatment effect: users bucketed by an
     activity stratum (events/10, capped — the observable confounder a
-    observable confounder a propensity score would model),
+    propensity score would model),
     conversion-rate difference per
     stratum, and the stratum-size-weighted ATE — the standard
     subclassification estimator (Cochran 1968) that removes the

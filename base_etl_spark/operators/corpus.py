@@ -961,20 +961,32 @@ def sample_class_balanced(t: Tables) -> DataFrame:
     engines hash differently, the driver-checkable CONTRACT is the
     balance property itself (per-class count == global min), not the
     specific ids — so the output aggregates per class; the id-level
-    determinism is pinned by the repo's invariance tier instead. The
-    n_even_ids column is rows-only-grade on a regenerated corpus but
-    exact here: both engines rank by their own hash yet the fixture's
-    per-class counts equal the min for every class, making the
-    selection all-of-class — a property the empty/fuzz tiers exercise
-    the other way (when counts differ, only the balance columns are
-    compared... so n_even_ids must be dropped).
+    determinism of the xxhash64 ranking is pinned by an explicit
+    repeat-run test (same corpus -> identical selected doc_id set)
+    rather than the hash gate, which the (lang, k) contract cannot
+    distinguish from a broken ranking.
 
     Scale: one per-class count agg (broadcast scalar), one class-keyed
     rank window (class-bounded partitions)."""
-    m = t.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).agg(
+    return (
+        class_balanced_selection(t.documents)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+
+
+def class_balanced_selection(documents: DataFrame) -> DataFrame:
+    """The id-level selection behind sample_class_balanced: (doc_id,
+    lang) rows for the per-class min-count keep set, ranked by the
+    deterministic xxhash64 of doc_id with doc_id as tie-break. Exposed
+    separately so the id-level determinism (same corpus -> identical
+    doc_id set, independent of run and fan-out) is directly testable —
+    the query's (lang, k) contract alone cannot detect a broken
+    ranking."""
+    m = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).agg(
         F.min("cnt").cast("long").alias("k")
     )
-    ranked = t.documents.select(
+    ranked = documents.select(
         "doc_id",
         "lang",
         F.row_number()
@@ -989,6 +1001,5 @@ def sample_class_balanced(t: Tables) -> DataFrame:
     return (
         ranked.crossJoin(F.broadcast(m))
         .filter(F.col("rn") <= F.col("k"))
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+        .select("doc_id", "lang")
     )

@@ -548,7 +548,7 @@ def graph_assortativity(t: Tables) -> DataFrame:
 
 
 _KCORE_KS = (2, 3)
-_KCORE_MAX_ROUNDS = 60  # runaway guard only; peeling strictly shrinks
+_KCORE_MAX_ROUNDS = 60  # floor for the runaway guard; see n_nodes sizing below
 
 
 @query("graph_k_core", oracle=None)  # R: iterative peeling — invariants in tests
@@ -568,15 +568,25 @@ def graph_k_core(t: Tables) -> DataFrame:
     deleted nodes), all keyed on node id; the driver reads ONE scalar
     (the number of nodes just deleted). localCheckpoint per round resets
     lineage (the pagerank lesson). Peeling deletes >= 1 node per
-    non-final round, so rounds <= |V|; the 60-round guard raises rather
-    than returning a half-peeled core. Output: per k — core size, edge
-    count, and rounds taken (bounded: 2 rows)."""
+    non-final round, so rounds <= |V| — the runaway guard is sized from
+    the actual node count (a fixed constant is not safely above the
+    bound on amplified corpora: chain-like graphs shed ~2 nodes/round),
+    and it raises only when bad nodes REMAIN after the cap, never after
+    a peel that completed on its final permitted round. Output: per k —
+    core size, edge count, and rounds taken (bounded: 2 rows)."""
     edges0 = _knn_partnership_edges(t)
+    n_nodes0 = (
+        edges0.select(F.col("u").alias("node"))
+        .unionByName(edges0.select(F.col("v").alias("node")))
+        .distinct()
+        .count()
+    )
+    max_rounds = max(_KCORE_MAX_ROUNDS, n_nodes0)
     out = None
     for k in _KCORE_KS:
         cur = edges0.localCheckpoint()
         rounds_used = 0
-        for _ in range(_KCORE_MAX_ROUNDS):
+        while True:
             deg = (
                 cur.select(F.col("u").alias("node"))
                 .unionByName(cur.select(F.col("v").alias("node")))
@@ -587,15 +597,15 @@ def graph_k_core(t: Tables) -> DataFrame:
             n_bad = bad.count()
             if n_bad == 0:
                 break
+            if rounds_used >= max_rounds:
+                raise RuntimeError(
+                    f"graph_k_core: k={k} not peeled within {max_rounds} rounds"
+                )
             rounds_used += 1
             cur = (
                 cur.join(bad, cur.u == bad.node, "left_anti")
                 .join(bad, cur.v == bad.node, "left_anti")
                 .localCheckpoint()
-            )
-        else:
-            raise RuntimeError(
-                f"graph_k_core: k={k} not peeled within {_KCORE_MAX_ROUNDS} rounds"
             )
         iterstats.record("graph_k_core", rounds_used)
         stats = cur.agg(

@@ -113,16 +113,19 @@ def sql_pipe_syntax(t: Tables) -> DataFrame:
 
     Scale: surface-only — the plan is the standard partial/final hash
     agg over a pushed-filter scan; pipe syntax changes the PARSER, not
-    the plan."""
+    the plan. The customer frame is bound via spark.sql's DataFrame
+    parameter substitution ({customer}) rather than a session-global
+    temp view — no name to race on across interleaved fixtures, and
+    nothing leaks into the session catalog after the plan is built."""
     spark = t.customer.sparkSession
-    t.customer.createOrReplaceTempView("customer_pipe_v")
     return spark.sql(
         """
-        FROM customer_pipe_v
+        FROM {customer}
         |> WHERE c_acctbal > 0
         |> AGGREGATE CAST(count(*) AS BIGINT) AS n_customers,
                      round(avg(c_acctbal), 4) AS avg_balance
            GROUP BY c_mktsegment
         |> SELECT c_mktsegment, n_customers, avg_balance
-        """
+        """,
+        customer=t.customer,
     )

@@ -157,8 +157,12 @@ class JsonlSinkWriter(DataSourceWriter):
     def abort(self, messages):
         import os
 
+        # Unfinished/failed tasks surface as None entries in the
+        # DataSourceWriter protocol — guard them so abort cleans up the
+        # committed files instead of raising and masking the original
+        # task failure.
         for m in messages:
-            if os.path.exists(m.path):
+            if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
 
 

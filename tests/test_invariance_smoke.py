@@ -60,3 +60,26 @@ def test_result_invariant_under_shuffle_fanout(spark, key):
     assert results[0] == results[1], (
         f"{key}: result depends on shuffle partition count (3 vs 8)"
     )
+
+
+def test_class_balanced_selection_ids_deterministic(spark):
+    """ADVICE r8: sample_class_balanced's driver contract is
+    constitutively (lang, k), so the hash gate cannot see a broken
+    xxhash64 ranking — pin the ID-LEVEL selection: repeated runs and
+    different shuffle fan-outs must keep exactly the same doc_ids."""
+    from base_etl_spark.io import load_tables
+    from base_etl_spark.operators.corpus import class_balanced_selection
+
+    docs = load_tables(spark, SF_TEST).documents
+    picks = []
+    try:
+        for parts in (3, 8, 8):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            sel = class_balanced_selection(docs)
+            picks.append(sorted((r.doc_id, r.lang) for r in sel.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert picks[0] == picks[1] == picks[2], (
+        "class-balanced id selection is not deterministic across runs/fan-out"
+    )
+    assert picks[0], "selection unexpectedly empty on the test fixture"
