@@ -699,53 +699,34 @@ def etl_split_cluster_safe(t: Tables) -> DataFrame:
     near-dup pairs from the same pair set — 0 by CONSTRUCTION, and the
     report carries the proof rather than asserting it silently.
 
-    Plan: pair generation + min-label propagation are dedup_clusters'
-    bounded-iteration shape (one join + one agg per round, scalar
-    convergence probe); assignment is a left join of the doc list onto
-    the node-bounded label table; the census is one split-keyed agg.
-    At 100 TB the labels come from the MinHash tier's verified pairs
-    (dedup_near_minhash) instead of the exact inverted index — the
-    split arithmetic is unchanged."""
-    # localCheckpoint, not persist (the ADVICE-r7 graph-cache lesson):
-    # both frames are re-read across the label rounds and the final legs,
-    # and a per-call persist would accumulate cached partitions over
-    # repeated correctness sweeps; checkpointing pins the rows and lets
-    # them die with the RDD.
-    pairs = _shingle_jaccard_pairs(t).select("doc_a", "doc_b").localCheckpoint()
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).persist()
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lab")
+    Plan (r8 VERDICT task 2 — collapsed propagation): labels come from
+    collapsed_cluster_labels, whose min-label propagation runs over
+    exact-dup-collapsed REPRESENTATIVES — identical-text class members
+    collapse to one node, a class-factor^2 edge reduction that takes
+    the amplified-corpus quadratic out of the iterate (the old
+    full-graph propagation needed a 24g heap at x30; exactness argument
+    in the helper's docstring). Assignment is a left join of the doc list onto the
+    node-bounded label table; the census is one split-keyed agg. The
+    leak count stays EXACT without materializing the expanded pair set:
+    an expanded pair crosses splits iff its rep-level pair does (class
+    members share a canonical, hence a split; intra-class pairs never
+    cross), and each crossing rep pair stands for class_n_a x class_n_b
+    expanded pairs — so leak_pairs = sum over crossing rep pairs of the
+    class-size product, a rep-bounded join instead of a quadratic
+    expansion. At 100 TB the rep pairs come from the MinHash tier's
+    verified pairs (dedup_near_minhash) instead of the exact inverted
+    index — the split arithmetic is unchanged."""
+    from base_etl_spark.operators.llm_dedup import (
+        _shingle_jaccard_pairs_docs,
+        collapsed_cluster_labels,
+        exact_dup_classes,
     )
-    max_rounds = 100
-    changed = -1
-    for _ in range(max_rounds):
-        neigh = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lab").alias("nlab"))
-        )
-        new_labels = (
-            labels.join(neigh, "node", "left")
-            .select("node", F.least("lab", F.coalesce("nlab", "lab")).alias("lab"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    if changed != 0:
-        raise RuntimeError("etl_split_cluster_safe: label propagation did not converge")
+
+    _, classes = exact_dup_classes(t.documents)
+    labels = collapsed_cluster_labels(t.documents)
     assigned = (
         t.documents.select("doc_id")
-        .join(labels.select(F.col("node").alias("doc_id"), "lab"), "doc_id", "left")
+        .join(labels.withColumnRenamed("canonical_id", "lab"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("lab", F.col("doc_id")).alias("canonical"),
@@ -756,17 +737,35 @@ def etl_split_cluster_safe(t: Tables) -> DataFrame:
         )
         .localCheckpoint()
     )
+    reps = t.documents.join(
+        classes.select(F.col("rep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text")
+    rep_pairs = _shingle_jaccard_pairs_docs(reps).select("doc_a", "doc_b")
+    cls_n = classes.select(F.col("rep_id").alias("doc_id"), "class_n")
+    side = assigned.select("doc_id", "split").join(cls_n, "doc_id")
     leaks = (
-        pairs.join(
-            assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+        rep_pairs.join(
+            side.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split").alias("sa"),
+                F.col("class_n").alias("na"),
+            ),
             "doc_a",
         )
         .join(
-            assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            side.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("sb"),
+                F.col("class_n").alias("nb"),
+            ),
             "doc_b",
         )
         .filter(F.col("sa") != F.col("sb"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(
+            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+            .cast("long")
+            .alias("n")
+        )
     )
     out = (
         assigned.groupBy("split")

@@ -108,9 +108,9 @@ _JACCARD_ORACLE = f"""
 """
 
 
-def _shingle_sets(t: Tables) -> DataFrame:
+def _shingle_sets(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle) pairs, re-spread for parallelism."""
-    return _spread(t.documents).select(
+    return _spread(docs).select(
         "doc_id", F.explode(F.array_distinct(_shingles())).alias("s")
     )
 
@@ -130,13 +130,20 @@ def _jaccard_from_sets(tok: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def _shingle_jaccard_pairs(t: Tables) -> DataFrame:
+    """Exact shingle-Jaccard pairs over the full corpus (Tables entry)."""
+    return _shingle_jaccard_pairs_docs(t.documents)
+
+
+def _shingle_jaccard_pairs_docs(docs: DataFrame) -> DataFrame:
     """Exact 3-word-shingle-set Jaccard pairs >= THETA via inverted index.
 
     Shingles (unlike raw tokens on this tiny-vocabulary corpus, where
     almost every doc pair shares most tokens) are discriminative: a
     shingle's document frequency is ~1 except for true near-dups, so the
-    inverted-index self-join stays near-linear."""
-    tok = _shingle_sets(t)
+    inverted-index self-join stays near-linear. Takes a bare documents
+    frame so cluster-tier callers can run it over exact-dup-collapsed
+    REPRESENTATIVES (r8 VERDICT task 2) instead of the full corpus."""
+    tok = _shingle_sets(docs)
     a = tok.alias("a")
     b = tok.alias("b")
     pairs = (
@@ -311,6 +318,67 @@ def bucket_pairs(
     )
 
 
+_COLLAPSE_MIN_CLASS = 8  # engage exact-dup pre-collapse at this max class size
+
+
+def exact_dup_classes(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact-dup content classes via a plain hash agg on the 8-byte
+    xxhash64(text) digest — the shared pre-collapse substrate for the
+    minhash and cluster tiers (never a window over (chash, text): the
+    window form shuffles full document text and re-evaluates per
+    consumer — measured r8 bench regression).
+
+    Returns (tagged, classes): tagged = (chash, doc_id, rep_id,
+    class_n) one row per doc; classes = (chash, rep_id, class_n) one
+    row per distinct content, rep_id = min doc_id of the class."""
+    chash_docs = documents.select("doc_id", F.xxhash64("text").alias("chash"))
+    classes = chash_docs.groupBy("chash").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("class_n")
+    )
+    tagged = chash_docs.join(classes, "chash")
+    return tagged, classes
+
+
+def _verify_candidates(docs: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs against the
+    given corpus: (doc_a, doc_b, jaccard) for candidates >= THETA.
+
+    Per-candidate array_intersect over in-row distinct-shingle arrays;
+    the shingle lineage is scanned ONCE (candidates explode into
+    (doc_id, side) membership rows, join the corpus a single time,
+    regroup per pair). The membership join is MERGE-pinned: the
+    candidate side scales with near-dup density, not corpus size — on a
+    100x-amplified corpus the planner's broadcast choice died with 'Not
+    enough memory to build and broadcast the table'
+    (tools/scale_stress.py --amp 100, 2026-08-14)."""
+    shs = _spread(docs).select("doc_id", F.array_distinct(_shingles()).alias("sh"))
+    sides = cands.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("doc_id"), F.lit("a").alias("side")),
+                F.struct(F.col("doc_b").alias("doc_id"), F.lit("b").alias("side")),
+            )
+        ).alias("m"),
+    ).select(
+        "doc_a", "doc_b", F.col("m.doc_id").alias("doc_id"), F.col("m.side").alias("side")
+    )
+    pairs = (
+        shs.join(sides.hint("merge"), "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(F.when(F.col("side") == "a", F.col("sh")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("side") == "b", F.col("sh")), ignorenulls=True).alias("sh_b"),
+        )
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common * F.lit(1.0) / (F.size("sh_a") + F.size("sh_b") - common)
+    return pairs.filter(jac >= THETA).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
 @query("dedup_near_minhash", oracle=_JACCARD_ORACLE)
 def dedup_near_minhash(t: Tables) -> DataFrame:
     """MinHash+LSH near-dup: signatures -> banded candidates -> exact
@@ -336,93 +404,56 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
     key then demotes to rows-only with the tests' equality self-check
     rather than shipping a red driver row.
 
-    EXACT-DUP PRE-COLLAPSE (r7 VERDICT task 4): identical-text docs are
-    collapsed to one representative (min doc_id per xxhash64(text)
-    class) BEFORE signatures, and pairs re-expand afterwards. Identical
-    docs land in identical buckets in every band, so a giant exact-dup
-    class used to concentrate O(n^2) in-row pair expansion in one LSH
-    task (the documented 100 TB skew risk); after collapse, bucket sizes
-    are bounded by DISTINCT-content class counts and the bucket cap
-    (bucket_pairs) rarely fires. Re-expansion is exact, not heuristic:
-    J(x, y) = J(rep(x), rep(y)) when text is identical, so cross-class
-    pairs inherit the verified rep jaccard, and intra-class pairs are
-    jaccard 1.0 by construction (classes whose text has < _SHINGLE
-    tokens are excluded — empty shingle sets never pair in the oracle).
-    The intra-class pair output is quadratic in class size, but that is
-    the OUTPUT's own size (the oracle emits those pairs too) — the
-    collapse removes the quadratic from the shuffle/compute stages, not
-    from the answer."""
+    EXACT-DUP PRE-COLLAPSE (r7 VERDICT task 4), GATED (r8 VERDICT task
+    3): identical-text docs are collapsed to one representative (min
+    doc_id per xxhash64(text) class) BEFORE signatures, and pairs
+    re-expand afterwards. Identical docs land in identical buckets in
+    every band, so a giant exact-dup class used to concentrate O(n^2)
+    in-row pair expansion in one LSH task (the documented 100 TB skew
+    risk); after collapse, bucket sizes are bounded by DISTINCT-content
+    class counts and the bucket cap (bucket_pairs) rarely fires.
+    Re-expansion is exact, not heuristic: J(x, y) = J(rep(x), rep(y))
+    when text is identical, so cross-class pairs inherit the verified
+    rep jaccard, and intra-class pairs are jaccard 1.0 by construction
+    (classes whose text has < _SHINGLE tokens are excluded — empty
+    shingle sets never pair in the oracle). The intra-class pair output
+    is quadratic in class size, but that is the OUTPUT's own size (the
+    oracle emits those pairs too) — the collapse removes the quadratic
+    from the shuffle/compute stages, not from the answer.
+
+    THE GATE: the collapse + re-expansion legs cost ~0.6 s of joins at
+    sf0.1 and buy nothing on a corpus whose largest identical-text
+    class is small (the r8 bench paid 19% on a fixture with 8 exact
+    dups). One scalar read of max(class_n) over the already-computed
+    digest classes decides: below _COLLAPSE_MIN_CLASS (8 — far under
+    BUCKET_CAP=1024, so the ungated path can never lose intra pairs to
+    the cap, and a sub-8 class is <= 8^2 x 8 bands = 512 in-row
+    expansions, trivially task-safe) the pipeline runs directly over
+    the corpus exactly as the r7 shape did; at or above it the collapse
+    engages and the skew guard story is unchanged. On the amplified
+    scale fixtures, class sizes are ~amp/10 (copies carry a cycling
+    c0-c9 prefix), so x100 (10-member classes) exercises the collapse
+    path while x10/x30 and the bench fixture take the gated fast
+    path."""
     # No persists, no self-joins: the signature lineage runs exactly once
     # (bucket-collect candidate generation, see lsh_candidate_pairs), so
     # there is nothing to cache. Round 1 persisted two mid-plan
     # intermediates and still paid for double lineage evaluation plus
     # AQE/cache contention (6.6 s at sf0.1; this shape runs ~3 s).
-    #
-    # Verification is per-candidate array_intersect over the in-row
-    # distinct-shingle arrays — the candidate table is O(near-dups),
-    # replacing the round-1 explode -> two shuffle joins -> groupBy chain
-    # (3 extra shuffles of every (doc, shingle) pair). The shingle lineage
-    # is scanned ONCE: candidates explode into (doc_id, side) membership
-    # rows, join the corpus a single time, and regroup per pair — the
-    # earlier two-sided join evaluated the full shingle scan per side
-    # (measured ~0.25 s/side at sf0.1). The membership join is MERGE-
-    # pinned: the candidate side scales with near-dup DENSITY, not corpus
-    # size, so no static bound exists — on a 100x-amplified corpus where
-    # every doc has 99 near-twins (~25M candidate pairs) the planner's
-    # broadcast choice died with 'Not enough memory to build and
-    # broadcast the table' (tools/scale_stress.py --amp 100, 2026-08-14),
-    # while the merge plan completes. At base sf0.1 the pin costs ~1 s
-    # (2.9 s vs 1.9 s warm — the sort of the shingle-array side dominates
-    # the extra shuffle; a shuffle_hash hint was tried and pathologically
-    # stalled >5 min on this shape) — the price of not OOMing on exactly
-    # the corpora dedup exists for.
-    # Pre-collapse: class table via a plain hash agg on the 8-byte
-    # content digest — NOT a window over (chash, text): the window form
-    # shuffled the full TEXT column (violating the family's
-    # digests-not-text shuffle rule) and, worse, its lineage is
-    # re-evaluated by every downstream consumer (reps, both re-expansion
-    # membership sides, both intra-join sides) — measured 4.3-7.7 s warm
-    # at sf0.1 vs ~2 s for the r7 shape (bench regression caught
-    # 2026-08-16). The agg form map-side combines to distinct-content
-    # cardinality and every recomputation moves 16-byte rows only; rep
-    # text is attached by ONE doc_id-keyed join to the corpus.
-    chash_docs = t.documents.select("doc_id", F.xxhash64("text").alias("chash"))
-    classes = chash_docs.groupBy("chash").agg(
-        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("class_n")
-    )
-    tagged = chash_docs.join(classes, "chash")
+    # Verification (shared _verify_candidates): merge-pinned single-scan
+    # shingle membership join — see the helper's docstring for the
+    # measured broadcast-OOM and shuffle_hash-stall history.
+    tagged, classes = exact_dup_classes(t.documents)
+    max_class = classes.agg(F.max("class_n").alias("m")).first()["m"] or 0
+    if max_class < _COLLAPSE_MIN_CLASS:
+        sigs = minhash_signatures(t.documents)
+        return _verify_candidates(t.documents, lsh_candidate_pairs(sigs))
+
     reps = t.documents.join(
         classes.select(F.col("rep_id").alias("doc_id")), "doc_id"
     ).select("doc_id", "text")
-
     sigs = minhash_signatures(reps)
-    cands = lsh_candidate_pairs(sigs)
-    shs = _spread(reps).select(
-        "doc_id", F.array_distinct(_shingles()).alias("sh")
-    )
-    sides = cands.select(
-        "doc_a",
-        "doc_b",
-        F.explode(
-            F.array(
-                F.struct(F.col("doc_a").alias("doc_id"), F.lit("a").alias("side")),
-                F.struct(F.col("doc_b").alias("doc_id"), F.lit("b").alias("side")),
-            )
-        ).alias("m"),
-    ).select("doc_a", "doc_b", F.col("m.doc_id").alias("doc_id"), F.col("m.side").alias("side"))
-    pairs = (
-        shs.join(sides.hint("merge"), "doc_id")
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.first(F.when(F.col("side") == "a", F.col("sh")), ignorenulls=True).alias("sh_a"),
-            F.first(F.when(F.col("side") == "b", F.col("sh")), ignorenulls=True).alias("sh_b"),
-        )
-    )
-    common = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = common * F.lit(1.0) / (F.size("sh_a") + F.size("sh_b") - common)
-    rep_pairs = pairs.filter(jac >= THETA).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-    )
+    rep_pairs = _verify_candidates(reps, lsh_candidate_pairs(sigs))
 
     # Re-expansion. Cross-class: every member of class(doc_a) pairs with
     # every member of class(doc_b) at the verified rep jaccard; the two
@@ -533,6 +564,111 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", simhash.alias("simhash"))
 
 
+def _propagate_min_labels(
+    pairs: DataFrame, max_rounds: int = 100, what: str = "min-label propagation"
+) -> DataFrame:
+    """(node, lab) min-label propagation over an undirected pair graph:
+    each round every node adopts the minimum label among itself and its
+    neighbors; converges in O(component diameter) rounds. One join +
+    one groupBy per round, keyed on node id; the driver reads one
+    scalar convergence count per round. localCheckpoint per round keeps
+    lineage flat; the round cap is a runaway guard that RAISES instead
+    of returning non-converged labels."""
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    changed = -1
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select("node", F.least("lab", F.coalesce("nlab", "lab")).alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"{what}: did not converge within {max_rounds} rounds — graph has a "
+            f"longer chain than expected"
+        )
+    return labels
+
+
+def collapsed_cluster_labels(documents: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id) connected-component labels over the exact
+    near-dup pair graph, computed WITHOUT ever materializing that graph:
+    the min-label propagation runs over exact-dup-collapsed
+    REPRESENTATIVES (r8 VERDICT task 2 — the pair-tier un-excusal).
+
+    Why this is exact, not an approximation: identical-text docs pair
+    with exactly the docs their representative pairs with (J(x, y) =
+    J(rep(x), rep(y))) and with each other at jaccard 1.0, so every
+    member of a class belongs to its rep's component and the component
+    min over FULL doc_ids equals the min over rep_ids (each rep IS its
+    class minimum). Membership in the output (= appears in the pair
+    graph) expands to: (a) every member of a class whose rep has a
+    cross-class pair, and (b) every member of a shingle-bearing class
+    of size > 1 (intra pairs at jaccard 1.0; sub-_SHINGLE-token classes
+    have empty shingle sets and never pair in the oracle).
+
+    Scale: the propagation graph shrinks from expanded pairs (quadratic
+    in duplicate density — the x30-amplified corpus's ~2.4M edges
+    GC-thrashed a 24g heap, measured 2026-08-16) to DISTINCT-CONTENT
+    pairs — a class-factor^2 reduction (the amplified fixtures carry
+    ~amp/10-member identical classes via their cycling c0-c9 copy
+    prefix, so ~9x fewer edges at x30, ~100x at x100; a real corpus's
+    giant identical-text families collapse to single nodes outright).
+    Expansion is one chash-keyed join against class labels, linear in
+    docs."""
+    tagged, classes = exact_dup_classes(documents)
+    reps = documents.join(
+        classes.select(F.col("rep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text")
+    rep_pairs = (
+        _shingle_jaccard_pairs_docs(reps).select("doc_a", "doc_b").localCheckpoint()
+    )
+    rep_labels = _propagate_min_labels(rep_pairs, what="collapsed_cluster_labels")
+    shingled = reps.filter(F.size(F.split("text", " ")) >= _SHINGLE).select(
+        F.col("doc_id").alias("rep_id")
+    )
+    multi = (
+        classes.filter(F.col("class_n") > 1)
+        .join(shingled, "rep_id")
+        .select("rep_id", F.lit(True).alias("is_multi"))
+    )
+    class_labels = (
+        classes.select("chash", "rep_id")
+        .join(rep_labels.select(F.col("node").alias("rep_id"), "lab"), "rep_id", "left")
+        .join(multi, "rep_id", "left")
+        .filter(F.col("lab").isNotNull() | F.col("is_multi").isNotNull())
+        .select("chash", F.coalesce("lab", "rep_id").alias("canonical_id"))
+    )
+    return tagged.join(class_labels, "chash").select("doc_id", "canonical_id")
+
+
 @query(
     "dedup_clusters",
     oracle=f"""
@@ -558,61 +694,20 @@ def dedup_clusters(t: Tables) -> DataFrame:
     keeper). This is the step that turns pairwise dedup output into an
     actionable keep/drop list.
 
-    Iterative min-label propagation: each round, every node adopts the
-    minimum label among itself and its neighbors; converges in
-    O(cluster diameter) rounds (near-dup clusters are shallow — dup
-    groups, not long chains). Each round is one join + one groupBy keyed
-    on doc_id; the driver loop only reads a scalar convergence count per
-    round — the standard Spark shape for bounded-diameter graph
-    algorithms without GraphFrames. The DuckDB oracle is a recursive-CTE
-    transitive closure of the same edge set.
+    Iterative min-label propagation over exact-dup-COLLAPSED
+    representatives (collapsed_cluster_labels — exactness argument and
+    the measured x30 pair-graph blowup it removes are documented
+    there); converges in O(cluster diameter) rounds — the standard
+    Spark shape for bounded-diameter graph algorithms without
+    GraphFrames. The DuckDB oracle is a recursive-CTE transitive
+    closure of the UNcollapsed edge set — the hash gate certifies the
+    collapse-expand equivalence every round, not just the derivation.
 
     The loop runs until changed == 0; the round cap is a runaway guard
     that RAISES instead of returning non-converged labels (a silent cap
     would emit wrong canonical ids for a cluster whose min-label distance
     exceeds it)."""
-    pairs = _shingle_jaccard_pairs(t).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lab")
-    )
-    edges = edges.persist()
-    labels = labels.persist()
-    max_rounds = 100  # runaway guard only — far beyond any real diameter
-    changed = -1
-    for _ in range(max_rounds):
-        neigh = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lab").alias("nlab"))
-        )
-        new_labels = (
-            labels.join(neigh, "node", "left")
-            .select("node", F.least("lab", F.coalesce("nlab", "lab")).alias("lab"))
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    if changed != 0:
-        labels.unpersist()
-        raise RuntimeError(
-            f"dedup_clusters: min-label propagation did not converge within "
-            f"{max_rounds} rounds — graph has a longer chain than expected"
-        )
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("lab").alias("canonical_id")
-    )
+    return collapsed_cluster_labels(t.documents)
 
 
 @query(
@@ -653,7 +748,7 @@ def dedup_containment(t: Tables) -> DataFrame:
     classes); directed pairs, so both (a in b) and (b in a) can appear.
     The LSH scale tier applies unchanged — containment candidates are a
     superset-filtered view of the same banding buckets."""
-    tok = _shingle_sets(t)
+    tok = _shingle_sets(t.documents)
     a = tok.alias("a")
     b = tok.alias("b")
     pairs = (

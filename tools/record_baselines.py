@@ -53,6 +53,17 @@ KEYS_R8C = [
     ("silhouette", "sim_silhouette_label"),
 ]
 
+# round-9 additions (r8 VERDICT task 5): the heaviest ROUND9_WINDOW
+# shapes still without a 2x-gate anchor — the cluster-survivor policy
+# (now on collapsed propagation), the global-ntile lift table, the
+# two-codec-trip video kernel, and the multi-fact reconciliation gate.
+KEYS_R9 = [
+    ("quality_survivor", "dedup_quality_survivor"),
+    ("decile_lift", "agg_decile_lift"),
+    ("fps_downsample", "mm_video_fps_downsample"),
+    ("reconciliation", "etl_reconciliation_gate"),
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -65,8 +76,16 @@ def main() -> None:
         "--r8c", action="store_true",
         help="measure the round-8 continuation capstones",
     )
+    ap.add_argument(
+        "--r9", action="store_true",
+        help="measure the round-9 unanchored heavies",
+    )
     args = ap.parse_args()
-    keys = KEYS_R8C if args.r8c else (KEYS_R8 if args.r8 else KEYS)
+    keys = (
+        KEYS_R9 if args.r9
+        else KEYS_R8C if args.r8c
+        else (KEYS_R8 if args.r8 else KEYS)
+    )
 
     import duckdb
 

@@ -64,33 +64,27 @@ USER_OFF = 10**7  # events.user_id: grow the user universe per copy
 # final report is a handful of summary rows. The scale path for these
 # is the minhash banding tier; the excusal is printed per key.
 PAIR_TIER_KEYS = {
-    "dedup_near_jaccard", "dedup_containment", "dedup_clusters",
-    "dedup_cluster_sizes", "dedup_embedding", "etl_split_leakage",
-    "corpus_pipeline_report", "text_contamination",
+    "dedup_near_jaccard", "dedup_containment", "dedup_embedding",
+    "etl_split_leakage", "corpus_pipeline_report", "text_contamination",
     # 5-row report, but its input IS dedup_embedding's pair set at the
     # loosest theta — pair-tier cost by contract (the exact-dup
     # collapse bounds candidate work; the counted expansion still grows
     # with duplicate density).
     "dedup_threshold_sweep",
-    # survivor policy over dedup_clusters' output: consumes the verified
-    # near-dup PAIR graph and runs min-label propagation over it, so
-    # cost tracks duplicate density by contract (etl_split_cluster_safe
-    # class — at x30 it GC-thrashes the default heap and exceeded a
-    # 30-min 24g budget; x10 clean at 8.92x; measured 2026-08-16).
-    "dedup_quality_survivor",
     # composite whose near-dup STAGE reuses the inverted-index shingle
     # pair join (llm_dedup._shingle_jaccard_pairs — the exact all-pairs
     # tier); its docstring declares minhash LSH as that stage's scale
     # tier. Flagged x15.71 at x10 in the first sink-forced full sweep
     # (r6) — pair growth, not a plan defect.
     "etl_corpus_clean",
-    # cluster-safe split: already on the minhash tier (r8), but the
-    # amplified corpus's 30-member near-dup families make the VERIFIED
-    # pair set itself quadratic in duplicate density (~2.4M pairs at
-    # x30 under an 8g local heap) — the declared cost of cluster-safe
-    # splitting. Exact-tier spelling OOM'd outright; minhash spelling
-    # recorded x4.67 at x10.
-    "etl_split_cluster_safe",
+    # UN-EXCUSED r9 (r8 VERDICT task 2): dedup_clusters,
+    # dedup_cluster_sizes, dedup_quality_survivor and
+    # etl_split_cluster_safe now run min-label propagation over
+    # exact-dup-COLLAPSED representatives
+    # (llm_dedup.collapsed_cluster_labels) and the split's leak count is
+    # rep-bounded — all four complete x30 under the default 8g heap with
+    # sub-amp ratios (x3.42 / x9.59 / x6.79 / x12.33, measured
+    # 2026-08-16; the old full-graph propagation GC-thrashed 24g).
 }
 
 # Declared-iterative keys: per-round driver work is bounded (k-row
