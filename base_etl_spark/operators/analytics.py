@@ -4120,6 +4120,80 @@ def agg_decile_lift(t: Tables) -> DataFrame:
     )
 
 
+_LIFT_APPROX_ACC = 10000  # percentile_approx accuracy (GK rank error <= n/acc)
+
+
+@query("agg_decile_lift_approx", oracle=None)  # R: GK sketch boundaries are
+# merge-order-specific (partition-dependent); conservation + bucket-balance
+# + exact-twin-agreement pinned in tests
+def agg_decile_lift_approx(t: Tables) -> DataFrame:
+    """Decile lift/gains table with SKETCH-derived boundaries — the
+    checked 100 TB percentile path that agg_decile_lift's docstring
+    declares (r8 VERDICT task 7b): the exact twin ranks every customer
+    through one global ntile window (a total sort — fine while the
+    collapsed per-customer frame is small, wrong at billions of
+    customers), while this spelling gets the nine decile boundaries
+    from ONE mergeable percentile_approx aggregate (Greenwald-Khanna,
+    accuracy 10000: rank error <= n/10000) and assigns deciles by an
+    in-row broadcast comparison — no global sort or window anywhere,
+    every stage map-side combinable. The same swap applies to
+    events_interarrival's percentile columns.
+
+    Rows-only by honest necessity: GK sketch merge is
+    partition-order-dependent, so boundary ulps (hence boundary-row
+    bucket membership) can differ run-to-run — the same reason
+    agg_approx_quantile is R. The binding checks live in tests:
+    column totals conserve exactly (sum n_cust = |customers|, sum
+    n_resp = exact responder count), per-decile counts stay within the
+    GK rank-error bound of n/10, and at sf0.001/sf0.01 (where n <<
+    accuracy makes GK exact) the table must EQUAL agg_decile_lift's.
+
+    Columns match the exact twin so the two reports diff directly."""
+    spend = (
+        t.customer.join(
+            t.orders, t.customer.c_custkey == t.orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"))
+    )
+    # nine ascending boundaries q10..q90 of the score; one 1-row frame
+    bounds = spend.agg(
+        F.percentile_approx(
+            "c_acctbal",
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            F.lit(_LIFT_APPROX_ACC),
+        ).alias("bnds")
+    )
+    # decile 1 = top scores (mirrors the exact twin's DESC ntile):
+    # count boundaries >= score, +1
+    scored = spend.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.size(F.filter("bnds", lambda b: b >= F.col("c_acctbal"))) + F.lit(1)
+        ).alias("decile"),
+        F.when(F.col("spend") > _LIFT_RESPONSE_SPEND, 1).otherwise(0).alias("resp"),
+    )
+    d = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("resp").cast("long").alias("n_resp"),
+    )
+    w = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    rate = F.col("n_resp") * 1.0 / F.col("n_cust")
+    overall = F.sum("n_resp").over(w) * 1.0 / F.sum("n_cust").over(w)
+    return d.select(
+        "decile",
+        "n_cust",
+        "n_resp",
+        F.round(rate, 6).alias("resp_rate"),
+        F.round(rate / F.nullif(overall, F.lit(0.0)), 6).alias("lift"),
+        F.round(
+            F.sum("n_resp").over(wcum) * 1.0
+            / F.nullif(F.sum("n_resp").over(w), F.lit(0)),
+            6,
+        ).alias("cum_capture"),
+    )
+
+
 # Experiment-planning constants: two-sided alpha = 0.05, power = 0.80.
 # The normal quantiles are literals (z_{0.975}, z_{0.80}) — planning
 # arithmetic, not a stats library dependency.

@@ -1672,6 +1672,112 @@ def _pq_train(emb: DataFrame):
     return assign, cent_rows, spark
 
 
+_PQ_SUBDIM = EMBEDDING_DIM // _PQ_SUBS
+
+_PQ_DISTORTION_ORACLE = f"""
+    WITH seeds AS (
+        SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    subs AS (
+        SELECT vec_id, sub_id,
+               (embedding::DOUBLE[])[sub_id*{_PQ_SUBDIM}+1 : sub_id*{_PQ_SUBDIM}+{_PQ_SUBDIM}] AS sv
+        FROM embeddings, (SELECT CAST(unnest(range(0, {_PQ_SUBS})) AS INT) AS sub_id)
+    ),
+    cb AS (
+        SELECT s.code, p.sub_id, p.sv AS cent
+        FROM subs p JOIN seeds s USING (vec_id)
+    ),
+    d AS (
+        SELECT p.vec_id, p.sub_id, cb.code,
+               round(list_distance(p.sv, cb.cent)^2, 6) AS dist
+        FROM subs p JOIN cb ON p.sub_id = cb.sub_id
+    ),
+    best AS (
+        SELECT vec_id, sub_id, code, dist,
+               row_number() OVER (PARTITION BY vec_id, sub_id
+                                  ORDER BY dist, code) AS rn
+        FROM d
+    )
+    SELECT sub_id, code,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(sum(CAST(round(dist * 1000000, 0) AS BIGINT))
+                 * 1.0 / count(*) / 1000000, 6) AS mse
+    FROM best WHERE rn = 1
+    GROUP BY sub_id, code
+"""
+
+
+@query("sim_pq_distortion", oracle=_PQ_DISTORTION_ORACLE)
+def sim_pq_distortion(t: Tables) -> DataFrame:
+    """Single-assignment PQ distortion report against the DETERMINISTIC
+    init codebook (subvectors of the _PQ_K lowest vec_ids, code order =
+    vec_id order) — the driver-checkable D-tier companion of
+    sim_pq_quantize (r8 VERDICT task 7a): the trained codebook's Lloyd
+    iteration is hash-gate-invisible (R, numpy-replica tests), so this
+    key certifies the SAME assignment kernel — subspace slicing, argmin
+    with round-before-rank and lowest-code tie-break, per-(sub, code)
+    count/mse rollup — end-to-end against a recursive-free SQL oracle.
+    The report reads as round-0 distortion: comparing it with
+    sim_pq_quantize's post-training mse column shows what the Lloyd
+    rounds buy.
+
+    Determinism: per-pair distances are rounded to 6dp BEFORE the
+    argmin (the sim_topk recipe — absorbs engine summation-order ulp),
+    ties break to the lowest code; mse sums the rounded distances as
+    EXACT integer micro-units (x1e6, BIGINT) before dividing — a plain
+    avg() of the rounded doubles re-introduced summation-order ulp and
+    flipped one cell's 6th decimal between engines (caught at sf0.001
+    pre-commit).
+
+    100 TB shape: one in-row slice explode (8 rows/vector, no
+    shuffle), one broadcast of the 128-row init codebook, one
+    (vec_id, sub_id)-keyed argmin agg, one (sub_id, code) rollup — no
+    iteration, no global sort; the codebook rows come from a bounded
+    {_PQ_K}-row limit."""
+    sub = t.embeddings.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBS - 1}),"
+                f" s -> struct(CAST(s AS INT) AS sub_id,"
+                f" transform(slice(embedding, CAST(s*{_PQ_SUBDIM}+1 AS INT),"
+                f" {_PQ_SUBDIM}), x -> CAST(x AS DOUBLE)) AS sv))"
+            )
+        ).alias("p"),
+    ).select("vec_id", F.col("p.sub_id").alias("sub_id"), F.col("p.sv").alias("sv"))
+    seeds = (
+        t.embeddings.select("vec_id")
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("code"),
+        )
+    )
+    cb = sub.join(F.broadcast(seeds), "vec_id").select(
+        "sub_id", "code", F.col("sv").alias("cent")
+    )
+    scored = sub.join(F.broadcast(cb), "sub_id").select(
+        "vec_id",
+        "sub_id",
+        F.struct(
+            F.round(_l2sq(F.col("sv"), F.col("cent")), 6).alias("d"),
+            F.col("code").alias("c"),
+        ).alias("dc"),
+    )
+    best = scored.groupBy("vec_id", "sub_id").agg(F.min("dc").alias("b"))
+    micro = F.round(F.col("b.d") * 1e6, 0).cast("long")
+    return best.groupBy("sub_id", F.col("b.c").alias("code")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(micro) * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1e6), 6
+        ).alias("mse"),
+    )
+
+
 @query("sim_topk_pq")  # rows-only: consumes the iterative PQ trainer
 def sim_topk_pq(t: Tables) -> DataFrame:
     """ADC (asymmetric distance) top-5 retrieval over PQ codes — the

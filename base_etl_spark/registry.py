@@ -202,6 +202,10 @@ ROUND9_WINDOW: list[str] = [
     "events_propensity_stratified_ate", "dedup_quality_survivor",
     "orders_mix_shift_decomposition", "sample_class_balanced",
     "embedding_outlier_zdist",
+    # round-9 additions (appended at registration time; 20 free slots
+    # remained when the rotation landed, so these claim driver slots
+    # ahead of the oldest-row re-check padding)
+    "sim_pq_distortion", "agg_decile_lift_approx",
 ]
 
 # Round 9: execute the committed rotation plan — the driver window IS

@@ -2355,3 +2355,43 @@ def test_poisson_bootstrap_selfchecks(spark):
     assert r1.se_boot > 0
     assert r1.ci_lo < r1.ci_hi
     assert r1.ci_lo <= r1.point_mean <= r1.ci_hi
+
+
+def test_decile_lift_approx_matches_exact_twin_small_n(spark):
+    """agg_decile_lift_approx's binding contract (its docstring): at
+    n << GK accuracy the sketch boundaries are exact, so the whole
+    table must EQUAL the exact twin's; conservation and bucket balance
+    are then implied but asserted separately so a future fixture where
+    n grows past exactness still pins them."""
+    approx = _rows(spark, "agg_decile_lift_approx")
+    exact = _rows(spark, "agg_decile_lift")
+    assert approx == exact
+    n_cust = _QS["agg_decile_lift"](spark, SF_TEST).agg(F.sum("n_cust")).first()[0]
+    got = _QS["agg_decile_lift_approx"](spark, SF_TEST).agg(
+        F.sum("n_cust"), F.sum("n_resp")
+    ).first()
+    exp = _QS["agg_decile_lift"](spark, SF_TEST).agg(
+        F.sum("n_cust"), F.sum("n_resp")
+    ).first()
+    assert (got[0], got[1]) == (exp[0], exp[1])  # totals conserve exactly
+    for r in _QS["agg_decile_lift_approx"](spark, SF_TEST).collect():
+        # GK rank error <= n/accuracy -> each decile within bound of n/10
+        bound = n_cust / 10 + max(2.0, 2 * n_cust / 10000)
+        assert r.n_cust <= bound, (r.decile, r.n_cust, bound)
+
+
+def test_pq_training_reduces_init_distortion(spark):
+    """sim_pq_distortion is the round-0 (init-codebook) report;
+    sim_pq_quantize reports after 5 Lloyd rounds. Lloyd's assignment
+    and update steps are each non-increasing in total SSE, so the
+    trained corpus-weighted mean distortion must not exceed init's."""
+    def weighted_mse(key):
+        row = (
+            _QS[key](spark, SF_TEST)
+            .agg(F.sum(F.col("n_vecs") * F.col("mse")), F.sum("n_vecs"))
+            .first()
+        )
+        return row[0] / row[1]
+
+    init, trained = weighted_mse("sim_pq_distortion"), weighted_mse("sim_pq_quantize")
+    assert trained <= init + 1e-6, (trained, init)
