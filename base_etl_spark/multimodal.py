@@ -1882,3 +1882,83 @@ _FPS_SCHEMA = StructType(
         StructField("sum_b", LongType()),
     ]
 )
+
+
+_SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("centroid_hz", DoubleType()),
+        StructField("bandwidth_hz", DoubleType()),
+        StructField("rolloff85_hz", DoubleType()),
+    ]
+)
+
+_SPECTRAL_RATE = 16_000  # Hz; matches the WAV encoder default
+
+
+def spectral_features(wave: np.ndarray, rate: int = _SPECTRAL_RATE) -> tuple:
+    """(centroid_hz, bandwidth_hz, rolloff85_hz) from a [-1, 1] float
+    waveform via the magnitude rFFT (DC bin excluded): centroid =
+    magnitude-weighted mean frequency, bandwidth = magnitude-weighted
+    std around the centroid, rolloff = lowest frequency below which 85%
+    of spectral ENERGY (|X|^2) lies. Shared by the operator and the
+    test replica so the contract is one function; np.fft on float64 is
+    deterministic for a fixed input."""
+    mag = np.abs(np.fft.rfft(wave.astype(np.float64)))[1:]
+    n = wave.shape[0]
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)[1:]
+    tot = float(mag.sum())
+    if tot <= 0.0:
+        return 0.0, 0.0, 0.0
+    centroid = float((freqs * mag).sum() / tot)
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * mag).sum() / tot))
+    energy = mag**2
+    cum = np.cumsum(energy)
+    k = int(np.searchsorted(cum, 0.85 * cum[-1]))
+    rolloff = float(freqs[min(k, len(freqs) - 1)])
+    return round(centroid, 6), round(bandwidth, 6), round(rolloff, 6)
+
+
+@query("mm_audio_spectral_centroid", oracle=None)  # R: FFT features — not
+# SQL-expressible; exact numpy replica via the shared spectral_features kernel
+def mm_audio_spectral_centroid(t: Tables) -> DataFrame:
+    """Spectral centroid / bandwidth / 85% energy rolloff per audio
+    asset — the brightness/timbre features every audio-corpus quality
+    screen computes (speech vs music vs noise separate cleanly on
+    centroid + bandwidth): the deterministic WAV payloads decode
+    through the real chunk-walking PCM16 parser, then one rFFT per
+    asset yields the three magnitude-spectrum statistics (DC excluded;
+    Hz units at the 16 kHz encoder rate).
+
+    Rows-only (a DFT is not SQL-expressible); the pytest tier replays
+    the decode + spectral_features kernel independently per asset and
+    requires exact tuple equality, plus planted single-tone WAVs whose
+    centroid must land on the tone bin.
+
+    Scale: Arrow-batched mapInPandas, one bounded row per asset, no
+    shuffle — the mm_audio_decode shape with an FFT in the kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [], "n_samples": [],
+                "centroid_hz": [], "bandwidth_hz": [], "rolloff85_hz": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 50 + doc_id % 50
+                i = np.arange(n, dtype=np.int64)
+                smp = ((doc_id * 31 + i * 7) % 65536) - 32768
+                _, wave = decode_wav_pcm16(encode_wav_pcm16(smp))
+                c, b, r = spectral_features(wave)
+                out["asset_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["centroid_hz"].append(c)
+                out["bandwidth_hz"].append(b)
+                out["rolloff85_hz"].append(r)
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    return docs.mapInPandas(run, schema=_SPECTRAL_SCHEMA)

@@ -1096,3 +1096,153 @@ def agg_skyline_2d(t: Tables) -> DataFrame:
             F.col("y").alias("spend"),
         )
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ', ' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_listagg(t: Tables) -> DataFrame:
+    """listagg(... ) WITHIN GROUP (ORDER BY ...) — Spark 4.0's
+    SQL:2016 ordered string aggregation (SPARK-42746): the per-group
+    CSV of member names every report footer wants, with the ORDER BY
+    making the concatenation deterministic (an unordered collect_list
+    + concat_ws varies with partitioning — exactly the flakiness this
+    surface exists to kill). Hash-checked against DuckDB's equivalent
+    string_agg(... ORDER BY ...).
+
+    Scale: group-bounded — the aggregation buffers one ordered list
+    per group; appropriate for dimension-sized groups (nations per
+    region), never for fact-sized ones (that's array_agg + explode
+    territory, or a top-k truncation first)."""
+    spark = t.nation.sparkSession
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               count(*) AS n_nations,
+               listagg(n.n_name, ', ') WITHIN GROUP (ORDER BY n.n_name)
+                   AS nations
+        FROM {nation} n JOIN {region} r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """,
+        nation=t.nation,
+        region=t.region,
+    )
+
+
+@query(
+    "agg_corr_matrix",
+    oracle="""
+    WITH c AS (
+        SELECT corr(l_quantity, l_extendedprice) AS qp,
+               corr(l_quantity, l_discount)      AS qd,
+               corr(l_extendedprice, l_discount) AS pd
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b, round(qp, 6) AS corr FROM c
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', round(qd, 6) FROM c
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', round(pd, 6) FROM c
+    """,
+)
+def agg_corr_matrix(t: Tables) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle, long form)
+    over the lineitem measures — the feature-screening pass every
+    modeling pipeline runs before it trusts a regression
+    (agg_regression computes ONE pair's slope; this reports every
+    pair's association in one scan). All three correlations come from
+    a SINGLE aggregate pass (one map-side-combined co-moment
+    computation per pair inside the same hash agg), then unpivot
+    in-row into (var_a, var_b, corr) rows — never three scans.
+
+    Engine note: both engines accumulate co-moments with the standard
+    numerically-stable one-pass update; summation-order ulp is
+    absorbed by the 6dp round (the llm_vectors convention)."""
+    c = t.lineitem.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qp"),
+        F.corr("l_quantity", "l_discount").alias("qd"),
+        F.corr("l_extendedprice", "l_discount").alias("pd"),
+    )
+    return c.selectExpr(
+        """stack(3,
+            'l_quantity',      'l_extendedprice', round(qp, 6),
+            'l_quantity',      'l_discount',      round(qd, 6),
+            'l_extendedprice', 'l_discount',      round(pd, 6)
+        ) AS (var_a, var_b, corr)"""
+    )
+
+
+@query("agg_hll_native", oracle=None)  # R: datasketches binary sketches —
+# estimates are implementation-specific; self-check vs exact distinct in tests
+def agg_hll_native(t: Tables) -> DataFrame:
+    """Native HyperLogLog distinct sketches (Spark 3.5's Apache
+    DataSketches surface: hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate) — the BUILT-IN twin of the repo's
+    from-scratch sketch_hll_rollup: per event_type, a 12-bit-configK
+    sketch estimates distinct users, and the ALL row is computed by
+    UNION-MERGING the per-group sketches, never rescanning ids —
+    certifying the re-aggregation algebra (daily -> monthly rollups at
+    100 TB merge kilobyte sketches instead of re-shuffling raw ids).
+
+    Rows-only: sketch binaries and their estimates are DataSketches-
+    implementation-specific (DuckDB's approx_count_distinct is a
+    different HLL); the binding checks are in tests — every estimate
+    within the configK error envelope of the exact count, and the
+    merged ALL row consistent with the exact global distinct.
+
+    Scale: one (event_type)-keyed sketch agg (map-side combined, ~4 KB
+    partials), one 5-row union merge."""
+    per = t.events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    groups = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("n_users_est"),
+    )
+    total = per.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("n_users_est"),
+    )
+    return groups.unionByName(total)
+
+
+_TOPK_SKETCH_K = 10
+_TOPK_SKETCH_CAP = 100000  # maxItemsTracked >> distinct parts: sketch is exact
+
+
+@query("agg_approx_top_k", oracle=None)  # R: sketch surface — tie order and
+# estimate semantics are implementation-specific; exactness pinned in tests
+def agg_approx_top_k(t: Tables) -> DataFrame:
+    """approx_top_k (Spark 4.0 sketch surface): the top-10
+    most-frequent part keys across lineitem from ONE streaming sketch
+    aggregate — the heavy-hitters report (hot keys, skew candidates,
+    trending items) without a full groupBy + global sort. The sketch
+    is sized (maxItemsTracked=100000) far above the distinct-part
+    count at every test SF, so counts are EXACT here and the test tier
+    asserts set-equality against the exact groupBy top-10; at true
+    100 TB cardinalities the same plan degrades gracefully to
+    approximate counts instead of OOMing.
+
+    Rows-only: rank ties inside the sketch's returned array break by
+    stream order, not a total order (the exact twin breaks ties by
+    key), so the emitted ROW SET can differ across engines/runs at tie
+    boundaries; the test tier checks count-multiset equality instead."""
+    return (
+        t.lineitem.agg(
+            F.expr(
+                f"approx_top_k(l_partkey, {_TOPK_SKETCH_K}, {_TOPK_SKETCH_CAP})"
+            ).alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("l_partkey"),
+            F.col("e.count").cast("long").alias("n_lines"),
+        )
+    )

@@ -129,3 +129,119 @@ def sql_pipe_syntax(t: Tables) -> DataFrame:
         """,
         customer=t.customer,
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+        FROM orders
+    ),
+    months(m, hi) AS (
+        SELECT lo, hi FROM bounds
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi
+    ),
+    rev AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               round(sum(o_totalprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT months.m AS month,
+           coalesce(rev.revenue, 0.0)              AS revenue,
+           coalesce(rev.n_orders, 0)               AS n_orders
+    FROM months LEFT JOIN rev ON months.m = rev.m
+    """,
+)
+def sql_recursive_cte(t: Tables) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4.0's SQL:1999 recursion
+    surface — SPARK-24497): builds the month calendar spine between the
+    first and last order date by RECURSION (anchor row + month+1 step
+    until the max), then left-joins monthly revenue so empty months
+    surface as explicit zero rows — the classic gap-filled calendar
+    every reporting stack needs, certified end-to-end through the
+    recursive parser/execution path against DuckDB's identical
+    recursive CTE. (events_gapfill builds a spine with sequence();
+    this key certifies the RECURSION surface itself.)
+
+    Scale: the recursion depth is the month span (bounded, ~84 for the
+    7-year TPC-H calendar — each step is a 1-row union); the revenue
+    side is one month-keyed hash agg of orders, joined to the bounded
+    spine. The max bound rides INSIDE the recursion as a carried column
+    — the first spelling referenced a scalar subquery over orders in
+    the step's WHERE, which re-scanned the table once per month step
+    (measured 96 s at sf0.001 vs ~2 s carried). The frame is bound via
+    spark.sql DataFrame parameter substitution (the sql_pipe_syntax
+    lesson: no session temp view to race or leak)."""
+    spark = t.orders.sparkSession
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+                   CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+            FROM {orders}
+        ),
+        months(m, hi) AS (
+            SELECT lo, hi FROM bounds
+            UNION ALL
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months
+            WHERE m < hi
+        ),
+        rev AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM {orders} GROUP BY 1
+        )
+        SELECT months.m AS month,
+               coalesce(rev.revenue, 0.0D)  AS revenue,
+               coalesce(rev.n_orders, 0L)   AS n_orders
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        """,
+        orders=t.orders,
+    )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_execute_immediate(t: Tables) -> DataFrame:
+    """EXECUTE IMMEDIATE with USING parameter binding (Spark 4.0's
+    dynamic-SQL surface): the query text arrives as a string variable
+    and the filter value binds as a named parameter — the
+    SQL-injection-safe spelling of runtime-assembled queries (dashboard
+    backends, rule engines). Certifies parse -> parameter substitution
+    -> execution against the classic static oracle: the dynamic path
+    must produce the identical aggregate.
+
+    Scale: surface-only — after binding, the plan is the standard
+    pushed-filter scan + partial/final hash agg; EXECUTE IMMEDIATE
+    changes WHERE THE TEXT COMES FROM, not the plan."""
+    spark = t.orders.sparkSession
+    t.orders.createOrReplaceTempView("orders_exec_imm_v")
+    try:
+        return spark.sql(
+            """
+            EXECUTE IMMEDIATE
+            'SELECT o_orderpriority,
+                    count(*) AS n_orders,
+                    round(avg(o_totalprice), 4) AS avg_price
+             FROM orders_exec_imm_v
+             WHERE o_orderstatus = :st
+             GROUP BY o_orderpriority'
+            USING 'F' AS st
+            """
+        )
+    finally:
+        spark.catalog.dropTempView("orders_exec_imm_v")

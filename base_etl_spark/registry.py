@@ -206,6 +206,9 @@ ROUND9_WINDOW: list[str] = [
     # remained when the rotation landed, so these claim driver slots
     # ahead of the oldest-row re-check padding)
     "sim_pq_distortion", "agg_decile_lift_approx",
+    "sql_recursive_cte", "sql_execute_immediate", "agg_listagg",
+    "agg_corr_matrix", "agg_hll_native", "agg_approx_top_k",
+    "etl_zorder_cluster", "mm_audio_spectral_centroid",
 ]
 
 # Round 9: execute the committed rotation plan — the driver window IS

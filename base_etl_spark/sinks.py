@@ -1191,3 +1191,91 @@ def scan_json_permissive(t: Tables) -> DataFrame:
         F.coalesce("n_rows", F.lit(0).cast("long")).alias("n_rows"),
         "sum_acctbal",
     )
+
+
+_Z_BITS = 4  # 16 buckets per dimension -> 8-bit z-values, 16 z-ranges
+
+
+def _z_interleave_sql(bx: str, by: str, bits: int = _Z_BITS, idiv: str = "//") -> str:
+    """Bit-interleave two `bits`-wide bucket ids into a z-value, as
+    portable integer arithmetic (no engine bit-op dialect): bit i of bx
+    lands at position 2i+1, bit i of by at 2i. `idiv` is the integer-
+    division spelling — DuckDB's `//` vs Spark SQL's `div`."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({bx} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({by} {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@query(
+    "etl_zorder_cluster",
+    oracle=f"""
+    WITH b AS (
+        SELECT l_orderkey % 16 AS bx, l_partkey % 16 AS by
+        FROM lineitem
+    ),
+    z AS (
+        SELECT bx, by, {_z_interleave_sql('bx', 'by')} AS zval FROM b
+    )
+    SELECT CAST(zval // 16 AS INT)       AS zrange,
+           CAST(count(*) AS BIGINT)      AS n_rows,
+           CAST(min(bx) AS INT)          AS min_bx,
+           CAST(max(bx) AS INT)          AS max_bx,
+           CAST(min(by) AS INT)          AS min_by,
+           CAST(max(by) AS INT)          AS max_by,
+           CAST((max(bx) - min(bx) + 1) * (max(by) - min(by) + 1) AS INT)
+                                         AS cell_span
+    FROM z GROUP BY 1
+    """,
+)
+def etl_zorder_cluster(t: Tables) -> DataFrame:
+    """Z-order (Morton) clustering layout plan — the multi-dimensional
+    data-skipping file layout (Delta OPTIMIZE ZORDER BY / Hudi
+    clustering, public technique): bucket two filter columns into 16
+    buckets each, bit-INTERLEAVE the bucket ids into an 8-bit z-value,
+    and cut the z-axis into 16 contiguous z-ranges — each range is what
+    a writer would emit as one file via repartitionByRange(zval). The
+    report carries each range's min/max per dimension and the
+    cell_span: z-ranges cover a BOUNDED RECTANGLE of (bx, by) cells
+    (span 16 of 256 cells here), so a predicate on EITHER column prunes
+    ~15/16 of the files — a lexicographic (bx, by) sort gives the same
+    for bx but spans the full by-axis in every file (span check in
+    tests). The interleave is spelled as portable div/mod arithmetic,
+    identical in both engines, and certified by the hash gate.
+
+    Scale: one in-row projection + one z-keyed hash agg; the actual
+    write is repartitionByRange(zval) + write_parquet (the
+    etl_cluster_by_date machinery) — the layout ARITHMETIC is the
+    checkable part."""
+    b = t.lineitem.select(
+        (F.col("l_orderkey") % 16).alias("bx"),
+        (F.col("l_partkey") % 16).alias("by"),
+    )
+    z = b.selectExpr(
+        "bx", "by", f"{_z_interleave_sql('bx', 'by', idiv='div')} AS zval"
+    )
+    return (
+        z.groupBy(F.floor(F.col("zval") / 16).cast("int").alias("zrange"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("bx").cast("int").alias("min_bx"),
+            F.max("bx").cast("int").alias("max_bx"),
+            F.min("by").cast("int").alias("min_by"),
+            F.max("by").cast("int").alias("max_by"),
+        )
+        .select(
+            "zrange",
+            "n_rows",
+            "min_bx",
+            "max_bx",
+            "min_by",
+            "max_by",
+            (
+                (F.col("max_bx") - F.col("min_bx") + 1)
+                * (F.col("max_by") - F.col("min_by") + 1)
+            )
+            .cast("int")
+            .alias("cell_span"),
+        )
+    )

@@ -2395,3 +2395,100 @@ def test_pq_training_reduces_init_distortion(spark):
 
     init, trained = weighted_mse("sim_pq_distortion"), weighted_mse("sim_pq_quantize")
     assert trained <= init + 1e-6, (trained, init)
+
+
+def test_spectral_centroid_matches_numpy_replica(spark):
+    """mm_audio_spectral_centroid R contract: independent per-asset
+    replay (decode -> shared spectral_features kernel) must match the
+    operator's rows exactly."""
+    from base_etl_spark.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        spectral_features,
+    )
+    import numpy as np
+
+    got = {r.asset_id: (r.n_samples, r.centroid_hz, r.bandwidth_hz, r.rolloff85_hz)
+           for r in _QS["mm_audio_spectral_centroid"](spark, SF_TEST).collect()}
+    assert got
+    for doc_id, row in got.items():
+        n = 50 + doc_id % 50
+        i = np.arange(n, dtype=np.int64)
+        smp = ((doc_id * 31 + i * 7) % 65536) - 32768
+        _, wave = decode_wav_pcm16(encode_wav_pcm16(smp))
+        assert row == (n, *spectral_features(wave)), doc_id
+
+
+def test_spectral_centroid_planted_tone():
+    """A pure tone at an exact rFFT bin must put the centroid on (or
+    within 1% of) the tone frequency, with near-zero bandwidth."""
+    from base_etl_spark.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        spectral_features,
+    )
+    import numpy as np
+
+    n, rate, k = 1600, 16000, 200  # bin k -> f = k*rate/n = 2000 Hz
+    tone = np.rint(0.5 * 32767 * np.sin(2 * np.pi * k * np.arange(n) / n))
+    _, wave = decode_wav_pcm16(encode_wav_pcm16(tone.astype(np.int64)))
+    c, b, _ = spectral_features(wave)
+    f = k * rate / n
+    assert abs(c - f) < 0.01 * f, (c, f)
+    assert b < 0.05 * f, b
+
+
+def test_approx_top_k_exact_below_sketch_capacity(spark):
+    """agg_approx_top_k R contract: with maxItemsTracked far above the
+    distinct-part count, the sketch counts are exact — the top-10
+    (key, count) multiset must equal the exact groupBy top-10's count
+    multiset, and the returned key set must be A valid top-10 (every
+    returned count >= the exact 10th-largest count)."""
+    from base_etl_spark.io import load_tables
+
+    li = load_tables(spark, SF_TEST).lineitem
+    exact = (
+        li.groupBy("l_partkey").count()
+        .orderBy(F.desc("count"), "l_partkey")
+        .limit(50)
+        .collect()
+    )
+    exact_counts = sorted((r["count"] for r in exact), reverse=True)[:10]
+    got = _QS["agg_approx_top_k"](spark, SF_TEST).collect()
+    assert len(got) == 10
+    exact_by_key = {r.l_partkey: r["count"] for r in exact}
+    for r in got:
+        assert exact_by_key.get(r.l_partkey) == r.n_lines, (r, "count not exact")
+    assert sorted((r.n_lines for r in got), reverse=True) == exact_counts
+
+
+def test_hll_native_within_error_envelope(spark):
+    """agg_hll_native R contract: every per-group estimate within 5%
+    of the exact distinct count (lgConfigK=12 -> ~1.6% rse; 3 sigma),
+    and the union-merged ALL row within 5% of the exact global."""
+    from base_etl_spark.io import load_tables
+
+    ev = load_tables(spark, SF_TEST).events
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    got = {r.event_type: r.n_users_est
+           for r in _QS["agg_hll_native"](spark, SF_TEST).collect()}
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(2, 0.05 * n), (k, got[k], n)
+
+
+def test_zorder_ranges_bound_both_dimensions(spark):
+    """etl_zorder_cluster's reason to exist: every 16-cell z-range
+    covers a bounded rectangle (cell_span 16 of 256), where a
+    lexicographic (bx, by) sort would span the full by-axis (span 16
+    only in degenerate data). Also pins the Morton arithmetic: 8-bit
+    z-values cut into 16 ranges of exactly 16 cells."""
+    rows = _QS["etl_zorder_cluster"](spark, SF_TEST).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert 0 <= r.zrange < 16
+        assert r.cell_span <= 16, (r.zrange, r.cell_span)
+        # a 16-cell z-range is a 4x4 (or thinner) tile of the 16x16 grid
+        assert r.max_bx - r.min_bx + 1 <= 4 and r.max_by - r.min_by + 1 <= 4
