@@ -1962,3 +1962,111 @@ def mm_audio_spectral_centroid(t: Tables) -> DataFrame:
     n = t.documents.sparkSession.sparkContext.defaultParallelism
     docs = t.documents.select("doc_id").repartition(n, "doc_id")
     return docs.mapInPandas(run, schema=_SPECTRAL_SCHEMA)
+
+
+_IMG_QUALITY_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_px", LongType()),
+        StructField("n_unique_colors", LongType()),
+        StructField("grad_sum", LongType()),
+        StructField("lum_entropy", DoubleType()),
+    ]
+)
+
+
+@query(
+    "mm_image_quality_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h
+               FROM documents),
+         px AS (
+             SELECT doc_id, w, i,
+                    (doc_id * 7 + i * 13) % 256   AS r,
+                    (doc_id * 11 + i * 17) % 256  AS g,
+                    (doc_id * 19 + i * 23) % 256  AS b
+             FROM d, LATERAL (SELECT unnest(generate_series(0, CAST(w * h - 1 AS INT))) AS i) gs
+         ),
+         lum AS (
+             SELECT doc_id, w, i,
+                    (r * 299 + g * 587 + b * 114) // 1000 AS y,
+                    r * 65536 + g * 256 + b AS rgb
+             FROM px
+         ),
+         grad AS (
+             SELECT a.doc_id, CAST(sum(abs(b.y - a.y)) AS BIGINT) AS gs
+             FROM lum a JOIN lum b
+               ON a.doc_id = b.doc_id AND b.i = a.i + 1 AND (a.i + 1) % a.w <> 0
+             GROUP BY a.doc_id
+         ),
+         hist AS (
+             SELECT doc_id, y, count(*) AS c FROM lum GROUP BY doc_id, y
+         ),
+         ent AS (
+             SELECT doc_id,
+                    round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS e
+             FROM (SELECT doc_id, y, c,
+                          sum(c) OVER (PARTITION BY doc_id) AS n
+                   FROM hist)
+             GROUP BY doc_id
+         ),
+         base AS (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+                    CAST(count(DISTINCT rgb) AS BIGINT) AS n_unique_colors
+             FROM lum GROUP BY doc_id
+         )
+    SELECT base.doc_id                         AS asset_id,
+           base.n_px,
+           base.n_unique_colors,
+           coalesce(grad.gs, 0)                AS grad_sum,
+           ent.e                               AS lum_entropy
+    FROM base
+    LEFT JOIN grad ON base.doc_id = grad.doc_id
+    JOIN ent ON base.doc_id = ent.doc_id
+    """,
+)
+def mm_image_quality_stats(t: Tables) -> DataFrame:
+    """Per-image quality screen over the REAL BMP decode path — the
+    multimodal twin of text_quality: integer luminance (BT.601 fixed-
+    point (299r+587g+114b)//1000 — engine-neutral integer division),
+    unique-color count (flat/synthetic banner detection), horizontal
+    gradient energy sum (blur/blank detection; exact integer domain,
+    row-boundary pairs excluded), and luminance-histogram Shannon
+    entropy (6dp — the text_entropy_char convention). A corpus filter
+    reads this frame directly: low entropy + low unique colors = logo
+    or solid fill; near-zero gradient = blank.
+
+    Scale: Arrow mapInPandas, one row per asset, all features computed
+    in-row over the decoded pixel array — no shuffle, no pixel
+    explosion; the DuckDB oracle re-derives every statistic from the
+    planted_rgb closed form through SQL (LATERAL pixel series,
+    neighbor self-join for the gradient)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [], "n_px": [], "n_unique_colors": [],
+                "grad_sum": [], "lum_entropy": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 3 + doc_id % 5, 2 + doc_id % 4
+                arr = decode_bmp24(encode_bmp24(planted_rgb(doc_id, w, h)))
+                flat = arr.reshape(-1, 3).astype(np.int64)
+                y = (flat[:, 0] * 299 + flat[:, 1] * 587 + flat[:, 2] * 114) // 1000
+                rgb = flat[:, 0] * 65536 + flat[:, 1] * 256 + flat[:, 2]
+                ym = y.reshape(h, w)
+                grad = int(np.abs(np.diff(ym, axis=1)).sum())
+                _, counts = np.unique(y, return_counts=True)
+                p = counts / counts.sum()
+                ent = round(float(-(p * np.log(p)).sum()), 6)
+                out["asset_id"].append(doc_id)
+                out["n_px"].append(w * h)
+                out["n_unique_colors"].append(int(np.unique(rgb).size))
+                out["grad_sum"].append(grad)
+                out["lum_entropy"].append(ent)
+            yield pd.DataFrame(out)
+
+    n = t.documents.sparkSession.sparkContext.defaultParallelism
+    docs = t.documents.select("doc_id").repartition(n, "doc_id")
+    return docs.mapInPandas(run, schema=_IMG_QUALITY_SCHEMA)

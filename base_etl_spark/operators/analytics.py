@@ -4706,3 +4706,63 @@ def orders_mix_shift_decomposition(t: Tables) -> DataFrame:
             F.col("n_post") * F.col("p_post") - F.col("n_pre") * F.col("p_pre"), 2
         ).alias("total_delta"),
     )
+
+
+_MARKOV_MAX_ROUNDS = 500
+_MARKOV_TOL = 1e-12
+
+
+@query("events_markov_stationary", oracle=None)  # R: iterative fixed point —
+# stationarity/simplex/eigenvector self-checks in tests
+def events_markov_stationary(t: Tables) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain — the
+    long-run fraction of activity each event type absorbs, the summary
+    a capacity planner or engagement model reads off the transition
+    matrix (events_transition_matrix's row-normalized P, construction
+    reused verbatim): power-iterate pi' = pi.P from uniform until
+    max|delta| < 1e-12.
+
+    The DISTRIBUTED work is the transition counting (user-partitioned
+    lag window + pair agg — the parent's plan); the iteration runs
+    driver-side over the collected |event_types|^2 matrix, which is
+    SCHEMA-bounded (~25 cells) — the sim_topk_pq bounded-driver-table
+    class, not a data-sized collect. States with no outgoing
+    transitions (possible on degenerate fixtures) redistribute
+    uniformly (the standard dangling-state patch), keeping P row-
+    stochastic so the fixed point exists. Rows-only (iterative); tests
+    pin stationarity (||pi.P - pi|| ~ 0), the probability simplex, and
+    agreement with numpy's dominant left eigenvector."""
+    from base_etl_spark.registry import REGISTRY
+
+    pm = REGISTRY["events_transition_matrix"].fn.tables_fn(t)
+    rows = pm.select("prev", "curr", "n_transitions").collect()
+    if not rows:
+        return t.events.sparkSession.createDataFrame(
+            [], "event_type string, stationary_p double, n_rounds int"
+        )
+    states = sorted({r.prev for r in rows} | {r.curr for r in rows})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    import numpy as np
+
+    counts = np.zeros((k, k), dtype=np.float64)
+    for r in rows:
+        counts[idx[r.prev], idx[r.curr]] = float(r.n_transitions)
+    row_sums = counts.sum(axis=1, keepdims=True)
+    p = np.where(row_sums > 0, counts / np.where(row_sums == 0, 1, row_sums), 1.0 / k)
+    pi = np.full(k, 1.0 / k)
+    rounds = 0
+    for rounds in range(1, _MARKOV_MAX_ROUNDS + 1):
+        nxt = pi @ p
+        if np.abs(nxt - pi).max() < _MARKOV_TOL:
+            pi = nxt
+            break
+        pi = nxt
+    else:
+        raise RuntimeError(
+            f"events_markov_stationary: no convergence in {_MARKOV_MAX_ROUNDS} rounds"
+        )
+    out = [(s, round(float(pi[idx[s]]), 9), rounds) for s in states]
+    return t.events.sparkSession.createDataFrame(
+        out, "event_type string, stationary_p double, n_rounds int"
+    )

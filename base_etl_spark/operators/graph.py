@@ -624,3 +624,75 @@ def graph_k_core(t: Tables) -> DataFrame:
         row = stats.crossJoin(nodes).select("k", "n_nodes", "n_edges", "rounds")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "graph_components",
+    oracle="""
+    WITH RECURSIVE cs AS (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+    ),
+    pc AS (
+        SELECT a.s AS u, b.s AS v, count(*) AS w
+        FROM cs a JOIN cs b ON a.o = b.o AND a.s < b.s
+        GROUP BY a.s, b.s
+    ),
+    dir AS (
+        SELECT u AS a, v AS b, w FROM pc
+        UNION ALL
+        SELECT v AS a, u AS b, w FROM pc
+    ),
+    knn AS (
+        SELECT a, b FROM (
+            SELECT a, b,
+                   row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+            FROM dir
+        ) WHERE rn <= 5
+    ),
+    e AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM knn
+    ),
+    ed AS (
+        SELECT u AS src, v AS dst FROM e
+        UNION ALL
+        SELECT v, u FROM e
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM ed),
+    reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT ed.dst, r.lab FROM reach r JOIN ed ON ed.src = r.node
+    ),
+    canon AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node)
+    SELECT comp                        AS component_id,
+           CAST(count(*) AS BIGINT)    AS n_nodes
+    FROM canon GROUP BY comp
+    """,
+)
+def graph_components(t: Tables) -> DataFrame:
+    """Connected-component census of the supplier partnership graph
+    (shared _knn_partnership_edges construction): every component
+    labeled by its minimum node id, one output row per component with
+    its node count — the graph-tier generalization of dedup_clusters'
+    keep/drop labeling (communities of suppliers that transact through
+    common partners; fragmentation here reads as market segmentation).
+
+    Spark side reuses llm_dedup._propagate_min_labels (min-label
+    propagation: one join + one agg per round, scalar convergence
+    probe, localCheckpoint lineage reset, raises on non-convergence);
+    the DuckDB oracle is a recursive-CTE transitive closure over the
+    identical edge CTE as graph_triangle_count — so this key also
+    hash-certifies that the iterative propagation computes exactly the
+    recursive closure on a SECOND graph shape (dedup_clusters certifies
+    it on the document near-dup graph).
+
+    Scale: rounds are component-diameter-bounded; every round keys on
+    node id. The census agg is component-bounded."""
+    from base_etl_spark.operators.llm_dedup import _propagate_min_labels
+
+    edges = _knn_partnership_edges(t)
+    pairs = edges.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+    labels = _propagate_min_labels(pairs, what="graph_components")
+    return labels.groupBy(F.col("lab").alias("component_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

@@ -245,3 +245,55 @@ def set_except_all(t: Tables) -> DataFrame:
     a = proj(t.orders.filter(F.col("o_totalprice") > 200000.0))
     b = proj(t.orders.filter(F.col("o_orderpriority") == "1-URGENT"))
     return a.exceptAll(b)
+
+
+@query(
+    "sort_global_rank_two_phase",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS global_rank
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def sort_global_rank_two_phase(t: Tables) -> DataFrame:
+    """Two-phase global row numbering — THE distributed rewrite of
+    `row_number() OVER (ORDER BY ...)` that a dozen docstrings in this
+    repo declare as the billions-of-rows tier (a bare global window is
+    one partition = one task), promoted from a property test to a
+    checked key: (1) repartitionByRange on the rank order so partition
+    p holds a contiguous rank slice, (2) partition-LOCAL row_number
+    keyed by spark_partition_id, (3) per-partition counts -> exclusive
+    prefix-sum offsets (a partition-count-sized frame, broadcast), (4)
+    global_rank = offset + local rank. The result is invariant to where
+    the sampled range boundaries fall — offsets absorb any split — so
+    the key is deterministic even though RangePartitioner samples, and
+    the hash gate checks it against the single-window oracle at every
+    sampling.
+
+    The total order (o_totalprice DESC, o_orderkey) is unique, so
+    ranks are engine-neutral. Scale: one range shuffle + one
+    partition-local sort + one n_partitions-row window + one broadcast
+    join — no global single-task sort anywhere."""
+    base = t.orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice"
+    )
+    nb = max(base.sparkSession.sparkContext.defaultParallelism, 2)
+    by_range = base.repartitionByRange(
+        nb, F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).withColumn("pid", F.spark_partition_id())
+    local_w = Window.partitionBy("pid").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    local = by_range.withColumn("lrn", F.row_number().over(local_w))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        by_range.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("pid", F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select("o_orderkey", (F.col("off") + F.col("lrn")).cast("long").alias("global_rank"))
+    )

@@ -209,6 +209,8 @@ ROUND9_WINDOW: list[str] = [
     "sql_recursive_cte", "sql_execute_immediate", "agg_listagg",
     "agg_corr_matrix", "agg_hll_native", "agg_approx_top_k",
     "etl_zorder_cluster", "mm_audio_spectral_centroid",
+    "graph_components", "mm_image_quality_stats",
+    "sort_global_rank_two_phase", "events_markov_stationary",
 ]
 
 # Round 9: execute the committed rotation plan — the driver window IS

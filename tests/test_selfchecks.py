@@ -2492,3 +2492,31 @@ def test_zorder_ranges_bound_both_dimensions(spark):
         assert r.cell_span <= 16, (r.zrange, r.cell_span)
         # a 16-cell z-range is a 4x4 (or thinner) tile of the 16x16 grid
         assert r.max_bx - r.min_bx + 1 <= 4 and r.max_by - r.min_by + 1 <= 4
+
+
+def test_markov_stationary_is_fixed_point(spark):
+    """events_markov_stationary R contract: pi is a probability vector,
+    a fixed point of the row-stochastic transition matrix (rebuilt here
+    from the parent key), and the dominant left eigenvector."""
+    import numpy as np
+
+    pi_rows = _QS["events_markov_stationary"](spark, SF_TEST).collect()
+    pm = _QS["events_transition_matrix"](spark, SF_TEST).collect()
+    states = sorted(r.event_type for r in pi_rows)
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    assert k > 1
+    pi = np.zeros(k)
+    for r in pi_rows:
+        pi[idx[r.event_type]] = r.stationary_p
+    assert abs(pi.sum() - 1.0) < 1e-6 and (pi > 0).all()
+    counts = np.zeros((k, k))
+    for r in pm:
+        counts[idx[r.prev], idx[r.curr]] = r.n_transitions
+    rs = counts.sum(axis=1, keepdims=True)
+    p = np.where(rs > 0, counts / np.where(rs == 0, 1, rs), 1.0 / k)
+    assert np.abs(pi @ p - pi).max() < 1e-6  # stationarity
+    vals, vecs = np.linalg.eig(p.T)
+    lead = np.real(vecs[:, np.argmax(np.real(vals))])
+    lead = lead / lead.sum()
+    assert np.abs(lead - pi).max() < 1e-6  # dominant left eigenvector
