@@ -4766,3 +4766,74 @@ def events_markov_stationary(t: Tables) -> DataFrame:
     return t.events.sparkSession.createDataFrame(
         out, "event_type string, stationary_p double, n_rounds int"
     )
+
+
+@query(
+    "orders_xyz_variability",
+    oracle="""
+    WITH m AS (
+        SELECT l_partkey,
+               CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
+               sum(l_quantity) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cv AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_months,
+               round(CASE WHEN avg(qty) > 0
+                          THEN stddev_pop(qty) / avg(qty) ELSE 0 END, 6) AS cv
+        FROM m GROUP BY l_partkey
+    ),
+    cls AS (
+        SELECT CASE WHEN cv < 0.5 THEN 'X'
+                    WHEN cv < 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz_class,
+               cv
+        FROM cv
+    )
+    SELECT xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(CAST(round(cv * 1000000, 0) AS BIGINT))
+                 * 1.0 / count(*) / 1000000, 6) AS avg_cv
+    FROM cls GROUP BY xyz_class
+    """,
+)
+def orders_xyz_variability(t: Tables) -> DataFrame:
+    """XYZ demand-variability classification — win_pareto_abc's standard
+    supply-chain companion (together they form the ABC-XYZ planning
+    matrix): per part, the coefficient of variation of MONTHLY demand
+    quantity (stddev_pop/mean over the part's observed sales months —
+    population stddev, pinned: sample stddev diverges between engines
+    on 1-month parts where it is NULL vs 0), classed X (steady,
+    cv<0.5) / Y (variable, <1.0) / Z (erratic) on the 6dp-ROUNDED cv so
+    the class boundary cannot flip cross-engine, then a 3-row census
+    with the class's mean cv aggregated as exact integer micro-units
+    (the sim_pq_distortion lesson: avg of rounded doubles re-introduces
+    summation-order ulp).
+
+    Scale: one (part, month) hash agg, one part-keyed moment agg, one
+    3-group census — every stage map-side combinable, no windows."""
+    m = t.lineitem.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").cast("date").alias("mo")
+    ).agg(F.sum("l_quantity").alias("qty"))
+    cv_raw = F.when(
+        F.avg("qty") > 0, F.stddev_pop("qty") / F.avg("qty")
+    ).otherwise(F.lit(0.0))
+    cv = m.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.round(cv_raw, 6).alias("cv"),
+    )
+    cls = cv.select(
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        "cv",
+    )
+    micro = F.round(F.col("cv") * 1e6, 0).cast("long")
+    return cls.groupBy("xyz_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.sum(micro) * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1e6), 6).alias(
+            "avg_cv"
+        ),
+    )

@@ -868,3 +868,73 @@ def array_explode_outer(t: Tables) -> DataFrame:
         .alias("n_null_rows"),
         F.count_distinct("part").cast("long").alias("n_distinct_parts"),
     )
+
+
+@query(
+    "date_fiscal_445",
+    oracle="""
+    WITH g AS (
+        SELECT o_totalprice, fy,
+               datediff('day', make_date(fy, 2, 1), CAST(o_orderdate AS DATE)) // 7
+                   AS wk
+        FROM (SELECT o_totalprice, o_orderdate,
+                     CASE WHEN month(o_orderdate) >= 2 THEN year(o_orderdate)
+                          ELSE year(o_orderdate) - 1 END AS fy
+              FROM orders)
+    ),
+    p AS (
+        SELECT o_totalprice, fy,
+               least(wk // 13, 3) * 3
+               + CASE WHEN wk % 13 < 4 THEN 1
+                      WHEN wk % 13 < 8 THEN 2
+                      ELSE 3 END
+               + CASE WHEN wk >= 52 THEN 12 - (least(wk // 13, 3) * 3
+                      + CASE WHEN wk % 13 < 4 THEN 1
+                             WHEN wk % 13 < 8 THEN 2
+                             ELSE 3 END) ELSE 0 END AS period
+        FROM g
+    )
+    SELECT fy                                  AS fiscal_year,
+           CAST(period AS INT)                 AS fiscal_period,
+           CAST(count(*) AS BIGINT)            AS n_orders,
+           round(sum(o_totalprice), 2)         AS revenue
+    FROM p GROUP BY fy, period
+    """,
+)
+def date_fiscal_445(t: Tables) -> DataFrame:
+    """4-4-5 fiscal calendar rollup (the NRF retail calendar, public
+    convention): fiscal years start Feb 1; each quarter is a 4-week +
+    4-week + 5-week period triple, so every fiscal period contains a
+    whole number of weeks and periods compare like-for-like across
+    years (a calendar-month February vs March comparison is 28 vs 31
+    days — the distortion this calendar exists to remove). Week index =
+    days-since-FY-start // 7; period = quarter*3 + {1,2,3} by the
+    4/4/5 split of the week-within-quarter; the occasional 53rd week
+    folds into period 12 (the standard convention). Revenue and order
+    counts roll up per (fiscal_year, fiscal_period). All of it is pure
+    integer date arithmetic — identical in both engines, hash-checked.
+
+    Scale: one in-row date computation + one hash agg; no joins, no
+    windows — the fiscal mapping is a projection any fact scan absorbs."""
+    d = F.col("o_orderdate").cast("date")
+    fy = F.when(F.month(d) >= 2, F.year(d)).otherwise(F.year(d) - 1)
+    orders = t.orders.select(
+        "o_totalprice",
+        fy.alias("fy"),
+        F.floor(F.datediff(d, F.make_date(fy, F.lit(2), F.lit(1))) / 7).alias("wk"),
+    )
+    sub = (
+        F.when(F.col("wk") % 13 < 4, 1)
+        .when(F.col("wk") % 13 < 8, 2)
+        .otherwise(3)
+    )
+    period_raw = F.least(F.floor(F.col("wk") / 13), F.lit(3)).cast("int") * 3 + sub
+    period = F.when(F.col("wk") >= 52, F.lit(12)).otherwise(period_raw)
+    return (
+        orders.select("o_totalprice", "fy", period.cast("int").alias("period"))
+        .groupBy(F.col("fy").alias("fiscal_year"), F.col("period").alias("fiscal_period"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

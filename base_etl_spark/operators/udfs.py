@@ -15,6 +15,8 @@ extension point with the idiomatic tiering:
 from __future__ import annotations
 
 import math
+from typing import Iterator  # module-level: pandas_udf resolves the
+# stringified (PEP 563) Iterator[pd.Series] annotation in these globals
 
 import pandas as pd
 
@@ -348,4 +350,44 @@ def udtf_arrow_chunks(t: Tables) -> DataFrame:
                CAST(length(c.chunk) AS BIGINT) AS chunk_chars
         FROM documents, LATERAL chunk_doc_arrow(text, 16) AS c
         """
+    )
+
+
+@query(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT event_id,
+           round(value * 2.5 + 7.0, 6) AS value_scored,
+           round(value * 2.5 + 7.0, 6) AS value_scored_builtin
+    FROM events
+    """,
+)
+def udf_pandas_iter(t: Tables) -> DataFrame:
+    """Iterator-form pandas UDF (Iterator[Series] -> Iterator[Series],
+    SQL_SCALAR_PANDAS_ITER_UDF) — the batch-INFERENCE extension point:
+    unlike the plain series form (udf_pandas), the iterator form runs
+    its setup code ONCE per executor task and then streams every Arrow
+    batch through the initialized state — exactly where a real pipeline
+    loads a tokenizer or an ONNX/torch model before scoring millions of
+    rows (loading per batch would dominate; loading per row is the
+    udf_scalar anti-pattern). Here the 'model' is a deterministic
+    (w, b) pair initialized in the setup section; the same affine score
+    is computed as a built-in expression twin and both columns
+    hash-check against the SQL oracle.
+
+    Scale: Arrow batches stream through one warm state per task; no
+    shuffle; the Python boundary cost is amortized exactly like
+    udf_pandas."""
+    @F.pandas_udf("double")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # setup section: runs once per task, before the first batch —
+        # the model-load slot (deterministic stand-in weights here)
+        w, b = 2.5, 7.0
+        for s in batches:
+            yield (s * w + b).round(6)
+
+    return t.events.select(
+        "event_id",
+        score(F.col("value")).alias("value_scored"),
+        F.round(F.col("value") * 2.5 + 7.0, 6).alias("value_scored_builtin"),
     )

@@ -211,6 +211,7 @@ ROUND9_WINDOW: list[str] = [
     "etl_zorder_cluster", "mm_audio_spectral_centroid",
     "graph_components", "mm_image_quality_stats",
     "sort_global_rank_two_phase", "events_markov_stationary",
+    "udf_pandas_iter", "orders_xyz_variability", "date_fiscal_445",
 ]
 
 # Round 9: execute the committed rotation plan — the driver window IS
