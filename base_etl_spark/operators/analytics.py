@@ -4837,3 +4837,110 @@ def orders_xyz_variability(t: Tables) -> DataFrame:
             "avg_cv"
         ),
     )
+
+
+@query(
+    "events_qini_uplift",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS score,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+               CASE WHEN ((user_id % 100000) * 2654435761) % 100 < 50
+                    THEN 'T' ELSE 'C' END AS arm
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT arm, conv,
+               ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+        FROM u
+    ),
+    g AS (
+        SELECT decile,
+               CAST(sum(CASE WHEN arm = 'T' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               CAST(sum(CASE WHEN arm = 'C' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+               CAST(sum(CASE WHEN arm = 'T' THEN conv ELSE 0 END) AS BIGINT) AS conv_t,
+               CAST(sum(CASE WHEN arm = 'C' THEN conv ELSE 0 END) AS BIGINT) AS conv_c
+        FROM d GROUP BY decile
+    )
+    SELECT decile, n_t, n_c, conv_t, conv_c,
+           round(conv_t * 1.0 / nullif(n_t, 0)
+                 - conv_c * 1.0 / nullif(n_c, 0), 6)           AS uplift_rate,
+           round(sum(conv_t) OVER w
+                 - sum(conv_c) OVER w * 1.0
+                   * sum(n_t) OVER w / nullif(sum(n_c) OVER w, 0), 6) AS qini_cum
+    FROM g
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_qini_uplift(t: Tables) -> DataFrame:
+    """Qini / uplift-by-decile table — the evaluation an uplift model
+    (who to TARGET, not who converts) is judged by: users rank by an
+    engagement score (event count — the deterministic stand-in any
+    model score swaps into), cut into global deciles (the
+    agg_decile_lift ntile recipe: total order, engine-neutral buckets),
+    and each decile reports treated-minus-control conversion uplift
+    plus the cumulative Qini statistic qini_k = cumCT - cumCC *
+    cumNT/cumNC (Radcliffe's standard curve numerator — the area under
+    it is the Qini coefficient). Arm assignment reuses events_ab_test's
+    masked Knuth multiplicative hash verbatim, so the experiment keys
+    agree on who is treated.
+
+    Determinism: all inputs to every ratio are exact integers
+    (counts/cums); ratios round at 6dp. Scale: one per-user collapse,
+    one global ntile over the collapsed frame (declared exact tier —
+    two-phase rank rewrite applies verbatim at billions of users), one
+    10-row window."""
+    u = t.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+    ).select(
+        "user_id",
+        "score",
+        "conv",
+        F.when(
+            F.pmod(
+                F.pmod(F.col("user_id"), F.lit(100000)) * F.lit(2654435761), F.lit(100)
+            )
+            < 50,
+            "T",
+        )
+        .otherwise("C")
+        .alias("arm"),
+    )
+    d = u.select(
+        "arm",
+        "conv",
+        F.ntile(10).over(Window.orderBy(F.desc("score"), F.asc("user_id"))).alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.sum(F.when(F.col("arm") == "T", 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("arm") == "C", 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("arm") == "T", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_t"),
+        F.sum(F.when(F.col("arm") == "C", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.round(
+            F.col("conv_t") * 1.0 / F.nullif(F.col("n_t"), F.lit(0))
+            - F.col("conv_c") * 1.0 / F.nullif(F.col("n_c"), F.lit(0)),
+            6,
+        ).alias("uplift_rate"),
+        F.round(
+            F.sum("conv_t").over(w)
+            - F.sum("conv_c").over(w)
+            * F.lit(1.0)
+            * F.sum("n_t").over(w)
+            / F.nullif(F.sum("n_c").over(w), F.lit(0)),
+            6,
+        ).alias("qini_cum"),
+    )

@@ -610,6 +610,38 @@ def embedding_centroid_drift(t: Tables) -> DataFrame:
     )
 
 
+def _ivf_search(t: Tables, nprobe: int) -> DataFrame:
+    """IVF search body parameterized by nprobe (shared by sim_topk_ivf
+    and sim_ivf_nprobe_sweep): coarse quantize to per-label centroids,
+    rank clusters per probe, exact-rescore only the nprobe closest."""
+    cents = (
+        t.embeddings.groupBy("label")
+        .agg(*_centroid_cols())
+        .select("label", F.array(*[F.col(f"c{i}") for i in range(EMBEDDING_DIM)]).alias("centroid"))
+    )
+    probes = t.embeddings.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    pc = probes.crossJoin(F.broadcast(cents)).select(
+        "probe_id", "p_emb", "label", cosine(F.col("p_emb"), F.col("centroid")).alias("c_sim")
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    shortlist = pc.withColumn("crn", F.row_number().over(wc)).filter(
+        F.col("crn") <= nprobe
+    ).select("probe_id", "p_emb", "label")
+    scored = (
+        shortlist.join(t.embeddings, "label")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("p_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+
+
 @query("sim_topk_ivf", oracle=None)  # R: pruned search ~ recall-bound
 def sim_topk_ivf(t: Tables) -> DataFrame:
     """IVF-style ANN: coarse quantize to per-label centroids, search only
@@ -623,33 +655,7 @@ def sim_topk_ivf(t: Tables) -> DataFrame:
     measured), so recall here reflects the data's lack of cluster
     structure, not the operator: with nprobe/nlist = 1/2 expect ~50%.
     On genuinely clustered data recall approaches 1 at small nprobe."""
-    cents = (
-        t.embeddings.groupBy("label")
-        .agg(*_centroid_cols())
-        .select("label", F.array(*[F.col(f"c{i}") for i in range(EMBEDDING_DIM)]).alias("centroid"))
-    )
-    probes = t.embeddings.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
-    )
-    # rank clusters per probe, keep nprobe closest
-    pc = probes.crossJoin(F.broadcast(cents)).select(
-        "probe_id", "p_emb", "label", cosine(F.col("p_emb"), F.col("centroid")).alias("c_sim")
-    )
-    wc = Window.partitionBy("probe_id").orderBy(F.desc("c_sim"), F.asc("label"))
-    shortlist = pc.withColumn("crn", F.row_number().over(wc)).filter(F.col("crn") <= 5).select(
-        "probe_id", "p_emb", "label"
-    )
-    scored = (
-        shortlist.join(t.embeddings, "label")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("p_emb"), F.col("embedding")), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K)
+    return _ivf_search(t, nprobe=5)
 
 
 @query(
@@ -2411,3 +2417,179 @@ def embedding_outlier_zdist(t: Tables) -> DataFrame:
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+# DCG position weights as EXACT integer micro-units: round(1/log2(i+1), 6)
+# * 1e6 for ranks 1..5, plus their prefix sums (the ideal DCG ladder).
+# Literals on both engines — no float summation anywhere in the gate.
+_NDCG_W = (1000000, 630930, 500000, 430677, 386853)
+_NDCG_CUM = (1000000, 1630930, 2130930, 2561607, 2948460)
+
+
+def _ndcg_oracle() -> str:
+    w_case = " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W))
+    cum_case = " ".join(f"WHEN {i + 1} THEN {c}" for i, c in enumerate(_NDCG_CUM))
+    return f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS p_emb, label AS p_label
+        FROM embeddings WHERE vec_id < {N_PROBES}
+    ),
+    scored AS (
+        SELECT probe_id, p_label, e.vec_id AS neighbor_id, e.label AS n_label,
+               round(list_cosine_similarity(p_emb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM probes CROSS JOIN embeddings e
+        WHERE e.vec_id <> probe_id
+    ),
+    topk AS (
+        SELECT probe_id, p_label, n_label, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {TOP_K}
+    ),
+    dcg AS (
+        SELECT probe_id,
+               CAST(sum(CASE WHEN n_label = p_label
+                             THEN CASE rn {w_case} ELSE 0 END
+                             ELSE 0 END) AS BIGINT) AS dcg_micro
+        FROM topk GROUP BY probe_id
+    ),
+    rel AS (
+        SELECT p.vec_id AS probe_id,
+               CAST(count(e.vec_id) AS BIGINT) AS n_rel
+        FROM embeddings p LEFT JOIN embeddings e
+          ON e.label = p.label AND e.vec_id <> p.vec_id
+        WHERE p.vec_id < {N_PROBES}
+        GROUP BY p.vec_id
+    )
+    SELECT rel.probe_id, rel.n_rel,
+           round(dcg_micro / 1000000.0, 6) AS dcg,
+           round(CASE least(rel.n_rel, {TOP_K}) {cum_case} ELSE 0 END
+                 / 1000000.0, 6) AS idcg,
+           round(dcg_micro * 1.0
+                 / nullif(CASE least(rel.n_rel, {TOP_K}) {cum_case} ELSE 0 END, 0),
+                 6) AS ndcg
+    FROM rel JOIN dcg ON rel.probe_id = dcg.probe_id
+    """
+
+
+@query("sim_ndcg_at_k", oracle=_ndcg_oracle())
+def sim_ndcg_at_k(t: Tables) -> DataFrame:
+    """NDCG@5 per probe — the graded-ranking companion that completes
+    the retrieval-eval family (recall@k: coverage; MRR: first-hit
+    depth; NDCG: WHERE in the ranking the relevant items sit): gain = 1
+    when the retrieved neighbor shares the probe's label, position
+    discount 1/log2(rank+1), ideal DCG from the corpus-wide relevant
+    count capped at k. Every discount weight and ideal-ladder value is
+    an EXACT integer micro-unit literal on both engines (round-then-sum
+    of irrational log weights would re-introduce summation-order ulp —
+    the sim_pq_distortion lesson applied at design time), so the hash
+    gate carries no float summation at all. Reuses sim_topk's ranking
+    pipeline verbatim (tables_fn on the Spark side, oracle composition
+    on the DuckDB side).
+
+    Scale: the ranking cost is sim_topk's broadcast-probe scan; this
+    report adds one label join on a k x probes-bounded frame and one
+    label-count aggregate."""
+    from base_etl_spark.registry import REGISTRY
+
+    labels = t.embeddings.select("vec_id", "label")
+    topk = (
+        REGISTRY["sim_topk"].fn.tables_fn(t)
+        .join(
+            F.broadcast(
+                labels.filter(F.col("vec_id") < N_PROBES).select(
+                    F.col("vec_id").alias("probe_id"), F.col("label").alias("p_label")
+                )
+            ),
+            "probe_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+            ),
+            "neighbor_id",
+        )
+    )
+    w_expr = F.when(F.col("n_label") != F.col("p_label"), 0)
+    for i, w in enumerate(_NDCG_W):
+        w_expr = F.when(
+            (F.col("n_label") == F.col("p_label")) & (F.col("rn") == i + 1), w
+        ).otherwise(w_expr)
+    dcg = topk.groupBy("probe_id").agg(
+        F.sum(w_expr).cast("long").alias("dcg_micro")
+    )
+    label_counts = t.embeddings.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_label_total")
+    )
+    rel = (
+        t.embeddings.filter(F.col("vec_id") < N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), "label")
+        .join(F.broadcast(label_counts), "label")
+        .select("probe_id", (F.col("n_label_total") - 1).cast("long").alias("n_rel"))
+    )
+    cum_expr = F.lit(0)
+    for i, c in enumerate(_NDCG_CUM):
+        cum_expr = F.when(F.least(F.col("n_rel"), F.lit(TOP_K)) == i + 1, c).otherwise(
+            cum_expr
+        )
+    return (
+        rel.join(dcg, "probe_id")
+        .select(
+            "probe_id",
+            "n_rel",
+            F.round(F.col("dcg_micro") / 1e6, 6).alias("dcg"),
+            F.round(cum_expr / 1e6, 6).alias("idcg"),
+            F.round(
+                F.col("dcg_micro") * F.lit(1.0) / F.nullif(cum_expr, F.lit(0)), 6
+            ).alias("ndcg"),
+        )
+    )
+
+
+_NPROBE_SWEEP = (1, 2, 3, 5, 10)  # nlist = 10 labels: the last point is
+# a full scan, so its recall vs brute force is 1.0 BY CONSTRUCTION
+
+
+@query("sim_ivf_nprobe_sweep", oracle=None)  # R: pruned-search recall is
+# data-dependent; monotonicity + full-scan==1.0 pinned in tests
+def sim_ivf_nprobe_sweep(t: Tables) -> DataFrame:
+    """The recall/cost dial of the IVF index, measured as a query: for
+    nprobe in (1, 2, 3, 5, 10=nlist), recall@5 of the pruned search
+    against brute-force ground truth (sim_topk) — the sweep every ANN
+    deployment runs to pick its operating point (dedup_threshold_sweep
+    pattern: the tuning report IS a deterministic data operation). At
+    nprobe = nlist the shortlist covers every cluster, so the search
+    degenerates to exact brute force and recall must print 1.0 — the
+    row that certifies the sweep's own arithmetic (pinned in tests,
+    with monotone-nondecreasing recall across the sweep).
+
+    Scale: one exact ranking + len(sweep) pruned rankings; each pruned
+    scan reads corpus x nprobe/nlist. The sweep shares the centroid
+    table across points (same _ivf_search body). Cost here is
+    probes-bounded; at 100 TB the sweep runs on a sampled probe set by
+    construction (probe list is the bounded side)."""
+    from base_etl_spark.registry import REGISTRY
+
+    exact = REGISTRY["sim_topk"].fn.tables_fn(t).select(
+        "probe_id", "neighbor_id", F.col("rn").alias("rn_e")
+    )
+    out = None
+    n_possible = F.lit(N_PROBES * TOP_K)
+    for np_ in _NPROBE_SWEEP:
+        ann = _ivf_search(t, nprobe=np_).select(
+            "probe_id", "neighbor_id", F.col("rn").alias("rn_a")
+        )
+        hits = (
+            exact.join(ann, ["probe_id", "neighbor_id"])
+            .filter((F.col("rn_e") <= TOP_K) & (F.col("rn_a") <= TOP_K))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        row = hits.select(
+            F.lit(np_).alias("nprobe"),
+            "n_hits",
+            n_possible.cast("long").alias("n_possible"),
+            F.round(F.col("n_hits") * 1.0 / n_possible, 6).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -212,6 +212,9 @@ ROUND9_WINDOW: list[str] = [
     "graph_components", "mm_image_quality_stats",
     "sort_global_rank_two_phase", "events_markov_stationary",
     "udf_pandas_iter", "orders_xyz_variability", "date_fiscal_445",
+    # window fills to exactly 50 here; further round-9 keys would spill
+    # to a ROUND10_WINDOW
+    "sim_ndcg_at_k", "events_qini_uplift", "sim_ivf_nprobe_sweep",
 ]
 
 # Round 9: execute the committed rotation plan — the driver window IS

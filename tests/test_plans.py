@@ -217,6 +217,10 @@ def test_no_accidental_cartesian_in_any_key(spark):
         "sample_poisson_bootstrap",  # 1-row truth x 1-row replicate summary
         "sample_class_balanced",  # 1-row min-class-count scalar broadcast
         "embedding_outlier_zdist",  # 1-row 3-sigma threshold scalar broadcast
+        # round-9 additions (each reviewed: bounded broadcast side)
+        "agg_decile_lift_approx",  # 1-row sketch-boundaries scalar broadcast
+        "sim_ndcg_at_k",  # inherits sim_topk's 10-row probe broadcast
+        "sim_ivf_nprobe_sweep",  # probe x centroid shortlist per sweep point (sim_topk_ivfpq shape)
     }
     bad = []
     for k, fn in _QS.items():
@@ -260,6 +264,10 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "mm_video_frame_dedup": "MapInPandas",  # REAL AVI demux + frame aHash stream
         "mm_image_crop_center": "MapInPandas",  # two REAL BMP trips (center crop)
         "mm_video_fps_downsample": "MapInPandas",  # two REAL AVI trips (frame drop)
+        # round-9 additions
+        "udf_pandas_iter": "ArrowEvalPython",  # Iterator[Series] batch-inference tier
+        "mm_audio_spectral_centroid": "MapInPandas",  # REAL WAV decode + rFFT features
+        "mm_image_quality_stats": "MapInPandas",  # REAL BMP decode + quality kernel
     }
     markers = (
         "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",

