@@ -565,7 +565,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 
 
 def _propagate_min_labels(
-    pairs: DataFrame, max_rounds: int = 100, what: str = "min-label propagation"
+    pairs: DataFrame, max_rounds: int | None = None, what: str = "min-label propagation"
 ) -> DataFrame:
     """(node, lab) min-label propagation over an undirected pair graph:
     each round every node adopts the minimum label among itself and its
@@ -573,7 +573,10 @@ def _propagate_min_labels(
     one groupBy per round, keyed on node id; the driver reads one
     scalar convergence count per round. localCheckpoint per round keeps
     lineage flat; the round cap is a runaway guard that RAISES instead
-    of returning non-converged labels."""
+    of returning non-converged labels — and it is sized from the DATA
+    (r9 ADVICE, same fix as graph_k_core): component diameter is at
+    most node_count - 1, so max(100, node_count) can never spuriously
+    raise on a chain-shaped graph the way a fixed constant would."""
     edges = (
         pairs.unionByName(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -587,6 +590,9 @@ def _propagate_min_labels(
         .select("node", F.col("node").alias("lab"))
         .localCheckpoint()
     )
+    if max_rounds is None:
+        # one scalar read; diameter <= node_count - 1 bounds the rounds
+        max_rounds = max(100, labels.count())
     changed = -1
     for _ in range(max_rounds):
         neigh = (

@@ -275,14 +275,25 @@ def sort_global_rank_two_phase(t: Tables) -> DataFrame:
     The total order (o_totalprice DESC, o_orderkey) is unique, so
     ranks are engine-neutral. Scale: one range shuffle + one
     partition-local sort + one n_partitions-row window + one broadcast
-    join — no global single-task sort anywhere."""
+    join — no global single-task sort anywhere.
+
+    INVARIANT (r9 ADVICE): the local-rank leg and the offset leg MUST
+    observe the SAME physical range partitioning. RangePartitioner
+    SAMPLES its boundaries, so two independent evaluations of the same
+    repartitionByRange can split rows differently; correctness here
+    relied on spark.sql.exchange.reuse deduplicating the two identical
+    exchanges. localCheckpoint() pins one materialized partitioning
+    that both legs read, independent of exchange-reuse config or plan
+    divergence."""
     base = t.orders.filter(F.col("o_orderstatus") == "O").select(
         "o_orderkey", "o_totalprice"
     )
     nb = max(base.sparkSession.sparkContext.defaultParallelism, 2)
-    by_range = base.repartitionByRange(
-        nb, F.desc("o_totalprice"), F.asc("o_orderkey")
-    ).withColumn("pid", F.spark_partition_id())
+    by_range = (
+        base.repartitionByRange(nb, F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     local_w = Window.partitionBy("pid").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )

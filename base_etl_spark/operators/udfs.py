@@ -377,14 +377,24 @@ def udf_pandas_iter(t: Tables) -> DataFrame:
 
     Scale: Arrow batches stream through one warm state per task; no
     shuffle; the Python boundary cost is amortized exactly like
-    udf_pandas."""
+    udf_pandas.
+
+    Rounding convention (r9 ADVICE): pandas Series.round is half-EVEN
+    while F.round and the DuckDB oracle round half-away-from-zero, so
+    an exact half-microunit tie would split value_scored from
+    value_scored_builtin. The UDF therefore rounds half-away-from-zero
+    explicitly (copysign(floor(|x|*1e6 + 0.5), x) / 1e6), matching both
+    twins by construction instead of by domain luck."""
     @F.pandas_udf("double")
     def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         # setup section: runs once per task, before the first batch —
         # the model-load slot (deterministic stand-in weights here)
+        import numpy as np
+
         w, b = 2.5, 7.0
         for s in batches:
-            yield (s * w + b).round(6)
+            v = (s * w + b).to_numpy()
+            yield pd.Series(np.copysign(np.floor(np.abs(v) * 1e6 + 0.5), v) / 1e6)
 
     return t.events.select(
         "event_id",

@@ -217,19 +217,57 @@ ROUND9_WINDOW: list[str] = [
     "sim_ndcg_at_k", "events_qini_uplift", "sim_ivf_nprobe_sweep",
 ]
 
-# Round 9: execute the committed rotation plan — the driver window IS
-# ROUND9_WINDOW (the 30 spillover keys registered after the round-8
-# window filled; all 30 were judge-pre-verified green at sf0.01 via the
-# driver-strict tools/check.py replica in the r8 VERDICT). The list is
-# 20 slots short of the driver's 50-key window, so the remainder pads
-# by registration order — re-checks of the OLDEST driver rows
-# (agg_pricing, agg_count_distinct, ... — r2/r3-era keys), not claims.
-# Keys registered during round 9 are appended to ROUND9_WINDOW at
-# registration time (20 free slots before the window fills); any
-# further spillover goes to a ROUND10_WINDOW.
-# tests/test_rotation_plan.py keeps this honest against the committed
-# CORRECTNESS_r0*.json history.
-DRIVER_PRIORITY: list[str] = list(ROUND9_WINDOW)
+# Round 10: every registry key now has at least one driver row
+# (cumulative union after r9 = all 398 keys), so this round's window is
+# re-check-led by design — the r9 VERDICT task 1. Three tiers:
+#
+# 1. ROUND10_RECHECK — keys whose IMPLEMENTATION changed after their
+#    last driver row: the five f71c7ac (collapsed label propagation /
+#    minhash collapse gate) keys, plus the three keys touched by this
+#    round's ADVICE fixes (sort_global_rank_two_phase localCheckpoint
+#    pinning; udf_pandas_iter rounding convention; graph_components via
+#    the data-sized _propagate_min_labels cap). Their driver rows must
+#    be POST-change.
+# 2. Keys registered during round 10 (appended at registration time,
+#    ahead of the padding so each lands a first driver row this round).
+# 3. ROUND10_PAD — refresh of the OLDEST driver evidence in the repo:
+#    the 46 keys whose last row is CORRECTNESS_r02 (r2-era windows/
+#    sorts/sets/streams/UDF-surfaces), in their r02 record order. Any
+#    overflow past the driver's 50 slots simply isn't sampled.
+#
+# tests/test_rotation_plan.py binds the deliberate re-checks to this
+# declared list — an UNDECLARED re-check (rotation drift) still fails.
+ROUND10_RECHECK: list[str] = [
+    # f71c7ac: collapsed propagation + gated minhash pre-collapse
+    "dedup_clusters", "dedup_cluster_sizes", "etl_split_cluster_safe",
+    "dedup_quality_survivor", "dedup_near_minhash",
+    # round-10 ADVICE fixes (post-change rows needed)
+    "graph_components", "sort_global_rank_two_phase", "udf_pandas_iter",
+]
+
+ROUND10_NEW: list[str] = [
+    # keys registered during round 10 — appended here at registration
+    # time per the standing rotation rule
+]
+
+ROUND10_PAD: list[str] = [
+    "win_topk_per_group", "win_rank_dense", "win_lag_lead",
+    "win_moving_avg", "win_range_frame", "win_distribution",
+    "win_first_last", "topk_orders", "sort_multikey", "limit_offset",
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "agg_unpivot", "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_dedup", "stream_late_data", "stream_stateful",
+    "udaf_entropy", "udaf_entropy_pandas", "udf_pandas", "udf_scalar",
+    "udtf_explode", "map_funcs", "str_fuzzy", "join_scalar_subquery",
+    "sim_topk_blocked", "mm_binary_features", "etl_profile",
+    "text_fingerprint", "dedup_embedding", "etl_corpus_clean",
+    "rollup_multigrain", "sample_stratified", "events_funnel",
+    "text_langid_ngram", "agg_argmax", "etl_dq_checks",
+    "etl_cohort_retention", "agg_salted", "rollup_incremental",
+    "win_running_distinct", "agg_pricing",
+]
+
+DRIVER_PRIORITY: list[str] = ROUND10_RECHECK + ROUND10_NEW + ROUND10_PAD
 
 
 def _ordered() -> list[str]:

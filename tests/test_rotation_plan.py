@@ -25,6 +25,9 @@ from base_etl_spark.registry import (
     ROUND7_WINDOW,
     ROUND8_WINDOW,
     ROUND9_WINDOW,
+    ROUND10_NEW,
+    ROUND10_PAD,
+    ROUND10_RECHECK,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -54,12 +57,13 @@ def test_current_window_is_listed_and_exact():
     assert CURRENT_WINDOW[: len(prefix)] == prefix
 
 
-def test_current_window_buys_only_new_rows():
-    # The window must not re-check keys the driver already verified in a
-    # PRIOR round. Two exclusions keep this valid across rotations: the
-    # current round's own record file (its key set is exactly this
-    # window) and, in the final round, the registration-order keys that
-    # pad the priority list out to 50 — only listed keys are claims.
+def test_current_window_buys_only_new_or_declared_rows():
+    # The window must not ACCIDENTALLY re-check keys the driver already
+    # verified in a prior round. After round 9 the driver union covers
+    # the whole registry, so deliberate re-checks are the plan — but
+    # only the DECLARED ones: ROUND10_RECHECK (implementation changed
+    # post-row) and ROUND10_PAD (oldest-evidence refresh). Anything else
+    # overlapping a prior round is rotation drift and fails here.
     prior = set()
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         with open(path) as f:
@@ -67,8 +71,16 @@ def test_current_window_buys_only_new_rows():
         if keys == set(CURRENT_WINDOW):
             continue
         prior |= keys
-    overlap = prior & set(CURRENT_WINDOW) & set(DRIVER_PRIORITY)
-    assert not overlap, f"window re-checks driver-verified keys: {sorted(overlap)}"
+    declared = set(ROUND10_RECHECK) | set(ROUND10_PAD)
+    overlap = prior & set(CURRENT_WINDOW) & set(DRIVER_PRIORITY) - declared
+    assert not overlap, f"window re-checks undeclared keys: {sorted(overlap)}"
+    # and the declared re-checks must genuinely BE re-checks — a new key
+    # hidden in the recheck/pad lists would dodge first-row accounting
+    not_prior = declared - prior
+    assert not not_prior, f"declared re-checks with no prior row: {sorted(not_prior)}"
+    # round-10 NEW keys are first-row claims: they must NOT be prior
+    stale_new = set(ROUND10_NEW) & prior
+    assert not stale_new, f"ROUND10_NEW lists already-verified keys: {sorted(stale_new)}"
 
 
 def test_round6_window_well_formed():
@@ -89,11 +101,13 @@ def test_future_windows_partition_the_unverified_remainder():
     assert not (r9 & (r6 | r7 | r8)), f"round-9 overlaps earlier windows: {sorted(r9 & (r6 | r7 | r8))}"
     # Disjointness binds only the DELIBERATE part of the live window —
     # keys actually listed in DRIVER_PRIORITY. Excluded: a 51st hedge
-    # entry beyond the 50-window (may legally lead the next round) and
-    # registration-order keys padding the final round's short list out
-    # to 50 (re-checks of already-verified keys, not claims). Once a
+    # entry beyond the 50-window (may legally lead the next round),
+    # registration-order keys padding a short list out to 50, and — from
+    # round 10 on — DECLARED re-checks (a changed-implementation key may
+    # legitimately sit in a historical window AND the live one). Once a
     # planned window IS the live window, the overlap is the rotation.
-    cur = set(CURRENT_WINDOW) & set(DRIVER_PRIORITY)
+    declared = set(ROUND10_RECHECK) | set(ROUND10_PAD)
+    cur = (set(CURRENT_WINDOW) & set(DRIVER_PRIORITY)) - declared
     if cur != r6:
         assert not (r6 & cur), f"round-6 re-checks live window: {sorted(r6 & cur)}"
     if cur != r7:
