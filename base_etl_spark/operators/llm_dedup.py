@@ -569,14 +569,17 @@ def _propagate_min_labels(
 ) -> DataFrame:
     """(node, lab) min-label propagation over an undirected pair graph:
     each round every node adopts the minimum label among itself and its
-    neighbors; converges in O(component diameter) rounds. One join +
-    one groupBy per round, keyed on node id; the driver reads one
-    scalar convergence count per round. localCheckpoint per round keeps
-    lineage flat; the round cap is a runaway guard that RAISES instead
-    of returning non-converged labels — and it is sized from the DATA
-    (r9 ADVICE, same fix as graph_k_core): component diameter is at
-    most node_count - 1, so max(100, node_count) can never spuriously
-    raise on a chain-shaped graph the way a fixed constant would."""
+    neighbors; converges in O(component diameter) rounds. ONE join +
+    one groupBy + one action per round: the moved flag rides inside the
+    checkpointed frame, so convergence is a cheap sum over the already-
+    materialized blocks instead of a second label-vs-label join per
+    round (r10 quality_survivor shave — the old shape paid two jobs a
+    round). localCheckpoint per round keeps lineage flat; the round cap
+    is a runaway guard that RAISES instead of returning non-converged
+    labels — and it is sized from the DATA (r9 ADVICE, same fix as
+    graph_k_core): component diameter is at most node_count - 1, so
+    max(100, node_count) can never spuriously raise on a chain-shaped
+    graph the way a fixed constant would."""
     edges = (
         pairs.unionByName(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -602,16 +605,17 @@ def _propagate_min_labels(
         )
         new_labels = (
             labels.join(neigh, "node", "left")
-            .select("node", F.least("lab", F.coalesce("nlab", "lab")).alias("lab"))
+            .select(
+                "node",
+                F.least("lab", F.coalesce("nlab", "lab")).alias("lab"),
+                (F.coalesce("nlab", "lab") < F.col("lab")).alias("moved"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(
+            F.coalesce(F.sum(F.col("moved").cast("long")), F.lit(0))
+        ).first()[0]
+        labels = new_labels.select("node", "lab")
         if changed == 0:
             break
     edges.unpersist()

@@ -248,6 +248,7 @@ ROUND10_RECHECK: list[str] = [
 ROUND10_NEW: list[str] = [
     # keys registered during round 10 — appended here at registration
     # time per the standing rotation rule
+    "selfcheck_battery",
 ]
 
 ROUND10_PAD: list[str] = [

@@ -16,6 +16,24 @@ def _rows(spark, key):
     return {tuple(r) for r in _QS[key](spark, SF_TEST).collect()}
 
 
+def test_battery_covers_every_rows_only_key():
+    """selfcheck_battery (r9 VERDICT task 2) must carry exactly one
+    check per rows-only key: a NEW R key without a battery entry would
+    silently fall back to `no_oracle` driver rows — the gap the battery
+    exists to close. (The battery itself is a D key and excluded.)"""
+    from base_etl_spark.operators.selfcheck import _CHECK_FNS, _CHECKS
+    from base_etl_spark.registry import REGISTRY
+
+    r_keys = {k for k, spec in REGISTRY.items() if spec.oracle is None}
+    battery_keys = {k for k, _ in _CHECKS}
+    assert battery_keys == r_keys, (
+        f"battery/R-key drift: missing={sorted(r_keys - battery_keys)} "
+        f"extra={sorted(battery_keys - r_keys)}"
+    )
+    assert len(_CHECKS) == len(set(_CHECKS))
+    assert set(_CHECK_FNS) == battery_keys
+
+
 def test_approx_distinct_within_5pct(spark):
     exact = {
         r.event_type: r.n_users for r in _QS["agg_count_distinct"](spark, SF_TEST).collect()
