@@ -1802,6 +1802,75 @@ def etl_ttl_expiry_plan(t: Tables) -> DataFrame:
 
 
 @query(
+    "etl_vacuum_orphan_plan",
+    oracle="""
+    WITH part AS (
+        SELECT date_trunc('month', ts) AS month,
+               CAST(user_id % 4 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT)    AS n_rows
+        FROM events GROUP BY 1, 2
+    ),
+    files AS (
+        SELECT month, bucket, n_rows,
+               CAST((extract(month FROM month) + bucket) % 3 AS BIGINT) AS current_v,
+               CAST(v AS BIGINT) AS v
+        FROM part, LATERAL (SELECT unnest(generate_series(0, 2)) AS v) g
+    )
+    SELECT month, bucket,
+           CAST(count(*) AS BIGINT)                           AS n_files,
+           CAST(sum(CASE WHEN v < current_v THEN 1 ELSE 0 END) AS BIGINT)
+                                                              AS n_vacuum,
+           CAST(sum(CASE WHEN v > current_v THEN 1 ELSE 0 END) AS BIGINT)
+                                                              AS n_inflight,
+           CAST(sum(CASE WHEN v < current_v THEN n_rows * 64 ELSE 0 END)
+                AS BIGINT)                                    AS reclaim_bytes
+    FROM files GROUP BY month, bucket
+    """,
+)
+def etl_vacuum_orphan_plan(t: Tables) -> DataFrame:
+    """Lakehouse VACUUM / orphan-file GC plan — the maintenance-family
+    twin of etl_ttl_expiry_plan (r9 VERDICT task 8b): given a table's
+    file inventory and its commit log, classify every physical file as
+    current (referenced by the live snapshot), superseded (an older
+    version a compaction/overwrite replaced — safe to delete, a
+    METADATA-ONLY drop that never reads the bytes it reclaims), or
+    IN-FLIGHT (version above the committed snapshot: an uncommitted
+    writer's output that a safe vacuum must NEVER touch — deleting it
+    is the classic corruption bug this plan's n_inflight column
+    exists to surface). reclaim_bytes budgets the sweep per partition.
+
+    The fixture carries no multi-version file layout (single parquet
+    per table), so the inventory is MODELED deterministically from the
+    fact table — per (month, user-bucket) partition: versions 0..2 on
+    disk, committed version = (month + bucket) % 3, bytes ~ rows * 64.
+    The decision semantics (supersede test, in-flight guard, per-
+    partition reclaim accounting) are the operator; the oracle
+    recomputes them in closed form.
+
+    Scale: one map-side-combined hash agg to partition cardinality,
+    then an in-row 3-element explode — the plan frame is partitions x
+    versions, not rows; on a real lakehouse the inventory comes from
+    the transaction log (metadata), never a data scan."""
+    part = t.events.groupBy(
+        F.date_trunc("month", "ts").alias("month"),
+        (F.col("user_id") % 4).alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    files = part.select(
+        "month", "bucket", "n_rows",
+        ((F.month("month") + F.col("bucket")) % 3).cast("long").alias("current_v"),
+        F.explode(F.array(*[F.lit(v).cast("long") for v in (0, 1, 2)])).alias("v"),
+    )
+    return files.groupBy("month", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum((F.col("v") < F.col("current_v")).cast("long")).alias("n_vacuum"),
+        F.sum((F.col("v") > F.col("current_v")).cast("long")).alias("n_inflight"),
+        F.sum(
+            F.when(F.col("v") < F.col("current_v"), F.col("n_rows") * 64).otherwise(0)
+        ).cast("long").alias("reclaim_bytes"),
+    )
+
+
+@query(
     "etl_duplicate_payment_audit",
     oracle="""
     WITH seq AS (

@@ -248,7 +248,7 @@ ROUND10_RECHECK: list[str] = [
 ROUND10_NEW: list[str] = [
     # keys registered during round 10 — appended here at registration
     # time per the standing rotation rule
-    "selfcheck_battery",
+    "selfcheck_battery", "mm_image_png_decode", "etl_vacuum_orphan_plan",
 ]
 
 ROUND10_PAD: list[str] = [

@@ -323,3 +323,94 @@ def streaming_interval_join_outer(
         ),
         "leftOuter",
     ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts")
+
+
+def make_ledger_append_sink(out_dir: str):
+    """EXACTLY-ONCE append sink for ``foreachBatch`` via a batch-id
+    commit LEDGER with a two-phase write — the second canonical
+    idempotent-sink recipe next to run_foreach_batch_rollup's
+    epoch-keyed overwrite (r9 VERDICT task 8a; the streaming twin of
+    sink_python_datasource's two-phase commit):
+
+    1. SKIP: if ``_ledger/<epoch>.committed`` exists, the batch was
+       already fully applied — a redelivered micro-batch (Structured
+       Streaming is at-least-once into foreachBatch) is a no-op.
+    2. STAGE: write the batch's rows to ``_staging/epoch=<id>`` —
+       invisible to readers (underscore-prefixed dirs are ignored by
+       Spark's file index).
+    3. PUBLISH: one atomic ``os.rename`` moves the staged directory to
+       ``epoch=<id>`` under the data root — readers see all of the
+       batch or none of it.
+    4. COMMIT: create the ledger marker. A crash between 3 and 4
+       re-runs the batch: the stale published dir is re-staged over
+       (rename target removed first), so the pipeline converges.
+
+    Returns the sink callable; exposed as a factory so tests can drive
+    the SAME function both through writeStream and directly (replaying
+    one (batch_df, epoch_id) twice must be a byte-level no-op)."""
+    import os
+    import shutil
+
+    ledger = os.path.join(out_dir, "_ledger")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch = int(epoch_id)
+        marker = os.path.join(ledger, f"{epoch}.committed")
+        if os.path.exists(marker):
+            return  # already committed — redelivery is a no-op
+        staged = os.path.join(out_dir, "_staging", f"epoch={epoch}")
+        final = os.path.join(out_dir, f"epoch={epoch}")
+        batch_df.write.mode("overwrite").parquet(staged)
+        if os.path.exists(final):  # crashed between publish and commit
+            shutil.rmtree(final)
+        os.makedirs(out_dir, exist_ok=True)
+        os.rename(staged, final)
+        os.makedirs(ledger, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("committed\n")
+
+    return sink
+
+
+def run_foreach_batch_ledger_append(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Append-only per-batch event-type counts through the ledger sink:
+    each micro-batch appends ITS OWN (event_type, n_events) census as
+    immutable facts — the idempotent-ingest ledger shape (think "rows
+    ingested per feed file"), deliberately STATELESS so the appended
+    facts are disjoint per epoch regardless of the order the source
+    lists files in (a 0-second-watermark windowed append would drop
+    rows whenever modification-time ties reorder the range-split
+    files — measured flaky here). The reader SUMS across epochs; the
+    ledger guarantees each epoch's facts land exactly once, so the sum
+    equals the batch census iff no batch duplicated or vanished.
+    Returns the published per-epoch fact table."""
+    footer = spark.read.parquet(src_dir).schema
+    ns_layout = isinstance(footer["ts"].dataType, LongType)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW if ns_layout else EVENTS_RAW_US)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    if ns_layout:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    publish = make_ledger_append_sink(out_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        census = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        publish(census, epoch_id)
+
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -268,6 +268,8 @@ def test_python_eval_only_in_declared_udf_surface(spark):
         "udf_pandas_iter": "ArrowEvalPython",  # Iterator[Series] batch-inference tier
         "mm_audio_spectral_centroid": "MapInPandas",  # REAL WAV decode + rFFT features
         "mm_image_quality_stats": "MapInPandas",  # REAL BMP decode + quality kernel
+        # round-10 additions
+        "mm_image_png_decode": "MapInPandas",  # REAL PNG (zlib) decode, all 5 filters
     }
     markers = (
         "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
