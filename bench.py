@@ -63,18 +63,34 @@ def _loadavg_1min() -> float | None:
         return None  # non-Linux: no guard, JSON carries null
 
 
+def _loadavg_5min() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[1])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+# The 1-min average alone is NOT a sufficient quiet signal (measured
+# r10): two back-to-back runs launched at 1-min 0.57/0.60 — passing the
+# guard — but with the 5-min average still draining from a prior heavy
+# job (~4-6) recorded 45.7 s / 47.6 s totals vs 31 s on a genuinely
+# settled box (kworker writeback + residual page-cache churn). Require
+# the 5-min average below 2x the threshold as well.
 def _wait_for_quiet() -> float | None:
-    load = _loadavg_1min()
+    load, load5 = _loadavg_1min(), _loadavg_5min()
     if load is None:
         return None
     deadline = time.time() + LOAD_WAIT_SECS
-    while load > LOAD_THRESHOLD and time.time() < deadline:
+    while (load > LOAD_THRESHOLD
+           or (load5 or 0.0) > 2 * LOAD_THRESHOLD) and time.time() < deadline:
         print(
-            f"# load guard: 1-min loadavg {load:.2f} > {LOAD_THRESHOLD}"
+            f"# load guard: loadavg 1-min {load:.2f} / 5-min {load5}"
+            f" over ({LOAD_THRESHOLD}, {2 * LOAD_THRESHOLD})"
             f" — waiting for quiet box", file=sys.stderr,
         )
         time.sleep(15)
-        load = _loadavg_1min()
+        load, load5 = _loadavg_1min(), _loadavg_5min()
     return load
 
 # bench key -> registry key (BASELINE.md shapes + LLM headliners).
