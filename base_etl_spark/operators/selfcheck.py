@@ -697,6 +697,12 @@ def _chk_hll_rollup(t: Tables) -> bool:
 
 
 def _chk_kmv(t: Tables) -> bool:
+    # Sketch size comes from the implementation, not a hardcoded twin
+    # (r10 ADVICE): if _KMV_K ever changes, the exact-tier/estimate-tier
+    # boundary below moves with it instead of silently testing the
+    # wrong threshold.
+    from base_etl_spark.operators.analytics import _KMV_K
+
     got = _frame("sketch_kmv_distinct", t)
     per = t.events.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("double").alias("n")
@@ -709,8 +715,8 @@ def _chk_kmv(t: Tables) -> bool:
     return _all(
         j,
         F.col("est_distinct").isNotNull() & F.col("n").isNotNull()
-        & (((F.col("n_kept") < 256) & (F.col("est_distinct") == F.col("n")))
-           | ((F.col("n_kept") >= 256)
+        & (((F.col("n_kept") < _KMV_K) & (F.col("est_distinct") == F.col("n")))
+           | ((F.col("n_kept") >= _KMV_K)
               & (F.abs(F.col("est_distinct") - F.col("n"))
                  <= 0.25 * F.col("n")))),
     )

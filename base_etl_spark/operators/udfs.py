@@ -383,8 +383,14 @@ def udf_pandas_iter(t: Tables) -> DataFrame:
     while F.round and the DuckDB oracle round half-away-from-zero, so
     an exact half-microunit tie would split value_scored from
     value_scored_builtin. The UDF therefore rounds half-away-from-zero
-    explicitly (copysign(floor(|x|*1e6 + 0.5), x) / 1e6), matching both
-    twins by construction instead of by domain luck."""
+    explicitly (copysign(floor(|x|*1e6 + 0.5), x) / 1e6), which matches
+    the DuckDB oracle's binary-double rounding by construction. The
+    BUILTIN twin is only domain-matched: Spark's F.round goes through
+    BigDecimal.HALF_UP on the shortest-decimal representation, so a
+    double lying just off a 6-dp decimal tie can in principle still
+    split value_scored_builtin from the UDF/oracle pair — a
+    pre-existing, data-dependent hazard not exercised by this
+    fixture."""
     @F.pandas_udf("double")
     def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         # setup section: runs once per task, before the first batch —

@@ -268,7 +268,49 @@ ROUND10_PAD: list[str] = [
     "win_running_distinct", "agg_pricing",
 ]
 
-DRIVER_PRIORITY: list[str] = ROUND10_RECHECK + ROUND10_NEW + ROUND10_PAD
+# Round 11 (r10 VERDICT task 3): rotate the window to the 57 keys whose
+# latest driver row is still CORRECTNESS_r02/r03 — the oldest evidence
+# in the repo. Same three-tier shape as round 10:
+#
+# 1. ROUND11_RECHECK — implementation changed post-row this round:
+#    selfcheck_battery (the _chk_kmv exact/estimate boundary now imports
+#    _KMV_K from analytics.py instead of a hardcoded 256 — r10 ADVICE).
+# 2. ROUND11_NEW — keys registered during round 11, appended at
+#    registration time (first driver rows).
+# 3. ROUND11_PAD — the 7 keys whose latest row is r02 (the round-10 pad
+#    overflow, in their r02 record order) then the first 41 of the 50
+#    r03-latest keys in their r03 record order. 1 + 1 + 48 = 50 slots;
+#    the 9 r03 keys left over (sim_topk_ivf, sim_cluster_stats,
+#    multimodal_join, text_wordcount, text_tfidf, text_stats,
+#    text_langid, text_quality, text_tokens) are queued for round 12.
+ROUND11_RECHECK: list[str] = [
+    "selfcheck_battery",  # _chk_kmv boundary constant now shared
+]
+
+ROUND11_NEW: list[str] = [
+    # keys registered during round 11 — appended here at registration
+    # time per the standing rotation rule
+]
+
+ROUND11_PAD: list[str] = [
+    # latest row r02 (round-10 pad overflow), r02 record order
+    "agg_argmax", "etl_dq_checks", "etl_cohort_retention", "agg_salted",
+    "rollup_incremental", "win_running_distinct", "agg_pricing",
+    # latest row r03, r03 record order (first 41 of 50)
+    "json_extract", "etl_scd2", "scan_csv_agg", "scan_json_agg",
+    "scan_parquet", "proj_revenue", "filter_complex", "join_inner_bcast",
+    "join_shuffle", "join_left_outer", "join_full_outer", "join_semi",
+    "join_anti", "join_cross", "join_theta_range", "join_asof",
+    "join_star_q5", "join_range_bucketized", "agg_count_distinct",
+    "agg_approx_distinct", "agg_having", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_pivot_casewhen", "agg_distinct_rows",
+    "agg_percentiles", "agg_approx_quantile", "str_funcs", "str_regexp",
+    "str_split_explode", "date_funcs", "math_funcs", "cond_funcs",
+    "cast_funcs", "array_funcs", "array_agg", "dedup_exact",
+    "dedup_near_jaccard", "dedup_simhash", "sim_topk",
+]
+
+DRIVER_PRIORITY: list[str] = ROUND11_RECHECK + ROUND11_NEW + ROUND11_PAD
 
 
 def _ordered() -> list[str]:

@@ -341,9 +341,22 @@ def make_ledger_append_sink(out_dir: str):
     3. PUBLISH: one atomic ``os.rename`` moves the staged directory to
        ``epoch=<id>`` under the data root — readers see all of the
        batch or none of it.
-    4. COMMIT: create the ledger marker. A crash between 3 and 4
-       re-runs the batch: the stale published dir is re-staged over
-       (rename target removed first), so the pipeline converges.
+    4. COMMIT: create the ledger marker — written to a temp name,
+       fsync'd, renamed into place, then the ledger dir and data root
+       are fsync'd so the marker cannot become durable while the
+       published epoch dir's rename is still only in the page cache
+       (metadata reordering after power loss would otherwise leave a
+       committed-but-missing batch). A crash between 3 and 4 re-runs
+       the batch: the stale published dir is re-staged over (rename
+       target removed first), so the pipeline converges.
+
+    Durability scope (r10 ADVICE): the marker/dir fsyncs above make the
+    commit ordering power-loss-safe on a local POSIX filesystem, but
+    the parquet DATA files inside the staged dir are written by Spark
+    without an fsync guarantee of their own — the exactly-once claim is
+    therefore process-crash recovery plus ordered-metadata power-loss
+    recovery, not a full torn-data-page story (that needs a
+    transactional table format).
 
     Returns the sink callable; exposed as a factory so tests can drive
     the SAME function both through writeStream and directly (replaying
@@ -352,6 +365,13 @@ def make_ledger_append_sink(out_dir: str):
     import shutil
 
     ledger = os.path.join(out_dir, "_ledger")
+
+    def _fsync_dir(path: str) -> None:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         epoch = int(epoch_id)
@@ -365,9 +385,15 @@ def make_ledger_append_sink(out_dir: str):
             shutil.rmtree(final)
         os.makedirs(out_dir, exist_ok=True)
         os.rename(staged, final)
+        _fsync_dir(out_dir)  # publish rename durable BEFORE the marker
         os.makedirs(ledger, exist_ok=True)
-        with open(marker, "w") as f:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
             f.write("committed\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, marker)
+        _fsync_dir(ledger)
 
     return sink
 

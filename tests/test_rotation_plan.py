@@ -28,6 +28,9 @@ from base_etl_spark.registry import (
     ROUND10_NEW,
     ROUND10_PAD,
     ROUND10_RECHECK,
+    ROUND11_NEW,
+    ROUND11_PAD,
+    ROUND11_RECHECK,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -71,16 +74,19 @@ def test_current_window_buys_only_new_or_declared_rows():
         if keys == set(CURRENT_WINDOW):
             continue
         prior |= keys
-    declared = set(ROUND10_RECHECK) | set(ROUND10_PAD)
+    declared = set(ROUND11_RECHECK) | set(ROUND11_PAD)
     overlap = prior & set(CURRENT_WINDOW) & set(DRIVER_PRIORITY) - declared
     assert not overlap, f"window re-checks undeclared keys: {sorted(overlap)}"
     # and the declared re-checks must genuinely BE re-checks — a new key
     # hidden in the recheck/pad lists would dodge first-row accounting
     not_prior = declared - prior
     assert not not_prior, f"declared re-checks with no prior row: {sorted(not_prior)}"
-    # round-10 NEW keys are first-row claims: they must NOT be prior
-    stale_new = set(ROUND10_NEW) & prior
-    assert not stale_new, f"ROUND10_NEW lists already-verified keys: {sorted(stale_new)}"
+    # round-11 NEW keys are first-row claims: they must NOT be prior
+    stale_new = set(ROUND11_NEW) & prior
+    assert not stale_new, f"ROUND11_NEW lists already-verified keys: {sorted(stale_new)}"
+    # the historical round-10 declarations stay internally consistent
+    # (RECHECK/PAD were prior rows then, NEW keys now have their r10 row)
+    assert not (set(ROUND10_RECHECK) | set(ROUND10_PAD) | set(ROUND10_NEW)) - prior
 
 
 def test_round6_window_well_formed():
@@ -106,7 +112,10 @@ def test_future_windows_partition_the_unverified_remainder():
     # round 10 on — DECLARED re-checks (a changed-implementation key may
     # legitimately sit in a historical window AND the live one). Once a
     # planned window IS the live window, the overlap is the rotation.
-    declared = set(ROUND10_RECHECK) | set(ROUND10_PAD)
+    declared = (
+        set(ROUND10_RECHECK) | set(ROUND10_PAD)
+        | set(ROUND11_RECHECK) | set(ROUND11_PAD)
+    )
     cur = (set(CURRENT_WINDOW) & set(DRIVER_PRIORITY)) - declared
     if cur != r6:
         assert not (r6 & cur), f"round-6 re-checks live window: {sorted(r6 & cur)}"
