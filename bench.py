@@ -77,13 +77,23 @@ def _loadavg_5min() -> float | None:
 # job (~4-6) recorded 45.7 s / 47.6 s totals vs 31 s on a genuinely
 # settled box (kworker writeback + residual page-cache churn). Require
 # the 5-min average below 2x the threshold as well.
-def _wait_for_quiet() -> float | None:
+def _is_dirty(load: float | None, load5: float | None) -> bool:
+    if load is None:
+        return False  # non-Linux: no guard signal at all
+    return load > LOAD_THRESHOLD or (load5 or 0.0) > 2 * LOAD_THRESHOLD
+
+
+def _wait_for_quiet(wait_secs: int) -> tuple[float | None, float | None, bool]:
+    """Returns (loadavg_1min, loadavg_5min, timed_out). timed_out=True
+    means the box never went quiet inside the deadline and the run
+    proceeded anyway — the artifact must self-describe as contaminated
+    (r10 VERDICT: a timed-out wait shipped as load_contaminated=false
+    twice in a row because only the 1-min start value was checked)."""
     load, load5 = _loadavg_1min(), _loadavg_5min()
     if load is None:
-        return None
-    deadline = time.time() + LOAD_WAIT_SECS
-    while (load > LOAD_THRESHOLD
-           or (load5 or 0.0) > 2 * LOAD_THRESHOLD) and time.time() < deadline:
+        return None, None, False
+    deadline = time.time() + wait_secs
+    while _is_dirty(load, load5) and time.time() < deadline:
         print(
             f"# load guard: loadavg 1-min {load:.2f} / 5-min {load5}"
             f" over ({LOAD_THRESHOLD}, {2 * LOAD_THRESHOLD})"
@@ -91,7 +101,7 @@ def _wait_for_quiet() -> float | None:
         )
         time.sleep(15)
         load, load5 = _loadavg_1min(), _loadavg_5min()
-    return load
+    return load, load5, _is_dirty(load, load5)
 
 # bench key -> registry key (BASELINE.md shapes + LLM headliners).
 # Every key now has a measured ≤2x anchor: the original 8 in BASELINE.md
@@ -134,11 +144,28 @@ HEADLINE = {
     "reconciliation": "etl_reconciliation_gate",
 }
 
+# PySpark-warm anchors from BASELINE.md (the ≤2x bench gate, per key).
+# BENCH_r09 and BENCH_r10 both shipped with a contiguous slow segment
+# breaching the gate on keys whose code hadn't changed — box contention
+# the start-time guard can't see. The per-key retry below consults these
+# anchors: a key landing over 2x its anchor gets ONE re-attempt after a
+# settle wait before its number is recorded (r10 VERDICT task 1).
+ANCHORS = {
+    "q1": 1.08, "q3": 7.13, "q5": 24.10, "window_rank": 2.88,
+    "events_hourly": 1.23, "docs_tokens": 0.45, "dedup_exact": 0.40,
+    "json_extract": 0.52, "sim_topk": 1.32, "dedup_minhash": 2.23,
+    "q9_profit": 0.73, "q21_waiting": 0.79, "hybrid_rrf": 1.03,
+    "dedup_spans": 1.19, "bpe_train": 3.18, "matryoshka": 1.29,
+    "source_matrix": 11.76, "ngram_novelty": 1.92, "silhouette": 1.04,
+    "quality_survivor": 4.51, "decile_lift": 0.79,
+    "fps_downsample": 0.62, "reconciliation": 1.63,
+}
+
 
 def main() -> None:
     from base_etl_spark import build_session, execute_fully, queries
 
-    load_start = _wait_for_quiet()
+    load_start, load5_start, wait_timed_out = _wait_for_quiet(LOAD_WAIT_SECS)
     spark = build_session(
         "bench",
         # keep stderr to the per-query lines: the stage progress bar
@@ -156,13 +183,51 @@ def main() -> None:
 
     times: dict[str, float] = {}
     times_warm2: dict[str, float] = {}
-    for name, key in HEADLINE.items():
-        fn = qs[key]
+    key_loads: dict[str, list[float | None]] = {}
+    retried: list[str] = []
+    dirty_keys: list[str] = []
+
+    def _best_of_3(fn) -> list[float]:
         attempts = []
         for _ in range(3):  # cold + 2 warm; report best
             t0 = time.time()
             execute_fully(fn(spark, SF_DIR))
             attempts.append(time.time() - t0)
+        return attempts
+
+    for name, key in HEADLINE.items():
+        fn = qs[key]
+        # Per-key load stamp (r10 VERDICT task 1): the start-of-run
+        # check alone let two dirty artifacts ship as contaminated=false
+        # — a mid-run spike is invisible to it. Stamp BOTH averages at
+        # each key's start; any breach marks the artifact.
+        l1, l5 = _loadavg_1min(), _loadavg_5min()
+        key_loads[name] = [l1, l5]
+        if _is_dirty(l1, l5):
+            dirty_keys.append(name)
+        attempts = _best_of_3(fn)
+        anchor = ANCHORS.get(name)
+        if anchor is not None and min(attempts) > 2 * anchor:
+            # One retry after a settle wait: a single contended segment
+            # must not become the key's number of record if the box can
+            # clear. The retry's own stamp replaces the key's stamp only
+            # if cleaner; both raw minima go to stderr for the log.
+            print(
+                f"# {name}: {round(min(attempts), 3)}s breaches 2x anchor"
+                f" ({anchor}s) — settle wait + one retry", file=sys.stderr,
+            )
+            r1, r5, _ = _wait_for_quiet(min(LOAD_WAIT_SECS, 120))
+            retry = _best_of_3(fn)
+            print(
+                f"# {name}: retry best {round(min(retry), 3)}s"
+                f" (first {round(min(attempts), 3)}s)", file=sys.stderr,
+            )
+            if min(retry) < min(attempts):
+                attempts = retry
+                key_loads[name] = [r1, r5]
+                if name in dirty_keys and not _is_dirty(r1, r5):
+                    dirty_keys.remove(name)
+            retried.append(name)
         n = fn(spark, SF_DIR).count()  # rows for the report line; untimed
         times[name] = round(min(attempts), 3)
         times_warm2[name] = round(min(attempts[:2]), 3)  # r1-r4 methodology
@@ -170,9 +235,14 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     load_end = _loadavg_1min()
-    # loadavg at the start includes THIS process's own session spin-up;
-    # contamination means the box was busy before we started.
-    contaminated = load_start is not None and load_start > LOAD_THRESHOLD
+    # Contaminated iff the box was dirty when we started (including a
+    # timed-out quiet wait — previously shipped as false) OR any per-key
+    # stamp breached mid-run.
+    contaminated = (
+        wait_timed_out
+        or _is_dirty(load_start, load5_start)
+        or bool(dirty_keys)
+    )
     print(
         json.dumps(
             {
@@ -182,8 +252,13 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "loadavg_start": load_start,
+                "loadavg_5min_start": load5_start,
                 "loadavg_end": load_end,
                 "load_contaminated": contaminated,
+                "load_wait_timed_out": wait_timed_out,
+                "key_loadavg": key_loads,
+                "dirty_keys": dirty_keys,
+                "retried_keys": retried,
                 "methodology": (
                     "best-of-3 noop-sink since r6 (full materialization; "
                     "warm2 = best-of-2 attempts, r1-r4; r1-r5 engine "
