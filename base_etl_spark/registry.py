@@ -290,6 +290,7 @@ ROUND11_RECHECK: list[str] = [
 ROUND11_NEW: list[str] = [
     # keys registered during round 11 — appended here at registration
     # time per the standing rotation rule
+    "sink_ledger_census",
 ]
 
 ROUND11_PAD: list[str] = [

@@ -440,3 +440,28 @@ def test_foreach_batch_jdbc_sink_idempotent(spark, tmp_path):
         for r in sinks.read_jdbc(spark, url, "hourly_rollup", properties=derby).collect()
     }
     assert again == want  # delete+append made the replay a no-op
+
+
+def test_sink_ledger_census_matches_direct_aggregate(spark):
+    """The r11 D key: the ledger sink's read-back census must equal the
+    direct batch aggregate over events — exactly-once end to end, with
+    the in-key poison replay (every committed epoch redelivered) having
+    been a no-op. The driver hash gate runs the same comparison against
+    DuckDB; this pins it in CI at sf0.001."""
+    got = {
+        (r.event_type): (r.n_events, r.min_ts, r.max_ts)
+        for r in _QS["sink_ledger_census"](spark, SF_TEST).collect()
+    }
+    t = load_tables(spark, SF_TEST)
+    want = {
+        r.event_type: (r.n_events, r.min_ts, r.max_ts)
+        for r in t.events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert "poison" not in got
