@@ -279,12 +279,17 @@ ROUND10_PAD: list[str] = [
 #    registration time (first driver rows).
 # 3. ROUND11_PAD — the 7 keys whose latest row is r02 (the round-10 pad
 #    overflow, in their r02 record order) then the first 41 of the 50
-#    r03-latest keys in their r03 record order. 1 + 1 + 48 = 50 slots;
-#    the 9 r03 keys left over (sim_topk_ivf, sim_cluster_stats,
-#    multimodal_join, text_wordcount, text_tfidf, text_stats,
-#    text_langid, text_quality, text_tokens) are queued for round 12.
+#    r03-latest keys in their r03 record order. 2 + 1 + 48 = 51 listed;
+#    the driver samples the first 50, so the last pad key (sim_topk)
+#    spills to round 12 beside the 9 r03 keys already queued
+#    (sim_topk_ivf, sim_cluster_stats, multimodal_join, text_wordcount,
+#    text_tfidf, text_stats, text_langid, text_quality, text_tokens) —
+#    47 of the 57 stale keys refresh this round.
 ROUND11_RECHECK: list[str] = [
     "selfcheck_battery",  # _chk_kmv boundary constant now shared
+    # drift-triage memo of the collapse-gate scalar (snapshot-statistic
+    # cache on the documents frame) — driver row must be post-change
+    "dedup_near_minhash",
 ]
 
 ROUND11_NEW: list[str] = [

@@ -83,6 +83,25 @@ def _is_dirty(load: float | None, load5: float | None) -> bool:
     return load > LOAD_THRESHOLD or (load5 or 0.0) > 2 * LOAD_THRESHOLD
 
 
+# Mid-run stamps see the bench's OWN load: calibrated on a quiet-box
+# run (2026-08-17), self-load plateaus at 1-min ~1.3-1.6 while the keys
+# execute, so the start-time threshold (1.5) would flag nearly every
+# mid-run key on a genuinely quiet box and make the flag meaningless.
+# The same calibration run caught a REAL host-level spike (1-min 3.1 →
+# 9.8 with no in-VM process) that the allowanced bounds still flag.
+_SELF_ALLOWANCE_1MIN = 1.0
+_SELF_ALLOWANCE_5MIN = 0.5
+
+
+def _is_dirty_midrun(load: float | None, load5: float | None) -> bool:
+    if load is None:
+        return False
+    return (
+        load > LOAD_THRESHOLD + _SELF_ALLOWANCE_1MIN
+        or (load5 or 0.0) > 2 * LOAD_THRESHOLD + _SELF_ALLOWANCE_5MIN
+    )
+
+
 def _wait_for_quiet(wait_secs: int) -> tuple[float | None, float | None, bool]:
     """Returns (loadavg_1min, loadavg_5min, timed_out). timed_out=True
     means the box never went quiet inside the deadline and the run
@@ -142,6 +161,10 @@ HEADLINE = {
     "decile_lift": "agg_decile_lift",
     "fps_downsample": "mm_video_fps_downsample",
     "reconciliation": "etl_reconciliation_gate",
+    # round-10/11 heavies (r10 VERDICT task 4) — anchors in BASELINE.md
+    # "Local anchors for the round-10/11 heavies".
+    "png_decode": "mm_image_png_decode",
+    "ledger_census": "sink_ledger_census",
 }
 
 # PySpark-warm anchors from BASELINE.md (the ≤2x bench gate, per key).
@@ -159,6 +182,7 @@ ANCHORS = {
     "source_matrix": 11.76, "ngram_novelty": 1.92, "silhouette": 1.04,
     "quality_survivor": 4.51, "decile_lift": 0.79,
     "fps_downsample": 0.62, "reconciliation": 1.63,
+    "png_decode": 1.12, "ledger_census": 3.76,
 }
 
 
@@ -203,11 +227,18 @@ def main() -> None:
         # each key's start; any breach marks the artifact.
         l1, l5 = _loadavg_1min(), _loadavg_5min()
         key_loads[name] = [l1, l5]
-        if _is_dirty(l1, l5):
+        if _is_dirty_midrun(l1, l5):
             dirty_keys.append(name)
         attempts = _best_of_3(fn)
         anchor = ANCHORS.get(name)
-        if anchor is not None and min(attempts) > 2 * anchor:
+        # Retry on a hard 2x breach, or on 1.5x when the key's own load
+        # stamp was dirty — the drifting-but-inside-gate segment BENCH_r09
+        # and _r10 shipped (dedup_minhash 1.84x on a stamp-dirty segment)
+        # is exactly what a settle-and-retry clears on a clean box.
+        if anchor is not None and (
+            min(attempts) > 2 * anchor
+            or (name in dirty_keys and min(attempts) > 1.5 * anchor)
+        ):
             # One retry after a settle wait: a single contended segment
             # must not become the key's number of record if the box can
             # clear. The retry's own stamp replaces the key's stamp only
@@ -225,7 +256,7 @@ def main() -> None:
             if min(retry) < min(attempts):
                 attempts = retry
                 key_loads[name] = [r1, r5]
-                if name in dirty_keys and not _is_dirty(r1, r5):
+                if name in dirty_keys and not _is_dirty_midrun(r1, r5):
                     dirty_keys.remove(name)
             retried.append(name)
         n = fn(spark, SF_DIR).count()  # rows for the report line; untimed

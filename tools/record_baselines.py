@@ -64,6 +64,16 @@ KEYS_R9 = [
     ("reconciliation", "etl_reconciliation_gate"),
 ]
 
+# round-10/11 additions (r10 VERDICT task 4): mm_image_png_decode is
+# the heaviest r10 kernel (x100 amplification 7.26x — the largest in
+# the r10 table) and had no anchor, making the 2x gate unfalsifiable
+# for it; sink_ledger_census is the r11 exactly-once sink census,
+# anchored at birth so it never ships unfalsifiable.
+KEYS_R10 = [
+    ("png_decode", "mm_image_png_decode"),
+    ("ledger_census", "sink_ledger_census"),
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -80,9 +90,14 @@ def main() -> None:
         "--r9", action="store_true",
         help="measure the round-9 unanchored heavies",
     )
+    ap.add_argument(
+        "--r10", action="store_true",
+        help="measure the round-10/11 unanchored heavies",
+    )
     args = ap.parse_args()
     keys = (
-        KEYS_R9 if args.r9
+        KEYS_R10 if args.r10
+        else KEYS_R9 if args.r9
         else KEYS_R8C if args.r8c
         else (KEYS_R8 if args.r8 else KEYS)
     )
