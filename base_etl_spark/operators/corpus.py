@@ -715,15 +715,16 @@ def etl_split_cluster_safe(t: Tables) -> DataFrame:
     class-size product, a rep-bounded join instead of a quadratic
     expansion. At 100 TB the rep pairs come from the MinHash tier's
     verified pairs (dedup_near_minhash) instead of the exact inverted
-    index — the split arithmetic is unchanged."""
-    from base_etl_spark.operators.llm_dedup import (
-        _shingle_jaccard_pairs_docs,
-        collapsed_cluster_labels,
-        exact_dup_classes,
-    )
+    index — the split arithmetic is unchanged.
 
-    _, classes = exact_dup_classes(t.documents)
-    labels = collapsed_cluster_labels(t.documents)
+    r11 (guide §1.2 — don't compute things twice): the labels, class
+    table, and rep-level pair graph all come from ONE
+    _collapsed_labels_parts call, reusing the checkpointed rep_pairs
+    frame for the leak census instead of re-running exact_dup_classes
+    and the shingle-Jaccard inverted-index self-join a second time."""
+    from base_etl_spark.operators.llm_dedup import _collapsed_labels_parts
+
+    labels, _, classes, _, rep_pairs = _collapsed_labels_parts(t.documents)
     assigned = (
         t.documents.select("doc_id")
         .join(labels.withColumnRenamed("canonical_id", "lab"), "doc_id", "left")
@@ -737,10 +738,6 @@ def etl_split_cluster_safe(t: Tables) -> DataFrame:
         )
         .localCheckpoint()
     )
-    reps = t.documents.join(
-        classes.select(F.col("rep_id").alias("doc_id")), "doc_id"
-    ).select("doc_id", "text")
-    rep_pairs = _shingle_jaccard_pairs_docs(reps).select("doc_a", "doc_b")
     cls_n = classes.select(F.col("rep_id").alias("doc_id"), "class_n")
     side = assigned.select("doc_id", "split").join(cls_n, "doc_id")
     leaks = (

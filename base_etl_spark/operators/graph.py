@@ -82,7 +82,10 @@ def graph_pagerank(t: Tables) -> DataFrame:
         )
         # carry the previous rank through the round so the convergence
         # probe is a plain agg over the checkpointed frame — no second
-        # join, one action per round
+        # join, one action per round. r11: the checkpoint is LAZY, so
+        # the delta read below is the job that materializes the round —
+        # one Spark job per round instead of two (the seed `ranks` frame
+        # above stays eager: round 1 references it twice in one plan).
         new_ranks = (
             ranks.withColumnRenamed("rank", "old")
             .join(contribs, "node", "left")
@@ -91,7 +94,7 @@ def graph_pagerank(t: Tables) -> DataFrame:
                 (F.lit(base) + _PR_DAMPING * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
                 "old",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         delta = new_ranks.agg(
             F.max(F.abs(F.col("rank") - F.col("old"))).alias("d")
@@ -574,7 +577,11 @@ def graph_k_core(t: Tables) -> DataFrame:
     and it raises only when bad nodes REMAIN after the cap, never after
     a peel that completed on its final permitted round. Output: per k —
     core size, edge count, and rounds taken (bounded: 2 rows)."""
-    edges0 = _knn_partnership_edges(t)
+    # r11 (guide §1.2): checkpoint the KNN edge construction ONCE — the
+    # old shape re-evaluated the _knn_partnership_edges self-join three
+    # times (the n_nodes0 count plus one eager checkpoint per k). The
+    # node count and both k-loops now read the single materialized frame.
+    edges0 = _knn_partnership_edges(t).localCheckpoint()
     n_nodes0 = (
         edges0.select(F.col("u").alias("node"))
         .unionByName(edges0.select(F.col("v").alias("node")))
@@ -584,7 +591,7 @@ def graph_k_core(t: Tables) -> DataFrame:
     max_rounds = max(_KCORE_MAX_ROUNDS, n_nodes0)
     out = None
     for k in _KCORE_KS:
-        cur = edges0.localCheckpoint()
+        cur = edges0
         rounds_used = 0
         while True:
             deg = (
@@ -602,10 +609,13 @@ def graph_k_core(t: Tables) -> DataFrame:
                     f"graph_k_core: k={k} not peeled within {max_rounds} rounds"
                 )
             rounds_used += 1
+            # LAZY per-round checkpoint: the next round's bad.count()
+            # (or the post-loop stats action) is the job that
+            # materializes the peel — one job per round, not two
             cur = (
                 cur.join(bad, cur.u == bad.node, "left_anti")
                 .join(bad, cur.v == bad.node, "left_anti")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         iterstats.record("graph_k_core", rounds_used)
         stats = cur.agg(

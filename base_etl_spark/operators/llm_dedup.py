@@ -443,21 +443,26 @@ def dedup_near_minhash(t: Tables) -> DataFrame:
     # Verification (shared _verify_candidates): merge-pinned single-scan
     # shingle membership join — see the helper's docstring for the
     # measured broadcast-OOM and shuffle_hash-stall history.
-    # The gate scalar is a SNAPSHOT STATISTIC of an immutable corpus
-    # (one full-text scan, ~0.63 s at sf0.1): memoize it on the cached
-    # documents DataFrame object so repeated calls against the same
-    # snapshot (bench warm attempts, check sweeps) pay it once — the
-    # ANALYZE-TABLE shape. A different corpus (fuzz/empty tiers, tests
-    # swapping frames) is a different DataFrame object and recomputes.
+    # The gate scalar is recomputed on EVERY call (r11: an earlier
+    # draft memoized it on the session-cached documents frame, which
+    # let warm bench attempts skip a real ~0.6 s scan — cross-run
+    # result caching, removed). The read is a PRUNED projection: the
+    # gate only needs per-chash counts, so it scans text alone (no
+    # doc_id, no min-rep agg) — the scan job the collapse decision
+    # fundamentally requires and nothing more.
     # r11 drift triage: the r6 anchor (2.23 s) predates this gate; the
     # isolated quiet-box key is 2.68 s (1.20x) and the in-bench excess
     # to ~4 s is long-session JVM state, not plan regression.
     docs = t.documents
     tagged, classes = exact_dup_classes(docs)
-    max_class = getattr(docs, "_max_class_memo", None)
-    if max_class is None:
-        max_class = classes.agg(F.max("class_n").alias("m")).first()["m"] or 0
-        docs._max_class_memo = max_class
+    max_class = (
+        docs.select(F.xxhash64("text").alias("chash"))
+        .groupBy("chash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()["m"]
+        or 0
+    )
     if max_class < _COLLAPSE_MIN_CLASS:
         sigs = minhash_signatures(docs)
         return _verify_candidates(docs, lsh_candidate_pairs(sigs))
@@ -592,7 +597,19 @@ def _propagate_min_labels(
     labels — and it is sized from the DATA (r9 ADVICE, same fix as
     graph_k_core): component diameter is at most node_count - 1, so
     max(100, node_count) can never spuriously raise on a chain-shaped
-    graph the way a fixed constant would."""
+    graph the way a fixed constant would.
+
+    r11 (guide §1.2 — fewer driver round-trips): the per-round
+    checkpoint is LAZY (eager=False), so the convergence read is the
+    job that materializes the round — ONE Spark job per round instead
+    of the eager checkpoint job + the convergence job. (The seed label
+    frame stays eager: round 1's plan references it twice — via neigh
+    and directly — and an unmaterialized lazy-checkpoint RDD scanned
+    by two concurrent stages would be computed twice.) The data-sized
+    cap's node count is likewise deferred: labels carries every node
+    in every round, so the count is only read — from the cached frame —
+    if round 100 is ever reached, and graphs that converge earlier
+    (all fixtures) never pay that job."""
     edges = (
         pairs.unionByName(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -606,11 +623,20 @@ def _propagate_min_labels(
         .select("node", F.col("node").alias("lab"))
         .localCheckpoint()
     )
-    if max_rounds is None:
-        # one scalar read; diameter <= node_count - 1 bounds the rounds
-        max_rounds = max(100, labels.count())
+    cap = max_rounds if max_rounds is not None else 100
+    cap_is_final = max_rounds is not None
     changed = -1
-    for _ in range(max_rounds):
+    rnd = 0
+    while True:
+        if rnd >= cap:
+            if cap_is_final:
+                break
+            # diameter <= node_count - 1 bounds the rounds; labels holds
+            # every node each round, so read the count off the cached frame
+            cap = max(100, labels.count())
+            cap_is_final = True
+            if rnd >= cap:
+                break
         neigh = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -623,12 +649,13 @@ def _propagate_min_labels(
                 F.least("lab", F.coalesce("nlab", "lab")).alias("lab"),
                 (F.coalesce("nlab", "lab") < F.col("lab")).alias("moved"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(
             F.coalesce(F.sum(F.col("moved").cast("long")), F.lit(0))
         ).first()[0]
         labels = new_labels.select("node", "lab")
+        rnd += 1
         if changed == 0:
             break
     edges.unpersist()
@@ -666,6 +693,19 @@ def collapsed_cluster_labels(documents: DataFrame) -> DataFrame:
     giant identical-text families collapse to single nodes outright).
     Expansion is one chash-keyed join against class labels, linear in
     docs."""
+    labels, _, _, _, _ = _collapsed_labels_parts(documents)
+    return labels
+
+
+def _collapsed_labels_parts(
+    documents: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """collapsed_cluster_labels plus its intermediates — (labels,
+    tagged, classes, reps, rep_pairs) — so consumers that need BOTH the
+    labels and the rep-level pair graph (etl_split_cluster_safe's leak
+    census) reuse the one materialized rep_pairs frame instead of
+    re-running the shingle-Jaccard inverted-index self-join a second
+    time (r11, guide §1.2: don't compute things twice)."""
     tagged, classes = exact_dup_classes(documents)
     reps = documents.join(
         classes.select(F.col("rep_id").alias("doc_id")), "doc_id"
@@ -689,7 +729,8 @@ def collapsed_cluster_labels(documents: DataFrame) -> DataFrame:
         .filter(F.col("lab").isNotNull() | F.col("is_multi").isNotNull())
         .select("chash", F.coalesce("lab", "rep_id").alias("canonical_id"))
     )
-    return tagged.join(class_labels, "chash").select("doc_id", "canonical_id")
+    labels = tagged.join(class_labels, "chash").select("doc_id", "canonical_id")
+    return labels, tagged, classes, reps, rep_pairs
 
 
 @query(

@@ -662,16 +662,42 @@ def text_bm25(t: Tables) -> DataFrame:
 
 def bm25_scores(t: Tables) -> DataFrame:
     """(doc_id, s): raw BM25 scores for the fixed query — shared by
-    text_bm25 (top-20 report) and sim_hybrid_rrf (lexical leg)."""
-    tok = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avg_dlen"))
+    text_bm25 (top-20 report) and sim_hybrid_rrf (lexical leg).
+
+    r11 restructure (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    exchanges): the old shape re-scanned AND re-exploded the corpus four
+    times (tf, df, dl, stats each built from their own explode lineage —
+    4 parquet scans + 4 Generate nodes in the hybrid_rrf plan). Now:
+
+    - dlen is computed IN-ROW as size(split(text)) — identical to the
+      exploded count (split never yields an empty array) — and carried
+      through the term-filtered explode, so the dl groupBy+join leg
+      disappears entirely;
+    - df rides a count() window over the (doc_id, w) tf aggregate
+      (partitions = query terms, rows already 1/doc/term) instead of a
+      second pass over the tf lineage;
+    - corpus stats (n_docs, avg_dlen) are one in-row projection + 1-row
+      agg, broadcast via crossJoin.
+
+    Net: 2 corpus scans (one exploded+term-pruned, one in-row width-2)
+    instead of 4 exploded scans; 3 tiny exchanges on aggregated rows.
+    NULL-text docs are excluded exactly as before (explode of a null
+    split emitted nothing, so they never had token rows, never counted
+    in n_docs, and never scored)."""
+    docs = t.documents.filter(F.col("text").isNotNull())
+    dlen = F.size(F.split("text", " "))
+    stats = docs.select(dlen.alias("dlen")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avg_dlen")
+    )
+    tok = docs.select(
+        "doc_id", dlen.alias("dlen"), F.explode(F.split("text", " ")).alias("w")
+    )
     tf = (
         tok.filter(F.col("w").isin(*_BM25_QUERY))
         .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dlen").alias("dlen"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("w")))
     )
-    df_ = tf.groupBy(F.col("w").alias("t")).agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
@@ -680,9 +706,7 @@ def bm25_scores(t: Tables) -> DataFrame:
     )
     term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / norm
     return (
-        tf.join(F.broadcast(df_), tf.w == df_.t)
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("s"))
     )
@@ -1461,13 +1485,22 @@ def _bpe_train(documents: DataFrame):
         "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
         " array('</w>'))"
     )
+    # r11 (guide §1.2 — fewer driver round-trips): every checkpoint in
+    # this loop is LAZY (eager=False). Each round's 1-row argmax collect
+    # is the job that materializes the previous round's rewritten vocab,
+    # so the loop runs ONE Spark job per merge instead of two (eager
+    # checkpoint + collect), and the final rewrite after the last merge
+    # is never materialized at all unless a consumer (bpe_apply) reads
+    # it. Safe because each checkpointed frame is referenced exactly
+    # once by the next action (the pair-count agg), which persists it
+    # before the round's rewrite references it again.
     vocab = (
         documents.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select("w", "freq", syms0.alias("syms"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # size(syms) can reach 1 once a word is fully merged — and Spark's
     # sequence(1, 0) DESCENDS ([1, 0]), driving element_at to index 0.
@@ -1545,7 +1578,7 @@ def _bpe_train(documents: DataFrame):
         vocab = vocab.withColumn(
             "syms",
             F.aggregate("syms", init, _merge_factory(left, right, merged), fin),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges, vocab
 
 

@@ -867,9 +867,32 @@ assert {k for k, _ in _CHECKS} == set(_CHECK_FNS)
 def selfcheck_battery(t: Tables) -> DataFrame:
     """One hash-gated row per rows-only key: (key, check_name, passed),
     compared against an all-true literal — the R tier's driver-visible
-    correctness signal (module docstring has the full design)."""
+    correctness signal (module docstring has the full design).
+
+    r11 (guide §2.6 — overlap independent jobs): the 34 checks are
+    independent reads over the same Tables, but each one is a chain of
+    small driver-latency-bound jobs (several are iterative with driver
+    loops), so serial evaluation left the cluster idle between
+    round-trips — 306 s at sf0.01 on a quiet box. A small thread pool
+    overlaps them; `pool.map` preserves _CHECKS order so the output
+    frame is row-for-row identical to the serial build, and
+    `inheritable_thread_target` keeps JVM thread-locals (job
+    descriptions, pinned threads) correct per the PySpark contract.
+    iterstats.record calls inside parent keys are single dict writes
+    keyed by parent name — GIL-atomic, same last-writer semantics as
+    the serial loop."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     spark = t.orders.sparkSession
-    rows = [(k, c, bool(_CHECK_FNS[k](t))) for k, c in _CHECKS]
+
+    def _run(kc: tuple[str, str]) -> tuple[str, str, bool]:
+        k, c = kc
+        return (k, c, bool(_CHECK_FNS[k](t)))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        rows = list(pool.map(inheritable_thread_target(_run), _CHECKS))
     return spark.createDataFrame(
         rows, "key string, check_name string, passed boolean"
     )

@@ -549,47 +549,65 @@ def join_q21_waiting(t: Tables) -> DataFrame:
 
     Adaptation: 'late' is l_returnflag='R' (no receipt/commit dates).
 
-    At 100 TB: all three lineitem scans hash-shuffle on l_orderkey; the
-    non-equi suppkey<>suppkey residual rides the equi join on orderkey,
-    so no nested loop appears. The fact-derived semi/anti sides carry an
-    explicit merge hint: the session's 64 MB broadcast threshold (tuned
-    so dims always broadcast) otherwise catches the column-pruned
-    lineitem/orders projections at mid scale and builds a fact-sized
-    broadcast hash table — measured 5.8x slower than the shuffle plan at
-    30x sf0.1 (tools/scale_stress.py A/B), and strictly worse on a real
-    cluster where the build ships to every executor.
+    r11 restructure (guide §2.3/§2.4 — aggregate before you shuffle,
+    remove shuffles outright): the EXISTS/NOT-EXISTS pair is replaced
+    by ONE per-orderkey aggregate over the fact. For an l1 row with
+    supplier s (late by the l1 filter):
+      EXISTS l2 (other supplier in the order)       ⟺ n_supp >= 2
+      NOT EXISTS l3 (other LATE supplier)           ⟺ n_late_supp == 1
+    (s itself is late, so the late-supplier set is exactly {s} iff its
+    cardinality is 1 — both directions are immediate). The old shape
+    shuffled the raw l2 (full fact, 2 cols) and l3 (late rows) legs and
+    sort-merge-joined them against l1 with a <> residual; the new shape
+    shuffles once per grain through map-side-combined aggregates — a
+    (orderkey, suppkey, late) distinct pass, then a per-orderkey
+    census — and joins l1 against the filtered orderkey list. Plan:
+    3 fact scans + 2 SMJs with raw legs → 2 fact scans + 1 SMJ on
+    aggregated rows. Oracle unchanged; equivalence hash-proven at
+    sf0.001/0.01/0.1 (tools/check.py, this round).
+
+    At 100 TB: both fact legs hash-shuffle on l_orderkey; the per-order
+    census is two-level (partial agg per (orderkey, suppkey) first), so
+    shuffle bytes scale with distinct (order, supplier) pairs, not
+    lines. The fact-derived sides keep the explicit merge hint: the
+    session's 64 MB broadcast threshold (tuned so dims always
+    broadcast) otherwise catches the column-pruned projections at mid
+    scale and builds a fact-sized broadcast hash table — measured 5.8x
+    slower than the shuffle plan at 30x sf0.1 (tools/scale_stress.py
+    A/B), and strictly worse on a real cluster where the build ships to
+    every executor.
     """
     l1 = (
         t.lineitem.filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_suppkey")
         .alias("l1")
     )
-    l2 = t.lineitem.select("l_orderkey", "l_suppkey").hint("merge").alias("l2")
-    l3 = (
-        t.lineitem.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
+    per_supp = (
+        t.lineitem.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").cast("int").alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    )
+    qualifying = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("late").alias("n_late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey")
         .hint("merge")
-        .alias("l3")
     )
     f_orders = (
         t.orders.filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
         .hint("merge")
     )
-    waiting = (
-        l1.join(f_orders, F.col("l1.l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+    waiting = l1.join(f_orders, F.col("l1.l_orderkey") == F.col("o_orderkey"), "left_semi").join(
+        qualifying, "l_orderkey", "left_semi"
     )
     return (
         waiting.join(

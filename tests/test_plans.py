@@ -362,13 +362,18 @@ def test_q7_broadcast_both_nation_legs(spark):
 
 
 def test_q21_semi_anti_no_nested_loop(spark):
-    """Q21: the EXISTS/NOT EXISTS pair must compile to semi/anti hash
-    joins riding the l_orderkey equi key — a nested loop here would be
-    quadratic in order size at scale."""
+    """Q21 (r11 restructure): the EXISTS/NOT-EXISTS pair is replaced by
+    one per-orderkey census aggregate (n_supp >= 2 AND n_late_supp == 1),
+    so the plan must carry semi joins on the l_orderkey equi key, the
+    two-level HashAggregate census (partial per (orderkey, suppkey)
+    first — map-side combine), and NO anti join or nested loop: a
+    nested loop here would be quadratic in order size at scale."""
     plan = _plan(_QS["join_q21_waiting"](spark, SF_TEST))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" not in plan  # the NOT-EXISTS leg is now an aggregate
+    assert "HashAggregate" in plan
 
 
 def test_q19_pushes_common_quantity_range(spark):
@@ -405,7 +410,10 @@ def test_fact_joins_pinned_to_merge(spark):
     (formatted explain lists each SMJ node twice: tree + detail, so one
     pinned join contributes 2 occurrences)."""
     for key, min_smj_nodes in (
-        ("join_q21_waiting", 3),
+        # r11: q21's l2/l3 raw legs folded into one per-orderkey census
+        # aggregate, so the pinned sides are the census + f_orders (2
+        # SMJs), down from 3 raw-leg joins — see tpch_extra.py docstring
+        ("join_q21_waiting", 2),
         ("join_q4_priority_exists", 1),
         ("join_q7_volume", 1),
         ("join_q9_profit", 1),
