@@ -577,20 +577,26 @@ def join_q21_waiting(t: Tables) -> DataFrame:
     A/B), and strictly worse on a real cluster where the build ships to
     every executor.
     """
-    l1 = (
-        t.lineitem.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .alias("l1")
-    )
-    per_supp = (
-        t.lineitem.select(
-            "l_orderkey",
-            "l_suppkey",
-            (F.col("l_returnflag") == "R").cast("int").alias("late"),
-        )
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max("late").alias("late"))
-    )
+    # ONE fact exchange serves every orderkey-keyed operator below
+    # (guide §2.4 — two operations keyed the same way share one
+    # exchange): HashPartitioning(l_orderkey) satisfies the clustering
+    # requirement of the (l_orderkey, l_suppkey) aggregate, the
+    # per-orderkey census, AND the l1-vs-qualifying sort-merge semi, so
+    # the row-grain l1 leg and the census leg fork AFTER the shuffle
+    # and Spark's ReuseExchange executes the scan+exchange once.
+    # Before this: l1 and per_supp were separate lineages — 2 fact
+    # scans and 2 aggregate exchanges ((orderkey, suppkey) then
+    # orderkey) plus l1's own shuffle; now 1 scan + 1 exchange. The
+    # exchange carries raw (orderkey, suppkey, late) triples instead of
+    # map-side-combined pairs, but (orderkey, suppkey) is near-unique
+    # per line so the lost partial-agg dedup is ~nothing at any scale.
+    base = t.lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("late"),
+    ).repartition("l_orderkey")
+    l1 = base.filter(F.col("late") == 1).select("l_orderkey", "l_suppkey").alias("l1")
+    per_supp = base.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
     qualifying = (
         per_supp.groupBy("l_orderkey")
         .agg(
