@@ -1454,18 +1454,22 @@ def tokenizer_bpe_train(t: Tables) -> DataFrame:
     100 TB shape: the corpus is reduced ONCE to the word vocabulary
     (one hash agg with map-side partials); every round after that is
     vocab-bounded — an in-row pair transform + explode (pair rows ≤
-    symbols per word), one hash agg, a 1-row argmax collect, and one
+    symbols per word), one hash agg, a bounded top-K collect, and one
     in-row fold rewriting the symbol arrays (F.aggregate with a
     pend/out accumulator — merged-pair emission, left-to-right). The
     vocab frame is localCheckpoint'ed per round, so lineage stays flat
-    and each round's cost is honest; driver state is ONE (left, right,
-    count) row per round. Vocabulary saturates with corpus growth, so
-    round cost approaches a constant as data scales."""
+    and each round's cost is honest; driver state is ≤ _BPE_TOPK
+    (left, right, count) rows per round. r12: merges are BATCHED — the
+    longest provably-independent prefix of the ranking merges in one
+    rewrite (guard + identity proof in _pick_merge_batch), so 8 merges
+    cost ~4 rounds instead of 8 with a bit-identical merge table.
+    Vocabulary saturates with corpus growth, so round cost approaches
+    a constant as data scales."""
     from base_etl_spark import iterstats
 
     spark = t.documents.sparkSession
-    merges, _ = _bpe_train(t.documents)
-    iterstats.record("tokenizer_bpe_train", len(merges))
+    merges, _, rounds = _bpe_train(t.documents)
+    iterstats.record("tokenizer_bpe_train", rounds)
 
     return spark.createDataFrame(
         merges,
@@ -1474,13 +1478,105 @@ def tokenizer_bpe_train(t: Tables) -> DataFrame:
     )
 
 
+_BPE_TOPK = 24  # ranked pairs collected per round for the batch guard
+
+
+def _pick_merge_batch(
+    ranked: list[tuple[str, str, int]],
+    truncated: bool,
+    remaining: int,
+    merged_strings: set[str],
+) -> list[tuple[str, str, str, int]]:
+    """Maximal PREFIX of the (count desc, l, r) pair ranking that can be
+    merged in ONE vocabulary rewrite while producing a merge table (and
+    final vocab) IDENTICAL to the one-merge-per-round sequential
+    algorithm. Pure driver arithmetic over the collected top-K rows.
+
+    Why a prefix and not a skip-list: a pair skipped for interacting
+    with an earlier accepted pair may still be the next sequential
+    winner (its count may NOT actually have changed), so the scan must
+    STOP at the first rejection.
+
+    Guards, for candidate p_i = (l_i, r_i, m_i = l_i + r_i) against
+    every already-accepted p_j:
+
+    G1 (count invariance + non-overlapping rewrite). Merging (l_j, r_j)
+    can only change the counts of pairs of the form (x, l_j) or
+    (r_j, y) (those lose "x l_j r_j" / "l_j r_j y" occurrences), or
+    pairs involving the new symbol m_j. Everything else — including
+    pairs sharing only a left-left or right-right symbol — is
+    invariant, and invariance in both directions also implies the
+    occurrences of accepted pairs can never overlap in a word, which
+    makes the single simultaneous rewrite pass equal to the sequential
+    passes. Reject iff r_i == l_j, or l_i == r_j, or any of
+    {l_i, r_i, m_i} collides with {m_j} or m_i with {l_j, r_j}.
+
+    G2 (new-pair hazard). The sequential algorithm at p_i's round also
+    sees pairs involving m_j that this round's table cannot price. Any
+    such pair's count is bounded by H_j = adj_j + msym_j where
+    adj_j bounds the NEW occurrences ((x, m_j) <= old (x, l_j);
+    (m_j, y) <= old (r_j, y) — read off the collected ranking, floored
+    by the K-th count when the ranking is truncated) and msym_j bounds
+    the OLD count of a pair involving m_j as a pre-existing symbol.
+    msym_j is EXACTLY zero unless m_j is '</w>' or a previously
+    accepted merge string: initial symbols are single characters plus
+    the marker, so any multi-character symbol in the vocabulary is one
+    of those, and m_j (>= 2 chars) can never equal a single character.
+    Accept only while cnt_i is STRICTLY greater than every H_j (a tie
+    could lose on the lexicographic tiebreak to a pair we cannot see).
+
+    Proven identical to the sequential reference on the fixture
+    corpora (3 SFs), the planted overlap/tie corpus, and 40k fuzz
+    vocabs over 2-6 symbol alphabets including '</w>'-collision
+    alphabets (tests/test_selfchecks.py covers fixtures + planted;
+    test_bpe_batch_guard_fuzz replays the guard against the pure-Python
+    reference)."""
+    floor = ranked[-1][2] if (truncated and ranked) else 0
+    batch: list[tuple[str, str, str, int]] = []
+    hazards: list[int] = []
+    for l, r, c in ranked:
+        if len(batch) >= remaining:
+            break
+        m = l + r
+        ok = all(
+            r != bl and l != br and l != bm and r != bm
+            and m != bl and m != br and m != bm
+            for bl, br, bm, _bc in batch
+        )
+        if ok and any(c <= h for h in hazards):
+            ok = False
+        if not ok:
+            break
+        batch.append((l, r, m, c))
+        m_existing = m == "</w>" or m in merged_strings
+        adj = floor
+        msym = floor if m_existing else 0
+        for ql, qr, qc in ranked:
+            if qr == l or ql == r:
+                adj = max(adj, qc)
+            if m_existing and (ql == m or qr == m):
+                msym = max(msym, qc)
+        hazards.append(adj + msym)
+    return batch
+
+
 def _bpe_train(documents: DataFrame):
     """Shared BPE training loop for tokenizer_bpe_train (merge table)
-    and tokenizer_bpe_apply (segmentation): returns (merges, vocab)
-    where merges is the list of (rank, left, right, merged, count)
-    rows and vocab the final per-word frame (w, freq, syms) after all
-    merges were applied. Full contract in tokenizer_bpe_train's
-    docstring."""
+    and tokenizer_bpe_apply (segmentation): returns (merges, vocab,
+    rounds) where merges is the list of (rank, left, right, merged,
+    count) rows, vocab the final per-word frame (w, freq, syms) after
+    all merges were applied, and rounds the number of Spark count+rewrite
+    rounds actually run. Full contract in tokenizer_bpe_train's
+    docstring.
+
+    r12 (guide §1.2 — the distributed algorithm first): merges are
+    BATCHED. Each round collects the top-K pair ranking instead of the
+    1-row argmax and merges the longest provably-independent prefix
+    (_pick_merge_batch) in one rewrite, so the 8 merges need ~4
+    count+rewrite rounds on the fixture corpora instead of 8 — half
+    the driver round-trips and half the vocab rewrites, with a merge
+    table and final vocab guaranteed IDENTICAL to the sequential
+    algorithm (guard + proof sketch in _pick_merge_batch)."""
     syms0 = F.expr(
         "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
         " array('</w>'))"
@@ -1511,75 +1607,76 @@ def _bpe_train(documents: DataFrame):
         "  i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
         " ELSE CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) END"
     )
+    # left-to-right non-overlapping merge: fold with a 1-symbol
+    # lookbehind ('pend'); Column lambdas keep arbitrary symbol
+    # text safe (no SQL-literal splicing). A factory (not default
+    # args) binds the round's batch — F.aggregate inspects the
+    # lambda's arity. One pass applies EVERY pair in the batch: the
+    # guard guarantees batch pairs never share an occurrence symbol
+    # (G1 in _pick_merge_batch), so "pend matches some l_i and s
+    # matches that pair's r_i" fires for at most one pair per step and
+    # the single pass equals the sequential per-pair passes.
+    def _merge_factory(_batch: list[tuple[str, str, str, int]]):
+        def _merge(a, s):
+            flush = F.struct(
+                F.concat(a["out"], F.array(a["pend"])).alias("out"),
+                s.alias("pend"),
+            )
+            res = flush
+            for _l, _r, _m, _c in reversed(_batch):
+                res = F.when(
+                    (a["pend"] == F.lit(_l)) & (s == F.lit(_r)),
+                    F.struct(
+                        F.concat(a["out"], F.array(F.lit(_m))).alias("out"),
+                        F.lit(None).cast("string").alias("pend"),
+                    ),
+                ).otherwise(res)
+            return F.when(
+                a["pend"].isNull(),
+                F.struct(a["out"].alias("out"), s.alias("pend")),
+            ).otherwise(res)
+
+        return _merge
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+    fin = lambda a: F.when(  # noqa: E731
+        a["pend"].isNull(), a["out"]
+    ).otherwise(F.concat(a["out"], F.array(a["pend"])))
+
     merges: list[tuple[int, str, str, str, int]] = []
-    for rnd in range(1, _BPE_TRAIN_MERGES + 1):
-        [best] = (
+    merged_strings: set[str] = set()
+    rounds = 0
+    while len(merges) < _BPE_TRAIN_MERGES:
+        # top-(K+1) by the same total order the 1-row argmax used
+        # ((count desc, l, r)); the +1 row only tells the guard whether
+        # the ranking was truncated. TakeOrderedAndProject: partial
+        # per-partition top-K, never a global sort.
+        ranked_rows = (
             vocab.select("freq", F.explode(pair).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cnt")).alias("nc"),
-                        F.col("l"),
-                        F.col("r"),
-                    )
-                ).alias("best")
-            )
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(_BPE_TOPK + 1)
             .collect()
         )
-        if best.best is None:  # no pairs left (or empty corpus)
+        if not ranked_rows:  # no pairs left (or empty corpus)
             break
-        left, right, cnt = best.best.l, best.best.r, -int(best.best.nc)
-        merged = left + right
-        merges.append((rnd, left, right, merged, cnt))
-
-        # left-to-right non-overlapping merge: fold with a 1-symbol
-        # lookbehind ('pend'); Column lambdas keep arbitrary symbol
-        # text safe (no SQL-literal splicing). A factory (not default
-        # args) binds this round's pair — F.aggregate inspects the
-        # lambda's arity.
-        def _merge_factory(_l: str, _r: str, _m: str):
-            def _merge(a, s):
-                emit_merge = (
-                    a["pend"].isNotNull()
-                    & (a["pend"] == F.lit(_l))
-                    & (s == F.lit(_r))
-                )
-                return (
-                    F.when(
-                        a["pend"].isNull(),
-                        F.struct(a["out"].alias("out"), s.alias("pend")),
-                    )
-                    .when(
-                        emit_merge,
-                        F.struct(
-                            F.concat(a["out"], F.array(F.lit(_m))).alias("out"),
-                            F.lit(None).cast("string").alias("pend"),
-                        ),
-                    )
-                    .otherwise(
-                        F.struct(
-                            F.concat(a["out"], F.array(a["pend"])).alias("out"),
-                            s.alias("pend"),
-                        )
-                    )
-                )
-
-            return _merge
-
-        init = F.struct(
-            F.array().cast("array<string>").alias("out"),
-            F.lit(None).cast("string").alias("pend"),
+        truncated = len(ranked_rows) > _BPE_TOPK
+        ranked = [(w.l, w.r, int(w.cnt)) for w in ranked_rows[:_BPE_TOPK]]
+        batch = _pick_merge_batch(
+            ranked, truncated, _BPE_TRAIN_MERGES - len(merges), merged_strings
         )
-        fin = lambda a: F.when(  # noqa: E731
-            a["pend"].isNull(), a["out"]
-        ).otherwise(F.concat(a["out"], F.array(a["pend"])))
+        for left, right, merged, cnt in batch:
+            merges.append((len(merges) + 1, left, right, merged, cnt))
+            merged_strings.add(merged)
         vocab = vocab.withColumn(
-            "syms",
-            F.aggregate("syms", init, _merge_factory(left, right, merged), fin),
+            "syms", F.aggregate("syms", init, _merge_factory(batch), fin)
         ).localCheckpoint(eager=False)
-    return merges, vocab
+        rounds += 1
+    return merges, vocab, rounds
 
 
 @query("tokenizer_bpe_apply")  # rows-only: consumes the iterative trainer
@@ -1602,8 +1699,8 @@ def tokenizer_bpe_apply(t: Tables) -> DataFrame:
     5-group hash agg. No per-round work touches the corpus."""
     from base_etl_spark import iterstats
 
-    merges, vocab = _bpe_train(t.documents)
-    iterstats.record("tokenizer_bpe_apply", len(merges))
+    merges, vocab, rounds = _bpe_train(t.documents)
+    iterstats.record("tokenizer_bpe_apply", rounds)
     tok = vocab.select(
         "w",
         F.size("syms").cast("long").alias("n_tokens_word"),

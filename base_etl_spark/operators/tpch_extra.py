@@ -577,19 +577,22 @@ def join_q21_waiting(t: Tables) -> DataFrame:
     A/B), and strictly worse on a real cluster where the build ships to
     every executor.
     """
-    # ONE fact exchange serves every orderkey-keyed operator below
-    # (guide §2.4 — two operations keyed the same way share one
-    # exchange): HashPartitioning(l_orderkey) satisfies the clustering
-    # requirement of the (l_orderkey, l_suppkey) aggregate, the
-    # per-orderkey census, AND the l1-vs-qualifying sort-merge semi, so
-    # the row-grain l1 leg and the census leg fork AFTER the shuffle
-    # and Spark's ReuseExchange executes the scan+exchange once.
-    # Before this: l1 and per_supp were separate lineages — 2 fact
-    # scans and 2 aggregate exchanges ((orderkey, suppkey) then
-    # orderkey) plus l1's own shuffle; now 1 scan + 1 exchange. The
-    # exchange carries raw (orderkey, suppkey, late) triples instead of
-    # map-side-combined pairs, but (orderkey, suppkey) is near-unique
-    # per line so the lost partial-agg dedup is ~nothing at any scale.
+    # ONE fact exchange serves BOTH census grains below (guide §2.4 —
+    # two operations keyed the same way share one exchange):
+    # HashPartitioning(l_orderkey) satisfies the clustering requirement
+    # of the (l_orderkey, l_suppkey) aggregate AND the per-orderkey
+    # census, so the two aggregates run back-to-back on a single
+    # shuffle (plan: 4 stacked HashAggregates over one Exchange). The
+    # l1 leg does NOT share it: Catalyst pushes the late==1 filter
+    # below the repartition into its own pruned scan, so l1 keeps a
+    # separate scan+exchange carrying only the R rows — 2 fact scans
+    # and 2 fact exchanges total, down from 4 scans / 3 exchanges
+    # pre-r11 (see plans/r11/q21_waiting_after.txt; an earlier comment
+    # here overclaimed ReuseExchange across the l1 fork — r11 ADVICE).
+    # The census exchange carries raw (orderkey, suppkey, late) triples
+    # instead of map-side-combined pairs, but (orderkey, suppkey) is
+    # near-unique per line so the lost partial-agg dedup is ~nothing at
+    # any scale.
     base = t.lineitem.select(
         "l_orderkey",
         "l_suppkey",

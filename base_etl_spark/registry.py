@@ -316,7 +316,48 @@ ROUND11_PAD: list[str] = [
     "dedup_near_jaccard", "dedup_simhash", "sim_topk",
 ]
 
-DRIVER_PRIORITY: list[str] = ROUND11_RECHECK + ROUND11_NEW + ROUND11_PAD
+# Round 12 (r11 VERDICT task 5): finish the r03 rotation, then start on
+# the r04-stale majority. Same three-tier shape:
+#
+# 1. ROUND12_RECHECK — implementation changed this round (r12 batched
+#    BPE merges; selfcheck_battery pool sizing): driver rows must be
+#    post-change.
+# 2. ROUND12_NEW — none (optimization round, no new keys).
+# 3. ROUND12_PAD — the 10 keys whose latest row is still r03 (the full
+#    remainder of the r02/r03-stale backlog: the r11 spillover sim_topk
+#    plus the 9 queued r03 keys), then the first 37 of the 50 r04-latest
+#    keys in their CORRECTNESS_r04 record order. 3 + 47 = 50; the
+#    remaining 13 r04 keys lead round 13's pad.
+ROUND12_RECHECK: list[str] = [
+    "tokenizer_bpe_train",   # r12 batched merges (_pick_merge_batch)
+    "tokenizer_bpe_apply",   # consumes the batched trainer's vocab
+    "selfcheck_battery",     # pool width now session-derived
+]
+
+ROUND12_NEW: list[str] = []
+
+ROUND12_PAD: list[str] = [
+    # latest row r03 (the last of the r02/r03-stale backlog)
+    "sim_topk", "text_wordcount", "text_tfidf", "text_stats",
+    "text_langid", "text_quality", "text_tokens", "sim_cluster_stats",
+    "multimodal_join", "sim_topk_ivf",
+    # latest row r04, CORRECTNESS_r04 record order (first 37 of 50)
+    "dedup_containment", "text_bm25", "join_skew_salted",
+    "join_asof_tolerance", "join_q10_returns", "join_q7_volume",
+    "join_null_safe", "join_lateral_topn", "join_shuffle_hash_hint",
+    "join_disjunctive_keys", "join_interval_overlap", "join_asof_forward",
+    "sim_knn_classify", "sim_hybrid_rrf", "sim_topk_ip",
+    "join_q2_min_supplier", "join_q4_priority_exists",
+    "join_q8_market_share", "join_q9_profit", "agg_q12_priority_class",
+    "agg_q14_promo_ratio", "join_q15_top_supplier", "agg_q16_part_variety",
+    "join_q17_small_qty", "join_q18_large_orders", "filter_q19_disjunctive",
+    "join_q20_excess_share", "join_q21_waiting", "join_q22_idle_customers",
+    "agg_q6_forecast", "scan_partitioned_pruned", "join_bucketed_colocated",
+    "join_dpp_runtime", "etl_compaction", "scan_schema_evolution",
+    "etl_forget_users", "etl_cluster_by_date",
+]
+
+DRIVER_PRIORITY: list[str] = ROUND12_RECHECK + ROUND12_NEW + ROUND12_PAD
 
 
 def _ordered() -> list[str]:

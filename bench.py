@@ -52,7 +52,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # vs r8 with no code change — a 37-second 23-query total cannot absorb
 # 3 points of background load silently.
 LOAD_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5"))
-LOAD_WAIT_SECS = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+# 300 -> 900 (r12, VERDICT r11 task 1): a post-pytest 5-min average of
+# ~4.5 measurably does NOT drain in 300 s (BENCH_r11 shipped
+# load_wait_timed_out=true for exactly this reason — the third
+# contaminated artifact in a row). loadavg decays exponentially with a
+# 5-minute time constant, so draining from ~20 to the 3.0 gate needs
+# 300*ln(20/3) ~ 570 s on an otherwise-idle box; 900 s covers every
+# start level the driver's preceding sweeps have produced. The wait is
+# free when the box is already quiet (single check, no sleep).
+LOAD_WAIT_SECS = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "900"))
 
 
 def _loadavg_1min() -> float | None:
@@ -111,11 +119,23 @@ _EXT_SAMPLES = 3
 def _external_busy_once(own_root: int) -> tuple[int, int]:
     """One /proc walk: (external busy tasks, kernel busy tasks).
 
-    Busy = process state R (runnable) or D (uninterruptible I/O wait).
+    Busy = task state R (runnable) or D (uninterruptible I/O wait).
     External = ancestry does not reach own_root; kernel = reaches pid 2.
+
+    r12 (ADVICE r11): busy-ness is read PER THREAD from
+    /proc/<pid>/task/<tid>/stat, not from the thread-group leader's
+    /proc/<pid>/stat alone — a multithreaded contender (a JVM whose main
+    thread sleeps while worker threads burn 8 cores) previously counted
+    as 0 busy tasks and shipped a contaminated key flagged clean. Each
+    busy thread is attributed to its process, and the process ancestry
+    decides own/external/kernel. An ancestry walk that dead-ends on a
+    pid missing from the snapshot (parent exited mid-walk) classifies
+    the task as UNKNOWN and counts it nowhere: the old code counted it
+    external, so process-exit races could inflate the count.
     """
     ppid: dict[int, int] = {}
-    busy: list[int] = []
+    busy_threads: list[tuple[int, int]] = []  # (tid, owning pid)
+    own_pid = os.getpid()
     for entry in os.listdir("/proc"):
         if not entry.isdigit():
             continue
@@ -128,24 +148,48 @@ def _external_busy_once(own_root: int) -> tuple[int, int]:
         # comm may contain spaces/parens: parse around the LAST ')'
         rparen = stat.rfind(")")
         fields = stat[rparen + 2 :].split()
-        state, parent = fields[0], int(fields[1])
+        parent = int(fields[1])
         ppid[pid] = parent
-        if state in ("R", "D") and pid != os.getpid():
-            busy.append(pid)
-    ext = kern = 0
-    for pid in busy:
-        seen = set()
-        cur = pid
-        while cur > 0 and cur not in seen:
-            if cur == own_root:
-                break  # ours (bench python -> JVM -> pyspark workers)
-            seen.add(cur)
-            cur = ppid.get(cur, 0)
-        else:
-            if pid == 2 or ppid.get(pid) == 2:
-                kern += 1
+        try:
+            tids = os.listdir(f"/proc/{entry}/task")
+        except OSError:
+            tids = [entry]  # raced: fall back to the leader's state
+        for tid in tids:
+            if tid == entry:
+                tstate = fields[0]  # leader state already parsed
             else:
-                ext += 1
+                try:
+                    with open(f"/proc/{entry}/task/{tid}/stat") as f:
+                        tstat = f.read()
+                except OSError:
+                    continue  # thread exited mid-walk
+                tstate = tstat[tstat.rfind(")") + 2 :].split()[0]
+            if tstate in ("R", "D"):
+                busy_threads.append((int(tid), pid))
+    ext = kern = 0
+    for _tid, pid in busy_threads:
+        if pid == own_pid:
+            continue  # the sampling thread itself is always R
+        seen: set[int] = set()
+        cur = pid
+        verdict = "external"  # walked to init/0: a detached process
+        while cur > 1 and cur not in seen:
+            if cur == own_root:
+                verdict = "own"  # bench python -> JVM -> pyspark workers
+                break
+            if cur == 2:
+                verdict = "kernel"  # kthreadd subtree
+                break
+            seen.add(cur)
+            parent = ppid.get(cur)
+            if parent is None:
+                verdict = "unknown"  # snapshot race: count nowhere
+                break
+            cur = parent
+        if verdict == "external":
+            ext += 1
+        elif verdict == "kernel":
+            kern += 1
     return ext, kern
 
 
@@ -163,6 +207,55 @@ def _external_busy() -> tuple[int, int]:
 
 def _is_dirty_midrun(ext_busy: int) -> bool:
     return ext_busy >= _EXT_BUSY_BAR
+
+
+class _MidrunMonitor:
+    """Samples the external-busy count in a background thread WHILE the
+    timed attempts run (r12, ADVICE r11: the start-of-key stamp missed
+    contention that began after the stamp and ended before the next
+    key). Same robustness rule as the start-of-key stamp: a window of
+    _EXT_SAMPLES consecutive samples must ALL see >= _EXT_BUSY_BAR
+    external busy tasks before the key is dirtied — one-sample blips
+    (a short-lived shell, a cron tick) stay clean, while a real
+    contending job (minutes wide) cannot hide between stamps. The
+    monitor thread lives in the bench process, so its own R-state
+    thread is classified 'own' by the detector and never self-flags."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._stop = threading.Event()
+        self._thread: "threading.Thread | None" = None
+        self.breached = False
+        self.max_window_ext = 0
+
+    def __enter__(self) -> "_MidrunMonitor":
+        import threading
+
+        own = os.getpid()
+
+        def _run() -> None:
+            window: list[int] = []
+            while not self._stop.is_set():
+                ext, _kern = _external_busy_once(own)
+                window.append(ext)
+                if len(window) > _EXT_SAMPLES:
+                    window.pop(0)
+                if len(window) == _EXT_SAMPLES:
+                    w_min = min(window)
+                    self.max_window_ext = max(self.max_window_ext, w_min)
+                    if w_min >= _EXT_BUSY_BAR:
+                        self.breached = True
+                self._stop.wait(0.3)
+
+        self._thread = threading.Thread(target=_run, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
 
 
 def _wait_for_quiet(wait_secs: int) -> tuple[float | None, float | None, bool]:
@@ -272,6 +365,7 @@ def main() -> None:
     times_warm2: dict[str, float] = {}
     key_loads: dict[str, list[float | None]] = {}
     key_ext_busy: dict[str, list[int]] = {}
+    key_midrun_ext: dict[str, int] = {}
     retried: list[str] = []
     dirty_keys: list[str] = []
 
@@ -295,7 +389,11 @@ def main() -> None:
         key_ext_busy[name] = [ext, kern]
         if _is_dirty_midrun(ext):
             dirty_keys.append(name)
-        attempts = _best_of_3(fn)
+        with _MidrunMonitor() as mon:
+            attempts = _best_of_3(fn)
+        key_midrun_ext[name] = mon.max_window_ext
+        if mon.breached and name not in dirty_keys:
+            dirty_keys.append(name)
         anchor = ANCHORS.get(name)
         # Retry on a hard 2x breach, or on 1.5x when the key's own load
         # stamp was dirty — the drifting-but-inside-gate segment BENCH_r09
@@ -314,7 +412,8 @@ def main() -> None:
                 f" ({anchor}s) — settle wait + one retry", file=sys.stderr,
             )
             r1, r5, _ = _wait_for_quiet(min(LOAD_WAIT_SECS, 120))
-            retry = _best_of_3(fn)
+            with _MidrunMonitor() as rmon:
+                retry = _best_of_3(fn)
             print(
                 f"# {name}: retry best {round(min(retry), 3)}s"
                 f" (first {round(min(attempts), 3)}s)", file=sys.stderr,
@@ -324,7 +423,12 @@ def main() -> None:
                 key_loads[name] = [r1, r5]
                 ext, kern = _external_busy()
                 key_ext_busy[name] = [ext, kern]
-                if name in dirty_keys and not _is_dirty_midrun(ext):
+                key_midrun_ext[name] = rmon.max_window_ext
+                if (
+                    name in dirty_keys
+                    and not _is_dirty_midrun(ext)
+                    and not rmon.breached
+                ):
                     dirty_keys.remove(name)
             retried.append(name)
         n = fn(spark, SF_DIR).count()  # rows for the report line; untimed
@@ -357,6 +461,7 @@ def main() -> None:
                 "load_wait_timed_out": wait_timed_out,
                 "key_loadavg": key_loads,
                 "key_external_busy": key_ext_busy,
+                "key_midrun_ext": key_midrun_ext,
                 "dirty_keys": dirty_keys,
                 "retried_keys": retried,
                 "methodology": (

@@ -31,6 +31,9 @@ from base_etl_spark.registry import (
     ROUND11_NEW,
     ROUND11_PAD,
     ROUND11_RECHECK,
+    ROUND12_NEW,
+    ROUND12_PAD,
+    ROUND12_RECHECK,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -74,19 +77,20 @@ def test_current_window_buys_only_new_or_declared_rows():
         if keys == set(CURRENT_WINDOW):
             continue
         prior |= keys
-    declared = set(ROUND11_RECHECK) | set(ROUND11_PAD)
+    declared = set(ROUND12_RECHECK) | set(ROUND12_PAD)
     overlap = prior & set(CURRENT_WINDOW) & set(DRIVER_PRIORITY) - declared
     assert not overlap, f"window re-checks undeclared keys: {sorted(overlap)}"
     # and the declared re-checks must genuinely BE re-checks — a new key
     # hidden in the recheck/pad lists would dodge first-row accounting
     not_prior = declared - prior
     assert not not_prior, f"declared re-checks with no prior row: {sorted(not_prior)}"
-    # round-11 NEW keys are first-row claims: they must NOT be prior
-    stale_new = set(ROUND11_NEW) & prior
-    assert not stale_new, f"ROUND11_NEW lists already-verified keys: {sorted(stale_new)}"
-    # the historical round-10 declarations stay internally consistent
-    # (RECHECK/PAD were prior rows then, NEW keys now have their r10 row)
+    # round-12 NEW keys are first-row claims: they must NOT be prior
+    stale_new = set(ROUND12_NEW) & prior
+    assert not stale_new, f"ROUND12_NEW lists already-verified keys: {sorted(stale_new)}"
+    # the historical round-10/11 declarations stay internally consistent
+    # (RECHECK/PAD were prior rows then, NEW keys now have their rows)
     assert not (set(ROUND10_RECHECK) | set(ROUND10_PAD) | set(ROUND10_NEW)) - prior
+    assert not (set(ROUND11_RECHECK) | set(ROUND11_PAD) | set(ROUND11_NEW)) - prior
 
 
 def test_round6_window_well_formed():
@@ -115,6 +119,7 @@ def test_future_windows_partition_the_unverified_remainder():
     declared = (
         set(ROUND10_RECHECK) | set(ROUND10_PAD)
         | set(ROUND11_RECHECK) | set(ROUND11_PAD)
+        | set(ROUND12_RECHECK) | set(ROUND12_PAD)
     )
     cur = (set(CURRENT_WINDOW) & set(DRIVER_PRIORITY)) - declared
     if cur != r6:

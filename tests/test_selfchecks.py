@@ -1571,6 +1571,102 @@ def _ref_bpe(word_freqs: dict, n_merges: int):
     return merges
 
 
+def test_bpe_batch_guard_fuzz():
+    """The r12 batched-merge guard (_pick_merge_batch) must yield a
+    merge table AND final vocab identical to the sequential reference
+    for ANY input — replayed here in pure Python (no Spark) over
+    adversarial fuzz vocabs: 2-4 letter alphabets (forces shared-symbol
+    interactions and count ties), tiny top-K values (forces the
+    truncation floor), and alphabets containing '<', '/', 'w', '>'
+    (forces merged strings that collide with the '</w>' marker, the
+    msym hazard)."""
+    import random
+
+    from base_etl_spark.operators.llm_text import _pick_merge_batch
+
+    def batched(freqs, n_merges, k):
+        vocab = {w: tuple(list(w) + ["</w>"]) for w in freqs}
+        merges, merged_strings, rounds = [], set(), 0
+        while len(merges) < n_merges:
+            counts: dict = {}
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + freqs[w]
+            if not counts:
+                break
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            truncated = len(ranked) > k
+            ranked = [(l, r, c) for (l, r), c in ranked[:k]]
+            batch = _pick_merge_batch(
+                ranked, truncated, n_merges - len(merges), merged_strings
+            )
+            assert batch, "the argmax pair must always be accepted"
+            for l, r, m, c in batch:
+                merges.append((len(merges) + 1, l, r, m, c))
+                merged_strings.add(m)
+            pairmap: dict = {}
+            for l, r, m, _c in batch:
+                pairmap.setdefault(l, {})[r] = m
+            new_vocab = {}
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    nxt = pairmap.get(syms[i])
+                    if i + 1 < len(syms) and nxt is not None and syms[i + 1] in nxt:
+                        out.append(nxt[syms[i + 1]])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[w] = tuple(out)
+            vocab = new_vocab
+            rounds += 1
+        return merges, vocab, rounds
+
+    def ref_with_vocab(freqs, n_merges):
+        vocab = {w: tuple(list(w) + ["</w>"]) for w in freqs}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            counts: dict = {}
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + freqs[w]
+            if not counts:
+                break
+            (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, l, r, l + r, c))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = tuple(out)
+        return merges, vocab
+
+    saved_rounds = 0
+    for seed in range(800):
+        rng = random.Random(seed)
+        alpha = ["ab", "abc", "abcd", "</w>", "ab<>/w"][seed % 5]
+        freqs: dict = {}
+        for _ in range(rng.randint(1, 30)):
+            w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+            freqs[w] = freqs.get(w, 0) + rng.choice([1, 1, 1, 2, 3, 7])
+        n_merges = rng.choice([4, 8, 12])
+        k = rng.choice([2, 3, 8, 24])
+        ref_m, ref_v = ref_with_vocab(freqs, n_merges)
+        got_m, got_v, rounds = batched(freqs, n_merges, k)
+        assert got_m == ref_m, f"seed {seed}: merge table diverged"
+        assert got_v == ref_v, f"seed {seed}: final vocab diverged"
+        saved_rounds += len(ref_m) - rounds
+    assert saved_rounds > 0, "batching never batched — guard degenerate"
+
+
 def test_bpe_train_matches_reference_planted(spark):
     """Planted vocab with an overlap trap ('aaaa' → left-to-right gives
     TWO 'aa' tokens, not three overlapping pairs merged) and a
