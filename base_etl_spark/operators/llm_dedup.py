@@ -626,8 +626,9 @@ def _propagate_min_labels(
     each round now applies TWO hops before the convergence read. The
     frames are tiny at every scale that matters here (rep-graph nodes,
     not corpus rows), so a round's cost is driver-latency-bound, and
-    two joins in one job cost barely more than one — measured ~1.7x
-    fewer Spark jobs end-to-end on the sf0.1 survivor path. Results
+    two joins in one job cost barely more than one — measured rounds
+    at sf0.1: graph_components 6 → 3, collapsed labels 2 → 1 (wall
+    time a wash locally; the job halving is the scale win). Results
     are IDENTICAL: min-label propagation is monotone with a unique
     fixpoint (the component minimum), so extra hops can only reach it
     sooner, and a second hop that moves nothing proves the first hop's
